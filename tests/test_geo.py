@@ -1,0 +1,79 @@
+"""Geo parity tests — mirrors reference test/sql/sudan_boundaries.test."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_sudan__spark import geo
+from duckdb_sudan__spark.geo import states as geo_states
+from tests.conftest import assert_matches_oracle
+
+
+def test_states_returns_18(spark):
+    assert geo.sudan_states(spark).count() == 18
+
+
+def test_states_khartoum_row(spark):
+    r = geo.sudan_states(spark).where(F.col("state_name") == "Khartoum").collect()[0]
+    assert r.state_name_ar == "الخرطوم"
+    assert r.iso_code == "SD-KH"
+
+
+def test_states_geojson_is_multipolygon(spark):
+    rows = geo.sudan_states(spark).select("geojson").collect()
+    assert all(r.geojson.startswith('{"type":"MultiPolygon"') for r in rows)
+    assert all(len(r.geojson) > 100 for r in rows)
+
+
+def test_boundaries_country(spark):
+    df = geo.sudan_boundaries(spark, "country")
+    assert df.count() == 1
+    r = df.collect()[0]
+    assert r.country_name == "Sudan"
+    assert r.iso_code == "SDN"
+    assert r.geojson.startswith('{"type":"MultiPolygon"')
+
+
+def test_boundaries_state_18(spark):
+    assert geo.sudan_boundaries(spark, "state").count() == 18
+
+
+def test_boundaries_locality_empty(spark):
+    df = geo.sudan_boundaries(spark, "locality")
+    assert df.count() == 0
+    assert df.columns == ["locality_name", "locality_name_ar", "state_name", "geojson"]
+
+
+def test_boundaries_invalid_level(spark):
+    with pytest.raises(ValueError, match="Invalid boundary level 'invalid'"):
+        geo.sudan_boundaries(spark, "invalid")
+
+
+def test_geocode_english_arabic_case_unknown(spark):
+    assert geo.sudan_geocode(spark, "Khartoum") == "SD-KH"
+    assert geo.sudan_geocode(spark, "الخرطوم") == "SD-KH"
+    assert geo.sudan_geocode(spark, "khartoum") == "SD-KH"
+    assert geo.sudan_geocode(spark, "Unknown") == ""
+
+
+def test_geocode_expr_jvm_side(spark):
+    df = spark.createDataFrame(
+        [("Khartoum",), ("الخرطوم",), ("khartoum",), ("Unknown",)], ["name"]
+    ).select(geo.geocode_expr(F.col("name")).alias("code"))
+    assert [r.code for r in df.collect()] == ["SD-KH", "SD-KH", "SD-KH", ""]
+    # stays in whole-stage codegen: no PythonUDF / BatchEvalPython node
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_states_oracle(spark, duck):
+    assert_matches_oracle(geo.sudan_states(spark), duck, geo_states.states_oracle())
+
+
+def test_boundaries_state_oracle(spark, duck):
+    assert_matches_oracle(geo.sudan_boundaries(spark, "state"), duck, geo_states.boundaries_oracle("state"))
+
+
+def test_sql_udf_registration(spark):
+    geo.register_geocode_udf(spark)
+    r = spark.sql("SELECT sudan_geocode('Kassala') AS code").collect()[0]
+    assert r.code == "SD-KA"
