@@ -1,0 +1,31 @@
+"""Operator registry: every module registers (query, oracle) pairs here."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query, with an
+    optional DuckDB oracle SQL (omit for non-SQL-expressible ops —
+    the driver then records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    from duckdb_sudan__spark.operators import analytic, dedup, multimodal, relational, similarity, text  # noqa: F401

@@ -1,0 +1,336 @@
+"""Window functions, grouping sets, set operations, pivots, and
+event-time analytics (batch form) — the rest of the DuckDB-grade SQL
+surface on the DataFrame API.
+
+Float determinism: same DECIMAL(27,6)-exact-sum convention as
+relational.py. Window running sums accumulate in DECIMAL so frame
+order cannot introduce float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.operators.relational import _sql_dsum, dsum
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# w1 — rank within partition (top-3 parts by revenue per brand)
+# ---------------------------------------------------------------------------
+
+W1_ORACLE = f"""
+SELECT p_brand, p_partkey, revenue, rnk
+FROM (
+  SELECT p_brand, p_partkey, revenue,
+         CAST(rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rnk
+  FROM (
+    SELECT p.p_brand, p.p_partkey,
+           {_sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, p.p_partkey
+  )
+)
+WHERE rnk <= 3
+ORDER BY p_brand, rnk, p_partkey
+"""
+
+
+@register("w1_window_rank", W1_ORACLE)
+def w1_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w2 — running total + lag over an ordered per-customer window
+# ---------------------------------------------------------------------------
+
+W2_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("w2_window_running", W2_ORACLE)
+def w2_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(wsum).cast("double").alias("running_total"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = f"""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_orders,
+       {_sql_dsum("o.o_totalprice", "total_sales")}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@register("rollup_sales", ROLLUP_ORACLE)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "total_sales"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_sql_dsum("o_totalprice", "total_sales")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("cube_sales", CUBE_ORACLE)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "total_sales"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations: (BUILDING ∩ positive-balance) ∪ nation-0 ∖ deep-negative
+# ---------------------------------------------------------------------------
+
+SETOPS_ORACLE = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
+  UNION
+  SELECT c_custkey FROM customer WHERE c_nationkey = 0
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal < -500.0
+)
+ORDER BY c_custkey
+"""
+
+
+@register("setops_customers", SETOPS_ORACLE)
+def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.where(F.col("c_acctbal") > 0.0).select("c_custkey")
+    nation0 = c.where(F.col("c_nationkey") == 0).select("c_custkey")
+    deep_neg = c.where(F.col("c_acctbal") < -500.0).select("c_custkey")
+    # SQL set-op chain is left-associative: ((A ∩ B) ∪ C) ∖ D, distinct semantics
+    return (
+        building.intersect(positive)
+        .union(nation0)
+        .distinct()
+        .exceptAll(deep_neg)
+        .distinct()
+        .orderBy("c_custkey")
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type
+"""
+
+
+@register("distinct_types", DISTINCT_ORACLE)
+def distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct().orderBy("p_brand", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# CTE: top-50 customers by lifetime value, summarized per nation
+# ---------------------------------------------------------------------------
+
+CTE_ORACLE = f"""
+WITH top_cust AS (
+  SELECT o_custkey, {_sql_dsum("o_totalprice", "lifetime_value")}
+  FROM orders
+  GROUP BY o_custkey
+  ORDER BY lifetime_value DESC, o_custkey
+  LIMIT 50
+)
+SELECT n.n_name, COUNT(*) AS n_top_customers, {_sql_dsum("t.lifetime_value", "nation_value")}
+FROM top_cust t
+JOIN customer c ON t.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation_value DESC, n_name
+"""
+
+
+@register("cte_topn", CTE_ORACLE)
+def cte_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    top_cust = (
+        o.groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), "lifetime_value"))
+        .orderBy(F.desc("lifetime_value"), "o_custkey")
+        .limit(50)
+    )
+    return (
+        top_cust.join(c, top_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_top_customers"), dsum(F.col("lifetime_value"), "nation_value"))
+        .orderBy(F.desc("nation_value"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot: order counts by priority × status
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("pivot_status", PIVOT_ORACLE)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("cnt_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("cnt_filled"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("cnt_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: batch tumbling window (the streaming twin lives in streaming/)
+# ---------------------------------------------------------------------------
+
+TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {_sql_dsum("value", "total_value")}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("ev_tumbling", TUMBLING_ORACLE)
+def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization (30-min inactivity gap) via window functions
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {_sql_dsum("value", "session_value")}
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("ev_sessionize", SESSIONIZE_ORACLE)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_prev = e.select("user_id", "ts", "event_id", "value", F.lag("ts").over(w).alias("prev_ts"))
+    new_session = F.when(
+        F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    flagged = with_prev.select("user_id", "ts", "event_id", "value", new_session.alias("new_session"))
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun).cast("int"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum(F.col("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -50,8 +50,22 @@ def get_spark(app_name: str = "duckdb_sudan__spark", shuffle_partitions: int | N
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Parquet scan: filters/projections placed on
     top of this are pushed into the scan by Catalyst (PushedFilters /
-    pruned ReadSchema) — keep transformations declarative."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pruned ReadSchema) — keep transformations declarative.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos and truncate to
+    microseconds (`ts div 1000` — integer division, no double
+    round-trip). DuckDB's reader truncates ns→µs identically, so
+    oracle comparisons stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
