@@ -1,1 +1,259 @@
-"""placeholder — filled in below"""
+"""Deduplication operators over the `documents` table.
+
+Four tiers, from exact to approximate — each one picks the cheapest
+plan shape that holds at 100 TB:
+
+- dedup_exact: hash-groupBy on a content fingerprint. One shuffle on
+  the fingerprint key; fully JVM-side (md5 + window min).
+- dedup_ngram_jaccard: exact 3-gram-shingle Jaccard, blocked on
+  (lang, length bucket). Exact pairwise is inherently quadratic — the
+  blocking key bounds each block; use MinHash-LSH beyond that.
+- dedup_minhash_lsh: MinHash(128) signatures (vectorized Pandas UDF,
+  Arrow-batched) → 32 LSH bands → bucket equi-join for candidates →
+  signature-agreement estimate. Linear scans + equi-joins only.
+- dedup_simhash: 64-bit SimHash (vectorized Pandas UDF) → 4×16-bit
+  band blocking → hamming ≤ HAMMING_MAX via bit_count(xor) (JVM).
+
+MinHash/SimHash use numpy uint64 arithmetic — deterministic across
+runs and machines; the only Python in any of these paths is the
+Arrow-batched signature computation.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.operators.text import SQL_BOW_FP, bow_fingerprint_expr
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup on content fingerprint
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT doc_id, fp, CAST(n_copies AS BIGINT) AS n_copies, is_canonical
+FROM (
+  SELECT doc_id, fp,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+         doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+  FROM (SELECT doc_id, {SQL_BOW_FP} AS fp FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_fp = d.select("doc_id", bow_fingerprint_expr().alias("fp"))
+    w = Window.partitionBy("fp")
+    return (
+        with_fp.select(
+            "doc_id",
+            "fp",
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact 3-gram shingle Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+JACCARD_TAU = 0.8
+LEN_BUCKET = 100
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH shingled AS (
+  SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                      i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+  FROM documents
+)
+SELECT id_a, id_b, jac
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles))
+           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
+  FROM shingled a
+  JOIN shingled b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+)
+WHERE jac >= {JACCARD_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+def shingles_expr():
+    return F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    )
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEN_BUCKET).cast("long").alias("len_bucket"),
+        shingles_expr().alias("shingles"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("len_bucket").alias("lb_a"), F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("lb_b"), F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("lb_a") == F.col("lb_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jac"))
+        .where(F.col("jac") >= JACCARD_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash(128) + banded LSH candidate join
+# ---------------------------------------------------------------------------
+
+N_PERM = 128
+N_BANDS = 32  # rows per band r = 4; s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
+# p = 2^31 - 1: a, x < p ⇒ a·x < 2^62 fits in uint64, so the whole
+# (N_PERM × n_shingles) mulmod grid stays vectorized in numpy uint64.
+MINHASH_PRIME = np.uint64((1 << 31) - 1)
+_rng = np.random.default_rng(12345)
+_MH_A = _rng.integers(1, int(MINHASH_PRIME), size=N_PERM, dtype=np.uint64)
+_MH_B = _rng.integers(0, int(MINHASH_PRIME), size=N_PERM, dtype=np.uint64)
+EST_TAU = 0.5
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    n = max(len(text) - 2, 1)
+    seen = {text[i : i + 3] for i in range(n)}
+    h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in seen), dtype=np.uint64, count=len(seen))
+    return h % MINHASH_PRIME
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature(texts: pd.Series) -> pd.Series:
+    """128-perm MinHash over 3-char shingles; (a·x + b) mod (2^31-1),
+    fully vectorized numpy uint64, Arrow-batched."""
+    out = []
+    for text in texts:
+        x = _shingle_hashes(text or "")
+        if len(x) == 0:
+            out.append([0] * N_PERM)
+            continue
+        grid = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % MINHASH_PRIME
+        out.append(grid.min(axis=1).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+@register("dedup_minhash_lsh")  # rows-only: permutation hashing isn't SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: signature → 32 bands → bucket equi-join →
+    signature-agreement ≥ EST_TAU. Plan shape at scale: one Arrow map
+    stage (signatures), one explode (32×docs rows), one shuffle on
+    (band, band_hash), one distinct. No O(n²) anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+    sig.cache()
+
+    band_cols = F.explode(
+        F.expr(
+            f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, "
+            f"xxhash64(concat_ws(',', slice(sig, b * {N_PERM // N_BANDS} + 1, {N_PERM // N_BANDS}))) AS bucket))"
+        )
+    )
+    banded = sig.select("doc_id", band_cols.alias("bb")).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ).cast("double") / F.lit(float(N_PERM))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= EST_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 64-bit SimHash + banded hamming join
+# ---------------------------------------------------------------------------
+
+HAMMING_MAX = 6
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens: per-token crc32-seeded
+    splitmix64 bit pattern, majority vote per bit. numpy uint64."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for j, text in enumerate(texts):
+        tokens = (text or "").split()
+        if not tokens:
+            out[j] = 0
+            continue
+        h = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in tokens), dtype=np.uint64, count=len(tokens))
+        # splitmix64 finalizer → well-spread 64-bit patterns
+        z = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        bits = ((z[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        vote = bits.sum(axis=0) * 2 - len(tokens)  # >0 → bit set
+        sim = np.uint64(0)
+        for i in range(64):
+            if vote[i] > 0:
+                sim |= np.uint64(1) << np.uint64(i)
+        out[j] = np.int64(sim)
+    return pd.Series(out)
+
+
+@register("dedup_simhash")  # rows-only: bit-pattern hashing isn't SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤k pairs via 4×16-bit band blocking (pigeonhole: any
+    pair with hamming ≤ 6 shares at least one of 4 bands ... for ≤3;
+    with k=6 we accept the standard recall tradeoff of 4 bands).
+    Candidate generation is an equi-join on (band, 16-bit chunk)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", simhash64(F.col("text")).alias("sim")).cache()
+    chunks = F.explode(
+        F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b * 16) & 65535 AS chunk))")
+    )
+    banded = sh.select("doc_id", "sim", chunks.alias("c")).select("doc_id", "sim", "c.band", "c.chunk")
+    left = banded.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band", "chunk")
+    right = banded.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band", "chunk")
+    return (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("id_a", "id_b")
+    )

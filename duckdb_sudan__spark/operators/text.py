@@ -1,1 +1,216 @@
-"""placeholder — filled in below"""
+"""Text-analysis operators over the `documents` table — language ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure JVM-side expression pipelines (no Python UDFs): at
+100 TB these are a single map stage over the corpus with full
+whole-stage codegen, no shuffle at all (fingerprint dedup adds one
+hash-partition shuffle on the fingerprint key).
+
+Every operator has an exact DuckDB oracle: the expression trees are
+built from functions with identical semantics in both engines (ASCII
+regex classes, md5, integer division, IEEE double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+# BPE-ish token pattern: runs of alphanumerics, or single non-space
+# punctuation — ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "los", "y", "en", "que"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est"),
+}
+
+
+def _stop_regex(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def n_tokens_expr() -> Column:
+    """Whitespace token count (empty tokens dropped)."""
+    return F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+
+
+def _sql_n_tokens() -> str:
+    return r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))"
+
+
+# ---------------------------------------------------------------------------
+# text_tokens — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST({_sql_n_tokens()} AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_tokens", TOKENS_ORACLE)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            n_tokens_expr().cast("int").alias("n_ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN)).cast("int").alias("n_bpe_tokens"),
+            F.length("text").cast("int").alias("n_chars_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_langid — n-gram/stopword heuristic language ID
+# ---------------------------------------------------------------------------
+
+
+def _langid_cols():
+    hits = {
+        lang: F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex(lang))).alias(f"hits_{lang}")
+        for lang in STOPWORDS
+    }
+    return hits
+
+
+LANGID_ORACLE_HITS = ",\n       ".join(
+    f"CAST(len(regexp_extract_all(lower(text), '{_stop_regex(lang)}')) AS INTEGER) AS hits_{lang}"
+    for lang in STOPWORDS
+)
+
+LANGID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, predicted_lang, hits_en, hits_es, hits_de, hits_fr
+FROM (
+  SELECT doc_id, lang,
+         {LANGID_ORACLE_HITS},
+         CASE
+           WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 AND hits_fr = 0 THEN 'und'
+           WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+           WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+           WHEN hits_de >= hits_fr THEN 'de'
+           ELSE 'fr'
+         END AS predicted_lang
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register("text_langid", LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hits = _langid_cols()
+    with_hits = d.select("doc_id", F.col("lang").alias("labeled_lang"), *hits.values())
+    h = {lang: F.col(f"hits_{lang}") for lang in STOPWORDS}
+    predicted = (
+        F.when((h["en"] == 0) & (h["es"] == 0) & (h["de"] == 0) & (h["fr"] == 0), "und")
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), "en")
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
+        .when(h["de"] >= h["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        with_hits.select(
+            "doc_id", "labeled_lang", predicted.alias("predicted_lang"),
+            "hits_en", "hits_es", "hits_de", "hits_fr",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality — length/punctuation/stopword quality score
+# ---------------------------------------------------------------------------
+
+QUALITY_ORACLE = f"""
+SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+       least(1.0, n_tokens / 100.0) * 0.4 + (1.0 - punct_ratio) * 0.3 + least(1.0, stop_ratio * 5.0) * 0.3 AS quality
+FROM (
+  SELECT doc_id,
+         CAST({_sql_n_tokens()} AS INTEGER) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) / greatest(length(text), 1) AS punct_ratio,
+         len(regexp_extract_all(lower(text), '{_stop_regex("en")}'))
+           / greatest({_sql_n_tokens()}, 1) AS stop_ratio
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register("text_quality", QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = n_tokens_expr()
+    punct_ratio = (
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    )
+    stop_ratio = (
+        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    base = d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.4
+        + (F.lit(1.0) - F.col("punct_ratio")) * 0.3
+        + F.least(F.lit(1.0), F.col("stop_ratio") * 5.0) * 0.3
+    )
+    return base.select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", quality.alias("quality")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — content + bag-of-words fingerprints (md5)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text_expr() -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+
+
+def bow_fingerprint_expr() -> Column:
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " "))
+
+
+SQL_BOW_FP = (
+    "md5(array_to_string(list_sort(list_distinct("
+    r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))), ' '))"
+)
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_fp,
+       {SQL_BOW_FP} AS bow_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(normalized_text_expr()).alias("content_fp"),
+            bow_fingerprint_expr().alias("bow_fp"),
+        )
+        .orderBy("doc_id")
+    )
