@@ -1,0 +1,19 @@
+"""Streaming queries exposed as rows-only `queries()` entries: the
+driver runs them as batch-completing streams (availableNow trigger)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.streaming.events import run_stream_to_memory
+
+
+@register("stream_tumbling")  # rows-only: streaming sink, not SQL-comparable
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "tumbling")
+
+
+@register("stream_sessionize")  # rows-only
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "sessionize")

@@ -1,0 +1,110 @@
+"""Python DataSource, file wrappers, HTTP URL builders, streaming."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from duckdb_sudan__spark.providers import api
+from duckdb_sudan__spark.providers.http import (
+    build_fao_url,
+    build_ilo_url,
+    build_unhcr_url,
+    build_who_url,
+    build_worldbank_url,
+)
+from duckdb_sudan__spark.providers.pushdown import YearFilter
+from duckdb_sudan__spark.sources import register_sudan_datasource
+from duckdb_sudan__spark.sources.files import read_parquet, write_parquet
+from duckdb_sudan__spark.streaming.events import run_stream_to_memory
+from tests.conftest import SF_DIR
+
+
+def test_datasource_worldbank_matches_api(spark):
+    register_sudan_datasource(spark)
+    ds = (
+        spark.read.format("sudan")
+        .option("provider", "worldbank")
+        .option("indicator", "SP.POP.TOTL")
+        .option("countries", "SDN,EGY")
+        .load()
+    )
+    fn = api.sudan_worldbank(spark, "SP.POP.TOTL", ["SDN", "EGY"])
+    assert ds.schema == fn.schema
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, fn.collect()))
+
+
+def test_datasource_partitions_per_country(spark):
+    register_sudan_datasource(spark)
+    ds = (
+        spark.read.format("sudan")
+        .option("provider", "unhcr")
+        .option("population_type", "idps")
+        .option("countries", "SDN,EGY,ETH")
+        .load()
+    )
+    # one input partition per country → 3 partitions before any shuffle
+    assert ds.rdd.getNumPartitions() == 3
+
+
+def test_datasource_year_pushdown(spark):
+    register_sudan_datasource(spark)
+    ds = (
+        spark.read.format("sudan")
+        .option("provider", "ilo")
+        .option("indicator", "UNE_DEAP_SEX_AGE_RT")
+        .option("year_start", "2015")
+        .option("year_end", "2016")
+        .load()
+    )
+    years = sorted(r[0] for r in ds.select("year").distinct().collect())
+    assert years == [2015, 2016]
+
+
+def test_http_url_builders():
+    yf = YearFilter(2010, 2020)
+    assert build_worldbank_url("SP.POP.TOTL", "SDN", yf) == (
+        "https://api.worldbank.org/v2/country/SDN/indicator/SP.POP.TOTL"
+        "?format=json&per_page=1000&page=1&date=2010:2020"
+    )
+    assert build_who_url("MDG_0000000026", "SDN", yf) == (
+        "https://ghoapi.azureedge.net/api/MDG_0000000026"
+        "?$filter=SpatialDim eq 'SDN' and TimeDim ge 2010 and TimeDim le 2020"
+    )
+    assert "year_start=2010&year_end=2020" in build_fao_url("QCL", "production", "276", yf)
+    assert "yearFrom=2010&yearTo=2020" in build_unhcr_url("refugees", "SDN", yf)
+    assert "startPeriod=2010&endPeriod=2020" in build_ilo_url("UNE_DEAP_SEX_AGE_RT", "SDN", yf)
+
+
+def test_file_roundtrip(spark):
+    df = api.sudan_providers(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "providers_parquet")
+        write_parquet(df, path)
+        back = read_parquet(spark, path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_stream_tumbling_matches_batch(spark):
+    """Streaming tumbling agg == batch ev_tumbling (no late data in a
+    replayed static file, so watermark drops nothing)."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    stream_rows = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in run_stream_to_memory(spark, SF_DIR, "tumbling").collect()
+    }
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in QUERIES["ev_tumbling"](spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_stream_sessionize_runs(spark):
+    df = run_stream_to_memory(spark, SF_DIR, "sessionize")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.session_start <= r.session_end for r in rows)
