@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query (TPC-H Q1 shape) on sf0.001.
+queries()       — every implemented operator from SURVEY.md §2:
+                  the reference's sudan surface (providers, data
+                  functions, discovery, geo), the relational/OLAP
+                  layer, the LLM-data-pipeline operators, and the
+                  streaming twins.
+oracle_sql()    — exact DuckDB SQL for every SQL-expressible entry;
+                  rows-only ops (minhash/simhash/LSH-ANN/multimodal/
+                  streaming) are intentionally omitted.
 """
 
 from __future__ import annotations
@@ -13,26 +17,87 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from duckdb_sudan__spark import operators
+from duckdb_sudan__spark.geo import states as geo_states
+from duckdb_sudan__spark.operators import ORACLES, QUERIES
+from duckdb_sudan__spark.oracle import values_sql
+from duckdb_sudan__spark.providers import api
+
+operators.load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: pricing summary (scan→filter→agg→sort) at sf0.001."""
+    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+
+
+# -- sudan-surface entries (reference §2.A), closed over no state ------------
+
+
+def _geocode_probe_rows() -> list[tuple]:
+    """Geocode exercised over every state name (EN, AR, lowercased EN)
+    plus an unknown — result computed by the same semantic the
+    reference implements (geo_functions.cpp:330-352)."""
+    probes: list[str] = []
+    for iso, name, name_ar, _, _ in geo_states.SUDAN_STATES:
+        probes += [name, name_ar, name.lower()]
+    probes.append("Atlantis")
+    return [(p, geo_states.sudan_geocode(None, p)) for p in probes]
+
+
+def _sudan_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def geocode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        names = [(p,) for p, _ in _geocode_probe_rows()]
+        df = spark.createDataFrame(names, "name string")
+        return df.select("name", geo_states.geocode_expr(F.col("name")).alias("iso_code")).orderBy("name")
+
+    return {
+        "sudan_providers": lambda spark, sf: api.sudan_providers(spark),
+        "sudan_worldbank": lambda spark, sf: api.sudan_worldbank(spark, "SP.POP.TOTL", ["SDN", "EGY", "ETH"]),
+        "sudan_who": lambda spark, sf: api.sudan_who(spark, "MDG_0000000026"),
+        "sudan_fao": lambda spark, sf: api.sudan_fao(spark, "QCL", "production", ["SDN", "EGY"]),
+        "sudan_unhcr": lambda spark, sf: api.sudan_unhcr(spark, "refugees"),
+        "sudan_ilo": lambda spark, sf: api.sudan_ilo(spark, "UNE_DEAP_SEX_AGE_RT"),
+        "sudan_wb_indicators": lambda spark, sf: api.sudan_wb_indicators(spark, "GDP"),
+        "sudan_who_indicators": lambda spark, sf: api.sudan_who_indicators(spark, "mortality"),
+        "sudan_search": lambda spark, sf: api.sudan_search(spark, "population"),
+        "sudan_states": lambda spark, sf: geo_states.sudan_states(spark),
+        "sudan_boundaries_state": lambda spark, sf: geo_states.sudan_boundaries(spark, "state"),
+        "sudan_geocode": geocode_query,
+    }
+
+
+def _sudan_oracles() -> dict[str, str]:
+    geocode_oracle = (
+        values_sql(_geocode_probe_rows(), ["name", "iso_code"], ["VARCHAR", "VARCHAR"]) + " ORDER BY name"
+    )
+    return {
+        "sudan_providers": api.providers_oracle(),
+        "sudan_worldbank": api.worldbank_oracle("SP.POP.TOTL", ["SDN", "EGY", "ETH"]),
+        "sudan_who": api.who_oracle("MDG_0000000026"),
+        "sudan_fao": api.fao_oracle("QCL", "production", ["SDN", "EGY"]),
+        "sudan_unhcr": api.unhcr_oracle("refugees"),
+        "sudan_ilo": api.ilo_oracle("UNE_DEAP_SEX_AGE_RT"),
+        "sudan_wb_indicators": api.wb_indicators_oracle("GDP"),
+        "sudan_who_indicators": api.who_indicators_oracle("mortality"),
+        "sudan_search": api.search_oracle("population"),
+        "sudan_states": geo_states.states_oracle(),
+        "sudan_boundaries_state": geo_states.boundaries_oracle("state"),
+        "sudan_geocode": geocode_oracle,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(_sudan_queries())
+    out.update(QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_sudan_oracles())
+    out.update(ORACLES)
+    return out
