@@ -131,35 +131,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_PERM = 128
-N_BANDS = 32  # rows per band r = 4; s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
+N_BANDS = 16  # rows per band r = 8; s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71
 # p = 2^31 - 1: a, x < p ⇒ a·x < 2^62 fits in uint64, so the whole
 # (N_PERM × n_shingles) mulmod grid stays vectorized in numpy uint64.
 MINHASH_PRIME = np.uint64((1 << 31) - 1)
 _rng = np.random.default_rng(12345)
 _MH_A = _rng.integers(1, int(MINHASH_PRIME), size=N_PERM, dtype=np.uint64)
 _MH_B = _rng.integers(0, int(MINHASH_PRIME), size=N_PERM, dtype=np.uint64)
-EST_TAU = 0.5
+EST_TAU = 0.8
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
-    n = max(len(text) - 2, 1)
-    seen = {text[i : i + 3] for i in range(n)}
-    h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in seen), dtype=np.uint64, count=len(seen))
-    return h % MINHASH_PRIME
+def _byte_trigram_hashes(text: str) -> np.ndarray:
+    """Distinct byte-trigram shingles as exact 24-bit codes — a perfect
+    hash for 3-byte windows (no string hashing at all), via a strided
+    sliding window + np.unique. ~µs per document."""
+    b = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
+    if len(b) < 3:
+        b = np.pad(b, (0, 3 - len(b)))
+    codes = (
+        b[:-2].astype(np.uint64) << np.uint64(16)
+    ) | (b[1:-1].astype(np.uint64) << np.uint64(8)) | b[2:].astype(np.uint64)
+    return np.unique(codes)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
-def minhash_signature(texts: pd.Series) -> pd.Series:
-    """128-perm MinHash over 3-char shingles; (a·x + b) mod (2^31-1),
-    fully vectorized numpy uint64, Arrow-batched."""
-    out = []
-    for text in texts:
-        x = _shingle_hashes(text or "")
-        if len(x) == 0:
-            out.append([0] * N_PERM)
-            continue
-        grid = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % MINHASH_PRIME
-        out.append(grid.min(axis=1).astype(np.int64).tolist())
+def minhash_from_text(texts: pd.Series) -> pd.Series:
+    """Production MinHash path, entirely vectorized per Arrow batch:
+    byte-trigram perfect-hash shingles (np.unique), then one
+    (128 × Σshingles) uint64 permutation grid with
+    np.minimum.reduceat segmented min. No per-shingle Python, no JVM
+    higher-order functions (those are interpreted per-element and
+    measured ~100× slower for this). Memory bounded by chunking at
+    ~400k shingles per grid."""
+    arrs = [_byte_trigram_hashes(t) for t in texts]
+    if not arrs:
+        return pd.Series([])
+    lengths = np.array([len(a) for a in arrs], dtype=np.int64)
+    out: list[list[int]] = []
+    CHUNK = 400_000
+    start = 0
+    while start < len(arrs):
+        end = start
+        tot = 0
+        while end < len(arrs) and (tot == 0 or tot + lengths[end] <= CHUNK):
+            tot += lengths[end]
+            end += 1
+        cat = np.concatenate(arrs[start:end])
+        offsets = np.zeros(end - start, dtype=np.int64)
+        np.cumsum(lengths[start : end - 1], out=offsets[1:])
+        grid = (_MH_A[:, None] * cat[None, :] + _MH_B[:, None]) % MINHASH_PRIME
+        mins = np.minimum.reduceat(grid, offsets, axis=1)
+        out.extend(mins.T.astype(np.int64).tolist())
+        start = end
     return pd.Series(out)
 
 
@@ -170,7 +193,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage (signatures), one explode (32×docs rows), one shuffle on
     (band, band_hash), one distinct. No O(n²) anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+    # the test parquet is a single file → a single input partition; fan
+    # the Arrow-batched signature work across all cores (on a cluster,
+    # across executors) before the UDF
+    par = spark.sparkContext.defaultParallelism
+    sig = d.repartition(par, "doc_id").select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
     sig.cache()
 
     band_cols = F.explode(
@@ -242,7 +269,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with k=6 we accept the standard recall tradeoff of 4 bands).
     Candidate generation is an equi-join on (band, 16-bit chunk)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", simhash64(F.col("text")).alias("sim")).cache()
+    par = spark.sparkContext.defaultParallelism
+    sh = d.repartition(par, "doc_id").select("doc_id", simhash64(F.col("text")).alias("sim")).cache()
     chunks = F.explode(
         F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b * 16) & 65535 AS chunk))")
     )
