@@ -47,9 +47,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest SF so headline times measure
-    # steady-state execution, not first-stage classloading.
+    # JVM/codegen + Python-worker warmup on the smallest SF so headline
+    # times measure steady-state execution, not first-stage classloading
+    # or per-worker numpy/pandas import.
     force(QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    force(QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

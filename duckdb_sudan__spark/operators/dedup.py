@@ -132,38 +132,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PERM = 128
 N_BANDS = 16  # rows per band r = 8; s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71
-# p = 2^31 - 1: a, x < p ⇒ a·x < 2^62 fits in uint64, so the whole
-# (N_PERM × n_shingles) mulmod grid stays vectorized in numpy uint64.
-MINHASH_PRIME = np.uint64((1 << 31) - 1)
+# Multiply-shift permutations: x ↦ a·x (mod 2^64, natural uint64
+# overflow) with a random ODD a is a bijection of the 64-bit space, so
+# min over it is a valid MinHash — and it's one vectorized multiply,
+# ~40× faster than a (a·x+b) mod p grid (mod dominated the profile).
 _rng = np.random.default_rng(12345)
-_MH_A = _rng.integers(1, int(MINHASH_PRIME), size=N_PERM, dtype=np.uint64)
-_MH_B = _rng.integers(0, int(MINHASH_PRIME), size=N_PERM, dtype=np.uint64)
+_MH_A = (_rng.integers(0, 1 << 63, size=N_PERM, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 EST_TAU = 0.8
 
 
-def _byte_trigram_hashes(text: str) -> np.ndarray:
-    """Distinct byte-trigram shingles as exact 24-bit codes — a perfect
-    hash for 3-byte windows (no string hashing at all), via a strided
-    sliding window + np.unique. ~µs per document."""
+SHINGLE_K = 5  # byte 5-grams: cross-doc baseline jaccard ~0.17 on this
+# corpus (vs ~0.44 for trigrams, which made ~8% of RANDOM pairs collide
+# in some LSH band and blew candidates to 643k for 5k docs); true
+# near-dup copies stay ≥0.9 so the 16×8 s-curve separates cleanly.
+
+
+def _byte_shingle_hashes(text: str) -> np.ndarray:
+    """Distinct byte 5-gram shingles as exact 40-bit codes — a perfect
+    hash for 5-byte windows (no string hashing at all), via strided
+    shifts + np.unique. ~µs per document."""
     b = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
-    if len(b) < 3:
-        b = np.pad(b, (0, 3 - len(b)))
-    codes = (
-        b[:-2].astype(np.uint64) << np.uint64(16)
-    ) | (b[1:-1].astype(np.uint64) << np.uint64(8)) | b[2:].astype(np.uint64)
-    return np.unique(codes)
+    if len(b) < SHINGLE_K:
+        b = np.pad(b, (0, SHINGLE_K - len(b)))
+    n = len(b) - SHINGLE_K + 1
+    codes = np.zeros(n, dtype=np.uint64)
+    for i in range(SHINGLE_K):
+        codes |= b[i : i + n].astype(np.uint64) << np.uint64(8 * (SHINGLE_K - 1 - i))
+    # +1 keeps every code nonzero so a·x can never collide with the
+    # all-zero padding sentinel
+    return np.unique(codes) + np.uint64(1)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_from_text(texts: pd.Series) -> pd.Series:
     """Production MinHash path, entirely vectorized per Arrow batch:
-    byte-trigram perfect-hash shingles (np.unique), then one
+    byte 5-gram perfect-hash shingles (np.unique), then one
     (128 × Σshingles) uint64 permutation grid with
     np.minimum.reduceat segmented min. No per-shingle Python, no JVM
     higher-order functions (those are interpreted per-element and
     measured ~100× slower for this). Memory bounded by chunking at
     ~400k shingles per grid."""
-    arrs = [_byte_trigram_hashes(t) for t in texts]
+    arrs = [_byte_shingle_hashes(t) for t in texts]
     if not arrs:
         return pd.Series([])
     lengths = np.array([len(a) for a in arrs], dtype=np.int64)
@@ -179,18 +188,21 @@ def minhash_from_text(texts: pd.Series) -> pd.Series:
         cat = np.concatenate(arrs[start:end])
         offsets = np.zeros(end - start, dtype=np.int64)
         np.cumsum(lengths[start : end - 1], out=offsets[1:])
-        grid = (_MH_A[:, None] * cat[None, :] + _MH_B[:, None]) % MINHASH_PRIME
+        with np.errstate(over="ignore"):
+            grid = _MH_A[:, None] * cat[None, :]
         mins = np.minimum.reduceat(grid, offsets, axis=1)
-        out.extend(mins.T.astype(np.int64).tolist())
+        # two's-complement reinterpretation — downstream only compares
+        # signature slots for equality, order is irrelevant
+        out.extend(mins.view(np.int64).T.tolist())
         start = end
     return pd.Series(out)
 
 
 @register("dedup_minhash_lsh")  # rows-only: permutation hashing isn't SQL-expressible
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: signature → 32 bands → bucket equi-join →
+    """Near-dup pairs: signature → 16 bands → bucket equi-join →
     signature-agreement ≥ EST_TAU. Plan shape at scale: one Arrow map
-    stage (signatures), one explode (32×docs rows), one shuffle on
+    stage (signatures), one explode (16×docs rows), one shuffle on
     (band, band_hash), one distinct. No O(n²) anywhere."""
     d = load_table(spark, sf_dir, "documents")
     # the test parquet is a single file → a single input partition; fan
