@@ -26,6 +26,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_cust_distribution",
     "q18_large_orders",
     "q21_waiting_supplier",
     "w1_window_rank",
