@@ -334,3 +334,62 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# events: funnel detection (view → click → purchase, first completion
+# per user). The iterated-min structure (first click AFTER the first
+# view, first purchase AFTER that click) is a sequential pattern that
+# plain windowed aggs can't express; here it's three agg+join passes —
+# each one a hash-shuffle on user_id, dims-free, linear at 100 TB. The
+# streaming twin (streaming/events.py funnel_stream) is the
+# applyInPandasWithState form of the same state machine.
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id, v.view_ts
+), p AS (
+  SELECT e.user_id, c.view_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id, c.view_ts, c.click_ts
+)
+SELECT user_id, view_ts, click_ts, purchase_ts,
+       CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS funnel_micros
+FROM p
+ORDER BY user_id
+"""
+
+
+@register("ev_funnel", FUNNEL_ORACLE)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return p.select(
+        "user_id",
+        "view_ts",
+        "click_ts",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("funnel_micros"),
+    ).orderBy("user_id")

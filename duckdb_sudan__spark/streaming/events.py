@@ -83,9 +83,96 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
         os.makedirs(src)
         os.link(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
         events = events_stream(spark, src)
-        out = tumbling_counts_stream(events) if which == "tumbling" else sessionize_stream(events)
+        if which == "tumbling":
+            out, mode = tumbling_counts_stream(events), "complete"
+        elif which == "sessionize":
+            out, mode = sessionize_stream(events), "complete"
+        else:  # funnel — stateful append-mode operator
+            out, mode = funnel_stream(events), "append"
         name = f"stream_{which}_result"
-        q = out.writeStream.format("memory").queryName(name).outputMode("complete").trigger(availableNow=True).start()
+        q = out.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
         q.awaitTermination(120)
         q.stop()
         return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: funnel detection via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_ts", T.TimestampType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("funnel_micros", T.LongType()),
+    ]
+)
+# (stage, view_us, click_us): 0=waiting-for-view … 3=completed/emitted
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+    ]
+)
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_fn(key, pdf_iter, state):
+    """Per-user funnel state machine (first view → first later click →
+    first later purchase, emit once). Rows are processed in event-time
+    order within each micro-batch; the GroupState carries the stage
+    across batches so a funnel can span micro-batch boundaries."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    stage, view_us, click_us = state.get if state.exists else (0, 0, 0)
+    out = []
+    for pdf in pdf_iter:
+        if stage >= 3:
+            break
+        pdf = pdf.sort_values("ts")
+        us = pdf["ts"].astype("int64") // 1000 if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns" else pdf["ts"].astype("int64")
+        for t_us, etype in zip(us, pdf["event_type"]):
+            if stage == 0 and etype == "view":
+                view_us, stage = int(t_us), 1
+            elif stage == 1 and etype == "click" and t_us > view_us:
+                click_us, stage = int(t_us), 2
+            elif stage == 2 and etype == "purchase" and t_us > click_us:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "view_ts": pd.Timestamp(view_us, unit="us"),
+                        "click_ts": pd.Timestamp(click_us, unit="us"),
+                        "purchase_ts": pd.Timestamp(int(t_us), unit="us"),
+                        "funnel_micros": int(t_us) - view_us,
+                    }
+                )
+                stage = 3
+                break
+    state.update((stage, view_us, click_us))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """First-completion funnel per user as a custom stateful streaming
+    operator — the pattern (first click AFTER first view AFTER ...) is
+    inexpressible with built-in windowed aggs, so this is the
+    applyInPandasWithState tier: state is 3 scalars per in-flight user,
+    Arrow-batched, partitioned by user_id across executors."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            FUNNEL_OUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

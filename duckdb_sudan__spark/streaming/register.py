@@ -17,3 +17,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_sessionize")  # rows-only
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "sessionize")
+
+
+@register("stream_funnel")  # rows-only: custom stateful operator (applyInPandasWithState)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "funnel")

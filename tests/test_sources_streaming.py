@@ -108,3 +108,15 @@ def test_stream_sessionize_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.session_start <= r.session_end for r in rows)
+
+
+def test_stream_funnel_matches_batch(spark):
+    """The applyInPandasWithState funnel state machine must produce
+    exactly the batch ev_funnel result (same first-completion
+    semantics) when the stream drains the same static file."""
+    from duckdb_sudan__spark.operators import QUERIES
+
+    srows = {tuple(r) for r in QUERIES["stream_funnel"](spark, SF_DIR).collect()}
+    brows = {tuple(r) for r in QUERIES["ev_funnel"](spark, SF_DIR).collect()}
+    assert srows == brows
+    assert len(srows) > 0
