@@ -28,5 +28,14 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every operator module so registrations run."""
-    from duckdb_sudan__spark.operators import analytic, dedup, multimodal, relational, similarity, text  # noqa: F401
+    from duckdb_sudan__spark.operators import (  # noqa: F401
+        analytic,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        sketches,
+        skew,
+        text,
+    )
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401

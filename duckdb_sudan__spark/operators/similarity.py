@@ -18,6 +18,8 @@ DOUBLE[]), verified bit-identical at round-6.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -149,6 +151,101 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", F.desc("cos"), "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_cosine — IVF (inverted-file) ANN: k-means coarse quantizer,
+# cells as the partition key, exact rerank inside probed cells
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+KMEANS_ITERS = 8
+TRAIN_CAP = 4096  # centroid training reads ≤ this many vectors on the
+# driver — a fixed-size model fit, independent of corpus size (the same
+# posture as any ANN index build); everything after is distributed.
+
+
+def _train_centroids(vecs):
+    """Deterministic Lloyd's k-means on the (normalized) training
+    sample: seeded init, KMEANS_ITERS rounds, cosine geometry (dot on
+    unit vectors). Pure numpy; runs once on the driver."""
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(7)
+    cent = x[rng.choice(len(x), size=min(N_CENTROIDS, len(x)), replace=False)]
+    for _ in range(KMEANS_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+@register("ann_ivf_cosine")  # rows-only: k-means training isn't SQL-expressible
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus vectors are assigned to their nearest of
+    N_CENTROIDS k-means cells (one vectorized Arrow pass); each query
+    probes its N_PROBE nearest cells; candidates come from an equi-join
+    on cell id; exact cosine + top-k only within probed cells.
+
+    Scale: the cell id is the IVF partition key — at 100 TB the corpus
+    is written bucketed by cell, so a query touches N_PROBE/N_CENTROIDS
+    of the data and the join shuffles only (query, cell) pairs. The
+    centroid model is O(K·dim) and broadcast to every executor.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # deterministic training sample, capped — vec_id stride sampling
+    sample = e.select("vec_id", "embedding").limit(TRAIN_CAP).collect()
+    cent = _train_centroids([r.embedding for r in sample])
+    cent_b = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        c = cent_b.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ c.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        c = cent_b.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ c.T), axis=1)[:, :N_PROBE].astype(np.int32)
+        return pd.Series(list(order))
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        cell_of(F.col("embedding")).alias("cell"),
+    )
+    queries = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")

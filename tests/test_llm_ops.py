@@ -68,3 +68,52 @@ def test_multimodal_schema_and_determinism(spark):
     b = df.limit(5).collect()
     assert a == b
     assert all(r.n_bytes > 0 and r.width >= 16 for r in a)
+
+
+def test_ann_ivf_quality(spark):
+    """IVF probes N_PROBE of N_CENTROIDS cells: scores must be a subset
+    of brute-force quality, and recall must beat the random-scan floor
+    (on structureless random embeddings recall ~= fraction probed)."""
+    from duckdb_sudan__spark.operators.similarity import N_CENTROIDS, N_PROBE
+
+    brute, ivf = {}, {}
+    bmax = {}
+    for r in QUERIES["ann_topk_cosine"](spark, SF_DIR).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+        bmax[r.query_id] = max(bmax.get(r.query_id, -2.0), r.cos)
+    for r in QUERIES["ann_ivf_cosine"](spark, SF_DIR).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.cos <= bmax[r.query_id] + 1e-9
+    recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall > N_PROBE / N_CENTROIDS, f"recall {mean_recall} no better than random scan"
+
+
+def test_sketch_distinct_within_error(spark, duck):
+    """HLL approx distinct must be within 5% of the exact count."""
+    approx = {r.event_type: r.approx_users for r in QUERIES["sketch_distinct"](spark, SF_DIR).collect()}
+    exact = dict(duck.sql("SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1").fetchall())
+    assert set(approx) == set(exact)
+    for et in exact:
+        assert abs(approx[et] - exact[et]) <= max(1, 0.05 * exact[et]), (et, approx[et], exact[et])
+
+
+def test_sketch_quantiles_within_error(spark, duck):
+    """percentile_approx must land within 2% relative error of exact."""
+    rows = {r.l_returnflag: (r.p50, r.p95, r.p99) for r in QUERIES["sketch_quantiles"](spark, SF_DIR).collect()}
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5), "
+            "quantile_cont(l_extendedprice, 0.95), quantile_cont(l_extendedprice, 0.99) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, (a50, a95, a99) in rows.items():
+        for a, b in zip((a50, a95, a99), exact[flag]):
+            assert abs(a - b) <= 0.02 * abs(b), (flag, a, b)
+
+
+def test_salted_join_matches_plain(spark, duck):
+    """Salting redistributes the shuffle; the result must be identical."""
+    assert_matches_oracle(QUERIES["skew_salted_join"](spark, SF_DIR), duck, ORACLES["skew_salted_join"])
