@@ -37,6 +37,12 @@ def get_spark(app_name: str = "duckdb_sudan__spark", shuffle_partitions: int | N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the 64 MB advisory size instead of keeping one
+        # partition per core — tiny shuffles collapse to few tasks
+        # (per-stage overhead), huge shuffles still split by size;
+        # this is the Spark-docs-recommended production setting
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
