@@ -37,5 +37,6 @@ def load_all() -> None:
         sketches,
         skew,
         text,
+        timeseries,
     )
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401

@@ -393,3 +393,66 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("funnel_micros"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# events: JSON column processing (props is a JSON string)
+# ---------------------------------------------------------------------------
+
+JSON_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ev_json_props", JSON_ORACLE)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction stays JVM-side (get_json_object), so the
+    scan→parse→filter→agg pipeline is one codegen stage at scale."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets — arbitrary multi-level aggregation in one pass
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, {_sql_dsum("l_quantity", "sum_qty")}, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("grouping_sets_sales", GROUPING_SETS_ORACLE)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
