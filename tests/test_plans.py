@@ -83,3 +83,38 @@ def test_minhash_lsh_is_equi_join(spark):
 def test_no_query_plans_a_cartesian_product(spark, key):
     plan = plan_of(QUERIES[key](spark, SF_DIR))
     assert "CartesianProduct" not in plan, f"{key} degenerates to a cartesian product"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The §8 co-location claim, demonstrated: orders and lineitem
+    written bucketBy(8, orderkey) join with NO Exchange in the plan —
+    the sort-merge join reads bucket files directly. (Broadcast is
+    disabled so the test can't pass trivially.)"""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    o.write.mode("overwrite").option("path", str(tmp_path / "o")).bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("bk_orders")
+    l.write.mode("overwrite").option("path", str(tmp_path / "l")).bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("bk_lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("bk_orders")
+            .join(spark.table("bk_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("o_orderkey", "o_totalprice", "l_extendedprice")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
