@@ -456,3 +456,188 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# w3 — window-frame coverage: ntile / percent_rank / cume_dist and a
+# RANGE frame running aggregate (DuckDB-grade window surface)
+# ---------------------------------------------------------------------------
+
+W3_ORACLE = """
+SELECT s_suppkey, s_nationkey,
+       ntile(4)       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS quartile,
+       percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS pr,
+       cume_dist()    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS cd,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) OVER (
+         PARTITION BY s_nationkey ORDER BY s_acctbal
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@register("w3_window_frames", W3_ORACLE)
+def w3_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    wrow = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    # RANGE frame: peers (equal s_acctbal) are included together
+    wrange = Window.partitionBy("s_nationkey").orderBy("s_acctbal").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.ntile(4).over(wrow).alias("quartile"),
+            F.percent_rank().over(wrow).alias("pr"),
+            F.cume_dist().over(wrow).alias("cd"),
+            F.sum(F.col("s_acctbal").cast("decimal(27,6)")).over(wrange).cast("double").alias("running_bal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar string-function surface (identical semantics both engines)
+# ---------------------------------------------------------------------------
+
+STRFUNC_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS up,
+       length(p_name) AS len,
+       substr(p_name, 1, 3) AS pre,
+       replace(p_name, ' ', '_') AS snake,
+       split_part(p_name, ' ', 1) AS first_word,
+       levenshtein(p_name, p_type) AS lev,
+       concat(p_brand, ':', p_type) AS tag,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+FROM part
+WHERE p_partkey < 100
+ORDER BY p_partkey
+"""
+
+
+@register("str_funcs", STRFUNC_ORACLE)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.length("p_name").alias("len"),
+            F.substring("p_name", 1, 3).alias("pre"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.levenshtein("p_name", "p_type").alias("lev"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar date/time-function surface
+# ---------------------------------------------------------------------------
+
+DTFUNC_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@register("dt_funcs", DTFUNC_ORACLE)
+def dt_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            F.dayofmonth("o_orderdate").cast("int").alias("d"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge/upsert (DML-equivalent): latest-wins merge of an updates set
+# into customer, plus inserts — the Spark-first recompute form of
+# DuckDB's INSERT ... ON CONFLICT DO UPDATE
+# ---------------------------------------------------------------------------
+
+MERGE_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment, 1 AS prio
+  FROM customer WHERE c_custkey % 7 = 0
+), inserts AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal,
+         'NEW' AS c_mktsegment, 1 AS prio
+  FROM customer WHERE c_custkey % 97 = 0
+), unioned AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 0 AS prio FROM customer
+  UNION ALL SELECT * FROM updates
+  UNION ALL SELECT * FROM inserts
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY prio DESC) AS rn
+  FROM unioned
+)
+WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
+@register("merge_upsert", MERGE_ORACLE)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment").withColumn(
+        "prio", F.lit(0)
+    )
+    updates = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .withColumn("prio", F.lit(1))
+    )
+    inserts = (
+        c.where(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+        .withColumn("prio", F.lit(1))
+    )
+    unioned = base.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("prio"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
