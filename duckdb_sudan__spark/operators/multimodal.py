@@ -98,3 +98,150 @@ def decode_features(mm: DataFrame) -> DataFrame:
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return decode_features(attach_media(d)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# mm_resize — thumbnail features: block-mean pool the decoded image to
+# a fixed 8×8 grid (the resize math is real; only the decode is fake)
+# ---------------------------------------------------------------------------
+
+THUMB = 8
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.ArrayType(T.DoubleType())),  # 64 block means
+    ]
+)
+
+
+def _block_mean_resize(pixels: np.ndarray, out: int = THUMB) -> np.ndarray:
+    """Area-style downsample to (out, out) by block means — the same
+    math a real thumbnailer does after decode. Handles arbitrary input
+    shapes by edge-padding to a multiple of `out`."""
+    h, w = pixels.shape
+    ph, pw = (-h) % out, (-w) % out
+    if ph or pw:
+        pixels = np.pad(pixels, ((0, ph), (0, pw)), mode="edge")
+    h2, w2 = pixels.shape
+    return pixels.reshape(out, h2 // out, out, w2 // out).mean(axis=(1, 3))
+
+
+@register("mm_resize")  # rows-only: decode is library-dependent
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                width, height, pixels = _fake_decode(bytes(payload))
+                thumb = _block_mean_resize(pixels.astype(np.float64))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(width),
+                        "height": int(height),
+                        "thumb": np.round(thumb, 6).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return attach_media(d).mapInPandas(resize, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_sample — video-style 1→N fan-out: split the payload into
+# fixed-size "frames", emit every k-th (uniform temporal sampling)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+@register("mm_frame_sample")  # rows-only: decode is library-dependent
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas fan-out shape for video: each input row yields
+    ⌈n_frames / stride⌉ output rows. A real implementation swaps the
+    byte-slicing for pyav keyframe extraction; batching, schema and
+    the explode-style output contract are identical."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = max(len(arr) // FRAME_BYTES, 1)
+                frames = arr[: n_frames * FRAME_BYTES].reshape(n_frames, -1) if len(arr) >= FRAME_BYTES else arr.reshape(1, -1)
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "n_frames": n_frames,
+                            "frame_mean": float(np.round(frames[idx].mean(), 6)),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return attach_media(d).mapInPandas(sample, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_chunks — PCM-style windowing: fixed-length chunks with RMS
+# energy and zero-crossing rate per chunk
+# ---------------------------------------------------------------------------
+
+CHUNK_SAMPLES = 256
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+@register("mm_audio_chunks")  # rows-only: decode is library-dependent
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing: payload → centered float samples → fixed windows
+    → per-window RMS + zero-crossing rate. torchaudio/librosa would
+    replace the byte cast; the windowed-feature contract is identical."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64) - 128.0
+                n_chunks = max(len(samples) // CHUNK_SAMPLES, 1)
+                if len(samples) < CHUNK_SAMPLES:
+                    samples = np.pad(samples, (0, CHUNK_SAMPLES - len(samples)))
+                for idx in range(n_chunks):
+                    win = samples[idx * CHUNK_SAMPLES : (idx + 1) * CHUNK_SAMPLES]
+                    zc = int(np.count_nonzero(np.diff(np.signbit(win))))
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": idx,
+                            "rms": float(np.round(np.sqrt((win**2).mean()), 6)),
+                            "zero_crossings": zc,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return attach_media(d).mapInPandas(chunks, AUDIO_SCHEMA).orderBy("doc_id", "chunk_idx")

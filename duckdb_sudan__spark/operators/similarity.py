@@ -255,3 +255,44 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos")
         .orderBy("query_id", F.desc("cos"), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_centroids — per-label element-wise mean vector (vector agg via
+# posexplode: the scalable form — (label, pos) partial aggs, no single
+# reducer ever sees a whole group of vectors)
+# ---------------------------------------------------------------------------
+
+EMB_CENTROIDS_ORACLE = """
+WITH exploded AS (
+  SELECT label, vec_id, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
+)
+SELECT label,
+       CAST(COUNT(*) / COUNT(DISTINCT vec_id) AS BIGINT) AS dim,
+       CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) / COUNT(DISTINCT vec_id) AS centroid_sum
+FROM exploded
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("emb_centroids", EMB_CENTROIDS_ORACLE)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", "vec_id", F.posexplode("embedding").alias("pos0", "valf")).select(
+        "label", "vec_id", F.col("valf").cast("double").alias("val")
+    )
+    # Σ_pos mean(pos) ≡ Σ(all values) / n_vectors — the exact-decimal
+    # identity avoids any per-position round-off, so both engines agree
+    # bit-for-bit (round() itself diverges across engines at near-ties)
+    return (
+        exploded.groupBy("label")
+        .agg(
+            (F.count(F.lit(1)) / F.countDistinct("vec_id")).cast("bigint").alias("dim"),
+            (
+                F.sum(F.col("val").cast("decimal(27,6)")).cast("double") / F.countDistinct("vec_id")
+            ).alias("centroid_sum"),
+        )
+        .orderBy("label")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.session import load_table
@@ -213,4 +214,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             bow_fingerprint_expr().alias("bow_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_clean_corpus — the composed LLM-data flow: quality gate →
+# exact-dedup canonical selection → per-language corpus stats. One
+# declarative plan: Catalyst fuses the quality filter into the scan and
+# the dedup window shares the bow_fp shuffle.
+# ---------------------------------------------------------------------------
+
+CLEAN_TAU = 0.6
+
+CLEAN_CORPUS_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST({_sql_n_tokens()} AS INTEGER) AS n_tokens,
+         least(1.0, {_sql_n_tokens()} / 100.0) * 0.4
+           + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) / greatest(length(text), 1)) * 0.3
+           + least(1.0, len(regexp_extract_all(lower(text), '{_stop_regex("en")}'))
+                         / greatest({_sql_n_tokens()}, 1) * 5.0) * 0.3 AS quality
+  FROM documents
+), gated AS (
+  SELECT doc_id, lang, n_tokens, quality, {SQL_BOW_FP} AS bow_fp
+  FROM scored WHERE quality >= {CLEAN_TAU}
+), canonical AS (
+  SELECT * FROM (
+    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY bow_fp) AS is_canonical FROM gated
+  ) WHERE is_canonical
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM canonical
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipeline_clean_corpus", CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = n_tokens_expr()
+    punct_ratio = (
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    )
+    stop_ratio = (
+        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    quality = (
+        F.least(F.lit(1.0), n_tok / 100.0) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
+    )
+    gated = d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("int").alias("n_tokens"),
+        quality.alias("quality"),
+        bow_fingerprint_expr().alias("bow_fp"),
+    ).where(F.col("quality") >= CLEAN_TAU)
+    w = Window.partitionBy("bow_fp")
+    canonical = gated.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w)).where(
+        F.col("is_canonical")
+    )
+    return (
+        canonical.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("n_tokens").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("lang")
     )

@@ -117,3 +117,32 @@ def test_sketch_quantiles_within_error(spark, duck):
 def test_salted_join_matches_plain(spark, duck):
     """Salting redistributes the shuffle; the result must be identical."""
     assert_matches_oracle(QUERIES["skew_salted_join"](spark, SF_DIR), duck, ORACLES["skew_salted_join"])
+
+
+def test_mm_resize_shape_and_determinism(spark):
+    a = QUERIES["mm_resize"](spark, SF_DIR).collect()
+    b = QUERIES["mm_resize"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(len(r.thumb) == 64 for r in a)
+
+
+def test_mm_frame_sample_fanout(spark):
+    """Every doc emits ceil(n_frames / stride) rows — the 1→N contract."""
+    import math
+
+    from duckdb_sudan__spark.operators.multimodal import FRAME_STRIDE
+
+    rows = QUERIES["mm_frame_sample"](spark, SF_DIR).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        expect = math.ceil(rs[0].n_frames / FRAME_STRIDE)
+        assert len(rs) == expect, (doc, len(rs), expect)
+
+
+def test_mm_audio_chunks_energy(spark):
+    rows = QUERIES["mm_audio_chunks"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.rms >= 0 for r in rows)
+    assert all(0 <= r.zero_crossings < 256 for r in rows)
