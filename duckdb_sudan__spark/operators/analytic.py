@@ -641,3 +641,61 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_moments — single-pass moment sums → stddev / covariance / corr.
+# The scalable form of statistical aggregation: five DECIMAL-exact
+# partial sums per group (map-side combined), moments derived in DOUBLE
+# from identical inputs on both engines — engine-native corr()/stddev()
+# implementations differ numerically (Welford vs naive) and would not
+# hash-match.
+# ---------------------------------------------------------------------------
+
+MOMENTS_ORACLE = """
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       sy / n AS mean_price,
+       sxx, syy_k,
+       sxy / n - (sx / n) * (sy / n) AS covar_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) AS DECIMAL(27,6))) AS DOUBLE) AS syy_k,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+"""
+
+
+@register("stats_moments", MOMENTS_ORACLE)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(27,4)")).cast("double").alias("sxx"),
+        F.sum(((p / 1000.0) * (p / 1000.0)).cast("decimal(27,6)")).cast("double").alias("syy_k"),
+        F.sum((q * p).cast("decimal(27,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxy"))
+    covar = sxy / n - (sx / n) * (sy / n)
+    return (
+        g.select(
+            "l_returnflag",
+            "n",
+            (sx / n).alias("mean_qty"),
+            (sy / n).alias("mean_price"),
+            "sxx",
+            "syy_k",
+            covar.alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )

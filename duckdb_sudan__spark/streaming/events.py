@@ -87,8 +87,10 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = tumbling_counts_stream(events), "complete"
         elif which == "sessionize":
             out, mode = sessionize_stream(events), "complete"
-        else:  # funnel — stateful append-mode operator
+        elif which == "funnel":  # stateful append-mode operator
             out, mode = funnel_stream(events), "append"
+        else:  # dedup — watermarked drop-duplicates
+            out, mode = dedup_stream(events), "append"
         name = f"stream_{which}_result"
         q = out.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
         q.awaitTermination(120)
@@ -176,3 +178,12 @@ def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop repeated event_ids inside the
+    watermark horizon (`dropDuplicatesWithinWatermark`) — state holds
+    one key per event inside the horizon instead of forever, the
+    standard at-least-once → effectively-once repair for 100 TB
+    streams."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

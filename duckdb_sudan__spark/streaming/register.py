@@ -22,3 +22,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_funnel")  # rows-only: custom stateful operator (applyInPandasWithState)
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "funnel")
+
+
+@register("stream_dedup")  # rows-only: streaming dedup sink
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "dedup")

@@ -120,3 +120,13 @@ def test_stream_funnel_matches_batch(spark):
     brows = {tuple(r) for r in QUERIES["ev_funnel"](spark, SF_DIR).collect()}
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_stream_dedup_matches_distinct(spark, duck):
+    """dropDuplicatesWithinWatermark over the drained file stream must
+    keep exactly the distinct event_ids."""
+    from duckdb_sudan__spark.operators import QUERIES
+
+    n = QUERIES["stream_dedup"](spark, SF_DIR).count()
+    exact = duck.sql("SELECT COUNT(DISTINCT event_id) FROM events").fetchone()[0]
+    assert n == exact
