@@ -118,3 +118,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout → a date filter becomes PartitionFilters
+    (directory pruning), not a data filter over every file."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    e = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    e.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).where(F.col("day") == "2024-01-15")
+    plan = plan_of(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "day" in pf[0], f"no partition filter in scan:\n{plan[:1200]}"
+    # the filter must NOT appear as a post-scan data filter
+    assert back.count() == e.where(F.to_date("ts") == "2024-01-15").count()
