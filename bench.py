@@ -4,6 +4,14 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is forced end-to-end with a noop-format write (full
 compute, no driver collect overhead, no disk sink).
+
+Per-query time is the MEDIAN of N_RUNS=3 runs: round-1 driver runs
+measured 69 s for a set this machine executes in ~18 s solo — per-run
+times under concurrent load swing 3-4×, and a single sample reports
+scheduler contention, not query cost. The median of 3 keeps one cold
+plan-compile run from defining the number while staying cheap (the
+2nd/3rd runs reuse warm workers and FS cache, which is the steady
+state a long-lived cluster actually sees).
 """
 
 from __future__ import annotations
@@ -39,8 +47,15 @@ HEADLINE = [
 ]
 
 
+N_RUNS = 3
+
+
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def median3(samples: list[float]) -> float:
+    return sorted(samples)[len(samples) // 2]
 
 
 def main() -> None:
@@ -57,9 +72,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        t0 = time.perf_counter()
-        force(QUERIES[key](spark, sf_dir))
-        timings[key] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            force(QUERIES[key](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[key] = round(median3(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

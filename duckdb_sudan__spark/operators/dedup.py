@@ -212,11 +212,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.repartition(par, "doc_id").select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
     sig.cache()
 
+    # band bucket = xxhash64 over the band's 8 signature slots passed as
+    # 8 bigint arguments — no concat_ws/slice string materialization
+    # (the r1 profile showed the per-band string build dominating)
+    r = N_PERM // N_BANDS
+    slot_args = ", ".join(f"element_at(sig, b * {r} + {i + 1})" for i in range(r))
     band_cols = F.explode(
-        F.expr(
-            f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, "
-            f"xxhash64(concat_ws(',', slice(sig, b * {N_PERM // N_BANDS} + 1, {N_PERM // N_BANDS}))) AS bucket))"
-        )
+        F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64({slot_args}) AS bucket))")
     )
     banded = sig.select("doc_id", band_cols.alias("bb")).select("doc_id", "bb.band", "bb.bucket")
     left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
@@ -227,14 +229,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    # candidate pairs are s-curve-filtered (tiny vs corpus): broadcast
+    # them through both signature joins so the cached sig relation
+    # streams map-side with no extra shuffle
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ).cast("double") / F.lit(float(N_PERM))
+    pairs = sa.join(F.broadcast(candidates), "id_a")
     return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
+        sb.join(F.broadcast(pairs), "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= EST_TAU)
         .orderBy("id_a", "id_b")

@@ -37,8 +37,12 @@ def _stop_regex(lang: str) -> str:
 
 
 def n_tokens_expr() -> Column:
-    """Whitespace token count (empty tokens dropped)."""
-    return F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    """Whitespace token count (empty tokens dropped). Counted as maximal
+    non-space runs (`\\S+`) — value-identical to splitting on `\\s+` and
+    dropping empties, but with no array materialization: one regex scan
+    instead of split + higher-order filter + size (the r1 profile's
+    hottest text expression, computed twice per quality row)."""
+    return F.regexp_count(F.col("text"), F.lit(r"\S+"))
 
 
 def _sql_n_tokens() -> str:
