@@ -13,16 +13,21 @@ Execution model at scale: for N countries the row build is
 parallelized per country (the live path fetches one country per input
 partition — see sources/datasource.py). Offline mode (default here:
 the container has no network) uses the deterministic embedded samples
-so results are reproducible and oracle-checkable.
+so results are reproducible and oracle-checkable. `offline=False`
+drives the reference's Init-phase fetch loops (providers/http.py) and
+falls back to the samples per-country when the fetch yields nothing —
+so a flaky network degrades to the embedded data, never to an error.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from duckdb_sudan__spark.oracle import values_sql
-from duckdb_sudan__spark.providers import samples
+from duckdb_sudan__spark.providers import http, samples
 from duckdb_sudan__spark.providers.pushdown import YearFilter
 from duckdb_sudan__spark.providers.registry import PROVIDERS, resolve_countries, validate_country_codes
 
@@ -39,6 +44,25 @@ def _apply_year_filter(rows: list[tuple], year_idx: int, yf: YearFilter | None) 
     if yf is None or not yf.active:
         return rows
     return [r for r in rows if yf.contains(r[year_idx])]
+
+
+def _live_or_sample_rows(
+    countries: list[str],
+    fetch_one: Callable[[str], list[tuple]],
+    sample_all: Callable[[list[str]], list[tuple]],
+    offline: bool,
+) -> list[tuple]:
+    """Reference Init loop (wb_functions.cpp:236-243): fetch per
+    country in order. Offline — or when a country's fetch yields no
+    rows (network down, 4xx, parse failure) — that country is served
+    from the embedded samples instead."""
+    if offline:
+        return sample_all(countries)
+    rows: list[tuple] = []
+    for iso3 in countries:
+        fetched = fetch_one(iso3)
+        rows.extend(fetched if fetched else sample_all([iso3]))
+    return rows
 
 
 # -- schemas (exact reference column names/types) ----------------------------
@@ -149,13 +173,22 @@ def sudan_worldbank(
     indicator: str,
     countries: list[str] | None = None,
     year_filter: YearFilter | None = None,
+    offline: bool = True,
+    settings: http.HttpSettings | None = None,
 ) -> DataFrame:
     """SUDAN_WorldBank(indicator, countries := [...]). Reference
-    wb_functions.cpp:57-103."""
+    wb_functions.cpp:57-103; live path = the paged fetch loop of
+    wb_functions.cpp:110-210 with date=START:END pushed into the URL."""
     if not indicator:
         raise ValueError("SUDAN: The indicator parameter cannot be empty.")
-    rows = _apply_year_filter(samples.worldbank_rows(indicator, _check_countries(countries)), 4, year_filter)
-    return spark.createDataFrame(rows, WORLDBANK_SCHEMA)
+    yf = year_filter or YearFilter()
+    rows = _live_or_sample_rows(
+        _check_countries(countries),
+        lambda iso3: http.fetch_worldbank_pages(indicator, iso3, yf, settings),
+        lambda cs: samples.worldbank_rows(indicator, cs),
+        offline,
+    )
+    return spark.createDataFrame(_apply_year_filter(rows, 4, year_filter), WORLDBANK_SCHEMA)
 
 
 def sudan_who(
@@ -163,13 +196,23 @@ def sudan_who(
     indicator: str,
     countries: list[str] | None = None,
     year_filter: YearFilter | None = None,
+    offline: bool = True,
+    settings: http.HttpSettings | None = None,
 ) -> DataFrame:
     """SUDAN_WHO(indicator, countries := [...]). Reference
-    who_functions.cpp:52-91."""
+    who_functions.cpp:52-91; live path = FetchWHOData
+    (who_functions.cpp:107-205) with the year range merged into the
+    OData $filter."""
     if not indicator:
         raise ValueError("SUDAN: The indicator parameter cannot be empty.")
-    rows = _apply_year_filter(samples.who_rows(indicator, _check_countries(countries)), 3, year_filter)
-    return spark.createDataFrame(rows, WHO_SCHEMA)
+    yf = year_filter or YearFilter()
+    rows = _live_or_sample_rows(
+        _check_countries(countries),
+        lambda iso3: http.fetch_who(indicator, iso3, yf, settings),
+        lambda cs: samples.who_rows(indicator, cs),
+        offline,
+    )
+    return spark.createDataFrame(_apply_year_filter(rows, 3, year_filter), WHO_SCHEMA)
 
 
 def sudan_fao(
@@ -178,13 +221,23 @@ def sudan_fao(
     element: str,
     countries: list[str] | None = None,
     year_filter: YearFilter | None = None,
+    offline: bool = True,
+    settings: http.HttpSettings | None = None,
 ) -> DataFrame:
     """SUDAN_FAO(dataset, element, countries := [...]). Reference
-    fao_functions.cpp:55-95."""
+    fao_functions.cpp:55-95; live path = FetchFAOData
+    (fao_functions.cpp:205-232): numeric area code, limit=500, element
+    matched client-side."""
     if not dataset or not element:
         raise ValueError("SUDAN: The dataset and element parameters cannot be empty.")
-    rows = _apply_year_filter(samples.fao_rows(dataset, element, _check_countries(countries)), 4, year_filter)
-    return spark.createDataFrame(rows, FAO_SCHEMA)
+    yf = year_filter or YearFilter()
+    rows = _live_or_sample_rows(
+        _check_countries(countries),
+        lambda iso3: http.fetch_fao(dataset, element, iso3, yf, settings),
+        lambda cs: samples.fao_rows(dataset, element, cs),
+        offline,
+    )
+    return spark.createDataFrame(_apply_year_filter(rows, 4, year_filter), FAO_SCHEMA)
 
 
 def sudan_unhcr(
@@ -192,9 +245,13 @@ def sudan_unhcr(
     population_type: str,
     countries: list[str] | None = None,
     year_filter: YearFilter | None = None,
+    offline: bool = True,
+    settings: http.HttpSettings | None = None,
 ) -> DataFrame:
     """SUDAN_UNHCR(population_type, countries := [...]). Reference
-    unhcr_functions.cpp:52-92."""
+    unhcr_functions.cpp:52-92; live path = FetchUNHCRData
+    (unhcr_functions.cpp:228-245): one unified-endpoint fetch per
+    {coo, coa} per country."""
     if not population_type:
         raise ValueError("SUDAN: The population_type parameter cannot be empty.")
     if population_type not in samples.UNHCR_POPULATION_TYPES:
@@ -202,8 +259,14 @@ def sudan_unhcr(
             f"SUDAN: Invalid population_type '{population_type}'. "
             f"Valid: {', '.join(samples.UNHCR_POPULATION_TYPES)}."
         )
-    rows = _apply_year_filter(samples.unhcr_rows(population_type, _check_countries(countries)), 0, year_filter)
-    return spark.createDataFrame(rows, UNHCR_SCHEMA)
+    yf = year_filter or YearFilter()
+    rows = _live_or_sample_rows(
+        _check_countries(countries),
+        lambda iso3: http.fetch_unhcr(population_type, iso3, yf, settings),
+        lambda cs: samples.unhcr_rows(population_type, cs),
+        offline,
+    )
+    return spark.createDataFrame(_apply_year_filter(rows, 0, year_filter), UNHCR_SCHEMA)
 
 
 def sudan_ilo(
@@ -211,13 +274,23 @@ def sudan_ilo(
     indicator: str,
     countries: list[str] | None = None,
     year_filter: YearFilter | None = None,
+    offline: bool = True,
+    settings: http.HttpSettings | None = None,
 ) -> DataFrame:
     """SUDAN_ILO(indicator, countries := [...]). Reference
-    ilo_functions.cpp:50-87."""
+    ilo_functions.cpp:50-87; live path = FetchILOData
+    (ilo_functions.cpp:102-350): SDMX key-suffix ladder + structure
+    walk."""
     if not indicator:
         raise ValueError("SUDAN: The indicator parameter cannot be empty.")
-    rows = _apply_year_filter(samples.ilo_rows(indicator, _check_countries(countries)), 4, year_filter)
-    return spark.createDataFrame(rows, ILO_SCHEMA)
+    yf = year_filter or YearFilter()
+    rows = _live_or_sample_rows(
+        _check_countries(countries),
+        lambda iso3: http.fetch_ilo(indicator, iso3, yf, settings),
+        lambda cs: samples.ilo_rows(indicator, cs),
+        offline,
+    )
+    return spark.createDataFrame(_apply_year_filter(rows, 4, year_filter), ILO_SCHEMA)
 
 
 # -- discovery / metadata ----------------------------------------------------

@@ -45,6 +45,10 @@ def get_spark(app_name: str = "duckdb_sudan__spark", shuffle_partitions: int | N
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # SudanReader implements DataSourceReader.pushFilters (year-range
+        # extraction from the WHERE clause); Spark refuses to plan a
+        # pushFilters-bearing Python source unless this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

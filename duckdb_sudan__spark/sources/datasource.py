@@ -7,32 +7,76 @@ on its own executor — the 3-phase Bind/Init/Execute model of the
 reference (wb_functions.cpp:44-280) maps to
 schema()/partitions()/read(partition).
 
-Year-range pushdown mirrors the reference's filter_pushdown.cpp: pass
-`year_start`/`year_end` options and the partition read applies the
-provider-native filter (URL param online, row filter offline).
+Bind-phase validation happens on the DRIVER in `SudanReader.__init__`
+(provider name, required parameters, country codes), raising the same
+"SUDAN: ..." messages as the api functions — mirroring the reference's
+Bind errors instead of a raw executor-side KeyError.
+
+Year-range pushdown is driven by the DataSource filter-pushdown API:
+`SudanReader.pushFilters` absorbs year >=/>/<=/</== predicates from
+the WHERE clause into a YearFilter (the Spark analogue of
+filter_pushdown.cpp:6-99 extracting the range from duckdb's
+TableFilterSet) and returns every other filter as residual for
+Catalyst to evaluate. Explicit `year_start`/`year_end` options are
+still honored and combined (intersection) with pushed filters.
 
 Offline mode (default: `offline=true`) serves the deterministic
-embedded samples; the online path uses providers/http.py with the
-TTL response cache.
+embedded samples; `offline=false` runs the per-country fetch loops in
+providers/http.py on the EXECUTOR that owns the country partition,
+falling back to that country's samples when the fetch yields nothing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
-from duckdb_sudan__spark.providers import samples
+from duckdb_sudan__spark.providers import http, samples
 from duckdb_sudan__spark.providers.pushdown import YearFilter
-from duckdb_sudan__spark.providers.registry import resolve_countries
+from duckdb_sudan__spark.providers.registry import resolve_countries, validate_country_codes
 
-# provider → (sample row builder taking (args, countries), year column index)
+# provider → (sample row builder taking (opts, countries), year column index)
 _PROVIDER_META = {
     "worldbank": (lambda opts, cs: samples.worldbank_rows(opts["indicator"], cs), 4),
     "who": (lambda opts, cs: samples.who_rows(opts["indicator"], cs), 3),
-    "fao": (lambda opts, cs: samples.fao_rows(opts.get("dataset", "QCL"), opts.get("element", "production"), cs), 4),
-    "unhcr": (lambda opts, cs: samples.unhcr_rows(opts.get("population_type", "refugees"), cs), 0),
+    "fao": (lambda opts, cs: samples.fao_rows(opts["dataset"], opts["element"], cs), 4),
+    "unhcr": (lambda opts, cs: samples.unhcr_rows(opts["population_type"], cs), 0),
     "ilo": (lambda opts, cs: samples.ilo_rows(opts["indicator"], cs), 4),
+}
+
+# provider → live fetch for ONE country (reference Init loops)
+_PROVIDER_FETCH = {
+    "worldbank": lambda opts, iso3, yf, st: http.fetch_worldbank_pages(opts["indicator"], iso3, yf, st),
+    "who": lambda opts, iso3, yf, st: http.fetch_who(opts["indicator"], iso3, yf, st),
+    "fao": lambda opts, iso3, yf, st: http.fetch_fao(opts["dataset"], opts["element"], iso3, yf, st),
+    "unhcr": lambda opts, iso3, yf, st: http.fetch_unhcr(opts["population_type"], iso3, yf, st),
+    "ilo": lambda opts, iso3, yf, st: http.fetch_ilo(opts["indicator"], iso3, yf, st),
+}
+
+# provider → required string options checked at bind time (reference
+# Bind functions; fao defaults mirror the api test surface)
+_REQUIRED_OPTIONS = {
+    "worldbank": ("indicator",),
+    "who": ("indicator",),
+    "fao": ("dataset", "element"),
+    "unhcr": ("population_type",),
+    "ilo": ("indicator",),
+}
+
+_OPTION_DEFAULTS = {
+    "fao": {"dataset": "QCL", "element": "production"},
+    "unhcr": {"population_type": "refugees"},
 }
 
 _PROVIDER_DDL = {
@@ -52,6 +96,8 @@ _PROVIDER_DDL = {
     "ilo": "indicator string, country string, sex string, classif1 string, year int, value double",
 }
 
+_YEAR_COLUMN = ("year",)
+
 
 class _CountryPartition(InputPartition):
     def __init__(self, iso3: str):
@@ -62,11 +108,77 @@ class SudanReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
         self.provider = self.options.get("provider", "worldbank")
+        if self.provider not in _PROVIDER_META:
+            raise ValueError(
+                f"SUDAN: Unknown provider '{self.provider}'. Valid: {', '.join(sorted(_PROVIDER_META))}."
+            )
+        for key, default in _OPTION_DEFAULTS.get(self.provider, {}).items():
+            self.options.setdefault(key, default)
+        # bind-phase validation on the driver — same messages as api.py
+        for key in _REQUIRED_OPTIONS[self.provider]:
+            if not self.options.get(key):
+                raise ValueError(f"SUDAN: The {key} parameter cannot be empty.")
+        if self.provider == "unhcr":
+            ptype = self.options["population_type"]
+            if ptype not in samples.UNHCR_POPULATION_TYPES:
+                raise ValueError(
+                    f"SUDAN: Invalid population_type '{ptype}'. "
+                    f"Valid: {', '.join(samples.UNHCR_POPULATION_TYPES)}."
+                )
         countries = self.options.get("countries")
-        self.countries = resolve_countries(countries.split(",") if countries else None)
+        requested = countries.split(",") if countries else None
+        if requested and not validate_country_codes(requested):
+            raise ValueError(
+                "SUDAN: Invalid country code. Supported: SDN, EGY, ETH, TCD, SSD, ERI, LBY, CAF (ISO2 also accepted)."
+            )
+        self.countries = resolve_countries(requested)
+        self.offline = str(self.options.get("offline", "true")).lower() != "false"
         self.year_filter = YearFilter(
             int(self.options.get("year_start", 0)), int(self.options.get("year_end", 0))
         )
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb year-range predicates from the WHERE clause; every
+        other filter is returned unhandled (Catalyst keeps evaluating
+        it). Pushed bounds intersect with explicit year_start/year_end
+        options — the same range-extraction contract as the
+        reference's filter_pushdown.cpp."""
+        start, end = self.year_filter.year_start, self.year_filter.year_end
+
+        def tighten_start(v: int) -> None:
+            nonlocal start
+            start = max(start, v)
+
+        def tighten_end(v: int) -> None:
+            nonlocal end
+            end = min(end, v) if end > 0 else v
+
+        residual: list[Filter] = []
+        for f in filters:
+            handled = False
+            if getattr(f, "attribute", None) == _YEAR_COLUMN and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, GreaterThanOrEqual):
+                    tighten_start(f.value)
+                    handled = True
+                elif isinstance(f, GreaterThan):
+                    tighten_start(f.value + 1)
+                    handled = True
+                elif isinstance(f, LessThanOrEqual):
+                    tighten_end(f.value)
+                    handled = True
+                elif isinstance(f, LessThan):
+                    tighten_end(f.value - 1)
+                    handled = True
+                elif isinstance(f, EqualTo):
+                    tighten_start(f.value)
+                    tighten_end(f.value)
+                    handled = True
+            if not handled:
+                residual.append(f)
+        # eager (not a generator): the absorbed range must be visible in
+        # self.year_filter before partitions()/read() are planned
+        self.year_filter = YearFilter(start, end)
+        return residual
 
     def partitions(self):
         # one fetch unit per country — the unit of parallelism on a cluster
@@ -74,7 +186,11 @@ class SudanReader(DataSourceReader):
 
     def read(self, partition: _CountryPartition) -> Iterator[tuple]:
         build, year_idx = _PROVIDER_META[self.provider]
-        rows = build(self.options, [partition.iso3])
+        rows: list[tuple] = []
+        if not self.offline:
+            rows = _PROVIDER_FETCH[self.provider](self.options, partition.iso3, self.year_filter, None)
+        if not rows:
+            rows = build(self.options, [partition.iso3])
         if self.year_filter.active:
             rows = [r for r in rows if self.year_filter.contains(r[year_idx])]
         yield from rows
@@ -98,4 +214,10 @@ class SudanDataSource(DataSource):
 
 
 def register_sudan_datasource(spark) -> None:
+    try:
+        # runtime SQL conf, read at plan time: Spark refuses to plan a
+        # pushFilters-bearing Python source while this is false
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Connect policy) — session.py sets it at build
     spark.dataSource.register(SudanDataSource)

@@ -125,17 +125,22 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 
 def _funnel_fn(key, pdf_iter, state):
     """Per-user funnel state machine (first view → first later click →
-    first later purchase, emit once). Rows are processed in event-time
-    order within each micro-batch; the GroupState carries the stage
-    across batches so a funnel can span micro-batch boundaries."""
+    first later purchase, emit once). A group larger than one Arrow
+    batch (> spark.sql.execution.arrow.maxRecordsPerBatch rows for one
+    user in a micro-batch) arrives as MULTIPLE chunks with no global
+    order, so all chunks are concatenated and sorted once by event
+    time before the state machine runs — per-chunk sorting alone would
+    let a later chunk's earlier 'view' be latched second, breaking the
+    stream==batch equivalence. The GroupState carries the stage across
+    micro-batches so a funnel can span batch boundaries."""
     import pandas as pd  # noqa: PLC0415 — runs on executors
 
     stage, view_us, click_us = state.get if state.exists else (0, 0, 0)
     out = []
-    for pdf in pdf_iter:
-        if stage >= 3:
-            break
-        pdf = pdf.sort_values("ts")
+    chunks = [c for c in pdf_iter if len(c)]
+    if stage < 3 and chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values("ts", kind="stable")
         us = pdf["ts"].astype("int64") // 1000 if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns" else pdf["ts"].astype("int64")
         for t_us, etype in zip(us, pdf["event_type"]):
             if stage == 0 and etype == "view":

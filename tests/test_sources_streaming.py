@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from duckdb_sudan__spark.providers import api
 from duckdb_sudan__spark.providers.http import (
     build_fao_url,
-    build_ilo_url,
+    build_ilo_urls,
     build_unhcr_url,
     build_who_url,
     build_worldbank_url,
@@ -71,9 +71,27 @@ def test_http_url_builders():
         "https://ghoapi.azureedge.net/api/MDG_0000000026"
         "?$filter=SpatialDim eq 'SDN' and TimeDim ge 2010 and TimeDim le 2020"
     )
-    assert "year_start=2010&year_end=2020" in build_fao_url("QCL", "production", "276", yf)
-    assert "yearFrom=2010&yearTo=2020" in build_unhcr_url("refugees", "SDN", yf)
-    assert "startPeriod=2010&endPeriod=2020" in build_ilo_url("UNE_DEAP_SEX_AGE_RT", "SDN", yf)
+    # FAO: numeric area code, hard limit=500, element is NOT a URL param
+    # (filtered client-side, fao_functions.cpp:140-149)
+    assert build_fao_url("QCL", "SDN") == (
+        "https://faostatservices.fao.org/api/v1/en/data/QCL?area=276&output_type=objects&limit=500"
+    )
+    # UNHCR: unified population endpoint, cf_type=iso, coo/coa as the param
+    assert build_unhcr_url("coo", "SDN", yf) == (
+        "https://api.unhcr.org/population/v1/population/"
+        "?limit=10000&cf_type=iso&coo=SDN&yearFrom=2010&yearTo=2020"
+    )
+    # ILO: DF_ guarded, REF_AREA-first key, wildcard suffix ladder
+    ilo = build_ilo_urls("UNE_DEAP_SEX_AGE_RT", "SDN", yf)
+    assert ilo[0] == (
+        "https://sdmx.ilo.org/rest/data/ILO,DF_UNE_DEAP_SEX_AGE_RT/SDN.A."
+        "?format=jsondata&detail=dataonly&lastNObservations=20&startPeriod=2010&endPeriod=2020"
+    )
+    assert len(ilo) == 5 and ilo[-1].split("?")[0].endswith("SDN.A.....")
+    # DF_ prefix is not doubled for catalog IDs that already carry it
+    assert build_ilo_urls("DF_UNE_2EAP_SEX_AGE_RT", "SDN", YearFilter())[0].startswith(
+        "https://sdmx.ilo.org/rest/data/ILO,DF_UNE_2EAP_SEX_AGE_RT/"
+    )
 
 
 def test_file_roundtrip(spark):
