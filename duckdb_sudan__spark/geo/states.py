@@ -133,9 +133,51 @@ def sudan_states(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(states_rows(), STATES_SCHEMA)
 
 
-def sudan_boundaries(spark: SparkSession, level: str) -> DataFrame:
-    """SUDAN_Boundaries(level) — level-dependent schema like the reference."""
+GADM_LOCALITY_URL = "https://geodata.ucdavis.edu/gadm/gadm4.1/json/gadm41_SDN_2.json"
+
+
+def parse_gadm_localities(doc) -> list[tuple]:
+    """GADM level-2 GeoJSON FeatureCollection → (locality_name,
+    locality_name_ar, state_name, geojson) rows. GADM carries NAME_2
+    (locality), NL_NAME_2 (native/Arabic, often absent), NAME_1
+    (state); the feature's geometry is re-serialized as the geojson
+    column. This is the on-demand fetch the reference documents but
+    stubs to 0 rows (geo_functions.cpp:156-160)."""
+    import json
+
+    if not isinstance(doc, dict) or not isinstance(doc.get("features"), list):
+        return []
+    rows = []
+    for feat in doc["features"]:
+        props = feat.get("properties") or {}
+        name = props.get("NAME_2")
+        if not isinstance(name, str) or not name:
+            continue
+        name_ar = props.get("NL_NAME_2")
+        state = props.get("NAME_1")
+        geom = feat.get("geometry")
+        rows.append(
+            (
+                name,
+                name_ar if isinstance(name_ar, str) and name_ar and name_ar != "NA" else None,
+                state if isinstance(state, str) else None,
+                json.dumps(geom, separators=(",", ":")) if isinstance(geom, dict) else None,
+            )
+        )
+    return rows
+
+
+def sudan_boundaries(spark: SparkSession, level: str, offline: bool = True) -> DataFrame:
+    """SUDAN_Boundaries(level) — level-dependent schema like the
+    reference. `offline=False` + level='locality' performs the GADM
+    level-2 on-demand fetch the reference's comment describes
+    (geo_functions.cpp:156-160), yielding 0 rows on any failure —
+    identical to the reference's offline behavior."""
     rows, cols = boundaries_rows(level)
+    if level.lower() == "locality" and not offline:
+        from duckdb_sudan__spark.providers import http as provider_http
+
+        rows = parse_gadm_localities(provider_http.http_get_json(GADM_LOCALITY_URL))
     schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
     return spark.createDataFrame(rows, schema)
 

@@ -89,6 +89,12 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = sessionize_stream(events), "complete"
         elif which == "funnel":  # stateful append-mode operator
             out, mode = funnel_stream(events), "append"
+        elif which == "funnel_tws":  # transformWithStateInPandas tier
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+            out, mode = funnel_tws_stream(events), "append"
         else:  # dedup — watermarked drop-duplicates
             out, mode = dedup_stream(events), "append"
         name = f"stream_{which}_result"
@@ -192,3 +198,77 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     standard at-least-once → effectively-once repair for 100 TB
     streams."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Funnel, tier 2: transformWithStateInPandas (Spark 4 stateful API).
+# Same state machine as _funnel_fn; the newer API brings typed state
+# handles, timers, and TTL, and requires the RocksDB state store —
+# the production choice at 100 TB (state spills to local SSD instead
+# of executor heap, with incremental checkpoints).
+# ---------------------------------------------------------------------------
+
+
+def _make_funnel_processor():
+    """Built lazily: pyspark.sql.streaming.stateful_processor imports
+    only when the tier is requested, keeping older runtimes importable."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("funnel", FUNNEL_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            stage, view_us, click_us = self._state.get() if self._state.exists() else (0, 0, 0)
+            out = []
+            chunks = [c for c in rows if len(c)]
+            if stage < 3 and chunks:
+                pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+                pdf = pdf.sort_values("ts", kind="stable")
+                us = (
+                    pdf["ts"].astype("int64") // 1000
+                    if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+                    else pdf["ts"].astype("int64")
+                )
+                for t_us, etype in zip(us, pdf["event_type"]):
+                    if stage == 0 and etype == "view":
+                        view_us, stage = int(t_us), 1
+                    elif stage == 1 and etype == "click" and t_us > view_us:
+                        click_us, stage = int(t_us), 2
+                    elif stage == 2 and etype == "purchase" and t_us > click_us:
+                        out.append(
+                            {
+                                "user_id": key[0],
+                                "view_ts": pd.Timestamp(view_us, unit="us"),
+                                "click_ts": pd.Timestamp(click_us, unit="us"),
+                                "purchase_ts": pd.Timestamp(int(t_us), unit="us"),
+                                "funnel_micros": int(t_us) - view_us,
+                            }
+                        )
+                        stage = 3
+                        break
+            self._state.update((stage, view_us, click_us))
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return FunnelProcessor()
+
+
+def funnel_tws_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """transformWithStateInPandas funnel — result-identical to
+    funnel_stream (asserted in tests); the operator tier differs:
+    RocksDB-backed typed state instead of the legacy GroupState."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_funnel_processor(),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

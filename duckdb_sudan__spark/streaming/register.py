@@ -27,3 +27,24 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_dedup")  # rows-only: streaming dedup sink
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "dedup")
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM over a protobuf
+    channel; environments without google.protobuf (this container)
+    cannot run the tier, so its entry is registered conditionally —
+    the applyInPandasWithState funnel above is the always-available
+    twin with identical results."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():
+
+    @register("stream_funnel_tws")  # rows-only: transformWithStateInPandas tier
+    def stream_funnel_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_stream_to_memory(spark, sf_dir, "funnel_tws")

@@ -77,3 +77,32 @@ def test_sql_udf_registration(spark):
     geo.register_geocode_udf(spark)
     r = spark.sql("SELECT sudan_geocode('Kassala') AS code").collect()[0]
     assert r.code == "SD-KA"
+
+
+def test_gadm_locality_parse_and_live_fetch(spark, monkeypatch):
+    """offline=True stays 0-row (reference parity); offline=False runs
+    the documented GADM on-demand fetch (fixture-fed here)."""
+    from duckdb_sudan__spark.geo import states as geo_states
+    from duckdb_sudan__spark.providers import http
+
+    gadm_doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "properties": {"NAME_2": "Khartoum", "NL_NAME_2": "الخرطوم", "NAME_1": "Khartoum"},
+                "geometry": {"type": "MultiPolygon", "coordinates": [[[[32.5, 15.5], [32.6, 15.5], [32.6, 15.6], [32.5, 15.5]]]]},
+            },
+            {"properties": {"NAME_2": "Omdurman", "NL_NAME_2": "NA", "NAME_1": "Khartoum"},
+             "geometry": {"type": "Polygon", "coordinates": [[[32.4, 15.6], [32.5, 15.6], [32.5, 15.7], [32.4, 15.6]]]}},
+            {"properties": {"NAME_1": "Khartoum"}, "geometry": None},  # no NAME_2 → dropped
+        ],
+    }
+    monkeypatch.setattr(http, "http_get_json", lambda url, settings=None: gadm_doc if "gadm41_SDN_2" in url else None)
+    assert geo_states.sudan_boundaries(spark, "locality").count() == 0
+    live = geo_states.sudan_boundaries(spark, "locality", offline=False)
+    rows = {r.locality_name: r for r in live.collect()}
+    assert set(rows) == {"Khartoum", "Omdurman"}
+    assert rows["Khartoum"].locality_name_ar == "الخرطوم"
+    assert rows["Omdurman"].locality_name_ar is None  # 'NA' normalized
+    assert rows["Khartoum"].state_name == "Khartoum"
+    assert '"MultiPolygon"' in rows["Khartoum"].geojson

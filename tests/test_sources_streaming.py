@@ -148,3 +148,23 @@ def test_stream_dedup_matches_distinct(spark, duck):
     n = QUERIES["stream_dedup"](spark, SF_DIR).count()
     exact = duck.sql("SELECT COUNT(DISTINCT event_id) FROM events").fetchone()[0]
     assert n == exact
+
+
+def test_funnel_tws_matches_applyinpandas_and_batch(spark):
+    """The transformWithStateInPandas funnel tier must be
+    result-identical to the GroupState tier AND to the batch ev_funnel
+    oracle query — same state machine, three execution strategies.
+    Requires google.protobuf (the tier's JVM↔Python state channel)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    tws = {tuple(r) for r in run_stream_to_memory(spark, SF_DIR, "funnel_tws").collect()}
+    legacy = {tuple(r) for r in run_stream_to_memory(spark, SF_DIR, "funnel").collect()}
+    batch = {tuple(r) for r in QUERIES["ev_funnel"](spark, SF_DIR).select(
+        "user_id", "view_ts", "click_ts", "purchase_ts", "funnel_micros").collect()}
+    assert tws == legacy == batch
+    assert len(tws) > 0
