@@ -302,3 +302,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_MAX)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_components — connected components over the near-dup edge set:
+# cluster resolution, the step after pair generation in every dedup
+# pipeline (pairs say "A≈B, B≈C"; the pipeline needs "A,B,C are one
+# cluster, keep min(doc_id)").
+#
+# Spark side: iterative min-label propagation — each round every node
+# takes the min label among itself and its neighbors, a hash-
+# partitioned join+groupBy on node id (exactly how large-graph CC is
+# run at 100 TB; converges in O(cluster diameter) rounds, and near-dup
+# clusters are shallow). The driver-side loop only checks a converged
+# count per round — the sanctioned iterative-algorithm pattern (same
+# posture as the IVF k-means fit), not a data collect.
+#
+# Oracle: DuckDB recursive CTE computing the same closure; both sides
+# converge to min(doc_id) per component — a unique fixpoint, so the
+# comparison is exact.
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = f"""
+  SELECT id_a, id_b
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.shingles, b.shingles))
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
+    FROM (SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+                 list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                              i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+          FROM documents) a
+    JOIN (SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+                 list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                              i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+          FROM documents) b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  )
+  WHERE jac >= {JACCARD_TAU}
+"""
+
+COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_EDGES_SQL}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+"""
+
+CC_MAX_ROUNDS = 20
+
+
+@register("dedup_components", COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    sym = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node")).cache()
+    for _ in range(CC_MAX_ROUNDS):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select("node", F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "comp").select(
+        "doc_id", F.col("comp").alias("component")
+    ).orderBy("doc_id")

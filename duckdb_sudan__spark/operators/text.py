@@ -293,3 +293,77 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_topk — per-language vocabulary: top-K tokens by frequency
+# (the corpus-statistics pass every tokenizer/BPE training run starts
+# with). Shape at 100 TB: one shuffle on (lang, token) with map-side
+# partial counts; the per-lang top-K window touches only the
+# aggregated vocabulary, never the corpus.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 20
+
+VOCAB_ORACLE = f"""
+SELECT lang, token, n, rnk
+FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM (
+    SELECT lang, t.token AS token, COUNT(*) AS n
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS t(token)
+    GROUP BY lang, t.token
+  )
+)
+WHERE rnk <= {VOCAB_TOP_K}
+ORDER BY lang, rnk
+"""
+
+
+@register("text_vocab_topk", VOCAB_ORACLE)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "lang",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")).alias("token"),
+    )
+    counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= VOCAB_TOP_K)
+        .select("lang", "token", "n", "rnk")
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_hash_stratified — deterministic hash-based sampling: the
+# reproducible train/held-out split primitive (same rows selected on
+# every run, every engine, every cluster size — unlike TABLESAMPLE,
+# which is seed- and partitioning-dependent). Selection is a pure
+# map-side predicate on md5(doc_id): ~10.2% (first hex byte <= 0x19),
+# pushed to the scan, zero shuffle.
+# ---------------------------------------------------------------------------
+
+SAMPLE_HEX_CEIL = "19"  # 26/256 ≈ 10.16% of the md5 space
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{SAMPLE_HEX_CEIL}'
+ORDER BY doc_id
+"""
+
+
+@register("sample_hash_stratified", SAMPLE_ORACLE)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.substring("bucket", 1, 2) <= SAMPLE_HEX_CEIL)
+        .orderBy("doc_id")
+    )
