@@ -79,21 +79,19 @@ def _fold_sq_norm(X: np.ndarray) -> np.ndarray:
     return acc
 
 
-@register("ann_topk_cosine", ANN_TOPK_ORACLE)
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k, Arrow-vectorized: the N_QUERIES query
-    vectors are a fixed-size model object pulled to the driver (same
-    posture as the IVF centroids) and closed over by a mapInPandas
-    scorer, so the corpus streams through executors with zero join and
-    zero shuffle before the k·|Q|-row top-k. The numpy per-dim fold
+def _brute_cosine_scored(spark: SparkSession, e: DataFrame) -> DataFrame | None:
+    """All (query, corpus-row) cosine pairs for the N_QUERIES query set,
+    Arrow-vectorized: the query vectors are a fixed-size model object
+    pulled to the driver (same posture as the IVF centroids) and closed
+    over by a mapInPandas scorer, so the corpus streams through
+    executors with zero join and zero shuffle. The numpy per-dim fold
     reproduces the JVM fold's fp-op sequence exactly, so the emitted
     doubles — and the driver's value hash — are bit-identical to the
-    previous interpreted-HOF plan (~8× slower at sf0.1)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    interpreted-HOF plan (~8× slower at sf0.1). Returns None when the
+    query set is empty."""
     qrows = e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    out_schema = "query_id long, neighbor_id long, cos double"
     if not qrows:
-        return spark.createDataFrame([], out_schema)
+        return None
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_norm = np.sqrt(_fold_sq_norm(Q))
@@ -116,9 +114,22 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out[out["query_id"] != out["neighbor_id"]]
 
-    scored = e.select("vec_id", "embedding").mapInPandas(score, out_schema).withColumn(
+    return e.select("vec_id", "embedding").mapInPandas(score, _SCORED_SCHEMA).withColumn(
         "cos", F.round(F.col("cos"), 6)
     )
+
+
+_SCORED_SCHEMA = "query_id long, neighbor_id long, cos double"
+
+
+@register("ann_topk_cosine", ANN_TOPK_ORACLE)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the vectorized scorer; the only
+    shuffle is the final per-query top-k window over k·|Q| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = _brute_cosine_scored(spark, e)
+    if scored is None:
+        return spark.createDataFrame([], _SCORED_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -126,6 +137,43 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos")
         .orderBy("query_id", F.desc("cos"), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_range_search — threshold similarity search: every neighbor with
+# cosine ≥ RANGE_TAU (the "find all near-matches" primitive, e.g.
+# contamination scans of a training corpus against an eval set). Same
+# zero-shuffle streamed scorer as top-k, but the selection is a pure
+# map-side predicate — no window at all, so at 100 TB the entire query
+# is one scan stage emitting only matches.
+# ---------------------------------------------------------------------------
+
+# τ tuned to the synthetic random-vector corpus (cos p99 ≈ 0.29,
+# max ≈ 0.49): 0.30 selects ~1% of pairs at every SF. Real corpora
+# would use ~0.9.
+RANGE_TAU = 0.30
+
+_ANN_RANGE_COS = (
+    "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+ANN_RANGE_ORACLE = f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_ANN_RANGE_COS} AS cos
+FROM embeddings q, embeddings c
+WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  AND {_ANN_RANGE_COS} >= {RANGE_TAU}
+ORDER BY query_id, neighbor_id
+"""
+
+
+@register("ann_range_search", ANN_RANGE_ORACLE)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = _brute_cosine_scored(spark, e)
+    if scored is None:
+        return spark.createDataFrame([], _SCORED_SCHEMA)
+    return scored.where(F.col("cos") >= RANGE_TAU).orderBy("query_id", "neighbor_id")
 
 
 # near-dup threshold tuned to the synthetic test embeddings (random

@@ -367,3 +367,116 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.substring("bucket", 1, 2) <= SAMPLE_HEX_CEIL)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_token_budget — "fill a token budget" selection: per language,
+# take documents in priority order (longest first, doc_id tiebreak)
+# until the cumulative token count reaches TOKEN_BUDGET. This is the
+# sampling step of every training-mix recipe ("X billion tokens of
+# lang L at quality ≥ q"). Shape at 100 TB: one shuffle on lang for
+# the running-sum window; the per-doc token count is map-side. All
+# columns are integers — nothing float-sensitive reaches the hash.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 2000  # per language; corpus has ~5.4k tokens/lang at sf0.01
+
+BUDGET_ORACLE = f"""
+SELECT lang, doc_id, n_tok, cum_tok
+FROM (
+  SELECT lang, doc_id,
+         CAST({_sql_n_tokens()} AS BIGINT) AS n_tok,
+         CAST(SUM(CAST({_sql_n_tokens()} AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM documents
+)
+WHERE cum_tok <= {TOKEN_BUDGET}
+ORDER BY lang, cum_tok
+"""
+
+
+@register("dataset_token_budget", BUDGET_ORACLE)
+def dataset_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", n_tokens_expr().cast("bigint").alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tok", "cum_tok")
+        .orderBy("lang", "cum_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — repeated-token ratio, the cheapest "degenerate
+# document" quality signal (boilerplate, keyword stuffing, decode
+# loops). Token-level because the synthetic corpus has no newlines;
+# line-level would be the same plan with a different split. Map-only,
+# integer-exact.
+# ---------------------------------------------------------------------------
+
+_SQL_LOWER_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+
+REPETITION_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_SQL_LOWER_TOKENS}) AS INTEGER) AS n_tok,
+       CAST(len(list_distinct({_SQL_LOWER_TOKENS})) AS INTEGER) AS n_uniq_tok,
+       CAST(len({_SQL_LOWER_TOKENS}) - len(list_distinct({_SQL_LOWER_TOKENS})) AS INTEGER) AS n_dup_tok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition", REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_uniq_tok"),
+            (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_dup_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_normalize — canonical text form for exact-dup detection across
+# formatting variants: lowercase, non-alphanumerics → space, collapse
+# runs, trim. Emits the md5 of the normal form (not the text itself)
+# so the output stays narrow at 100 TB. Map-only, ASCII classes so
+# Java regex and RE2 agree; both regexp_replace calls are global
+# (Spark default; DuckDB 'g' flag).
+# ---------------------------------------------------------------------------
+
+NORMALIZE_ORACLE = """
+SELECT doc_id, md5(norm) AS norm_fp, CAST(length(norm) AS INTEGER) AS n_norm_chars
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register("text_normalize", NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), "  +", " "
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_fp"), F.length(norm).cast("int").alias("n_norm_chars"))
+        .orderBy("doc_id")
+    )
