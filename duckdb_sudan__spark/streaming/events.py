@@ -95,6 +95,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
             out, mode = funnel_tws_stream(events), "append"
+        elif which == "attribution":  # stream-stream interval self-join
+            out, mode = attribution_join_stream(events), "append"
         else:  # dedup — watermarked drop-duplicates
             out, mode = dedup_stream(events), "append"
         name = f"stream_{which}_result"
@@ -187,6 +189,51 @@ def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             FUNNEL_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ATTRIBUTION_LAG_MIN = 10
+
+
+def attribution_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval self-join: every click pairs with the
+    views by the same user in the preceding ATTRIBUTION_LAG_MIN minutes
+    (ad-attribution shape). Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark's state store
+    retains each side only for watermark + interval — bounded state on
+    an unbounded 100 TB stream, the core stream-stream join guarantee."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return (
+        clicks.join(
+            views,
+            F.expr(
+                f"v_user = c_user AND v_ts <= c_ts "
+                f"AND v_ts > c_ts - INTERVAL {ATTRIBUTION_LAG_MIN} MINUTES"
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "view_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
         )
     )
 

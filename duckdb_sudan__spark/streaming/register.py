@@ -29,6 +29,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "dedup")
 
 
+@register("stream_attribution")  # rows-only: stream-stream interval join
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "attribution")
+
+
 def _tws_available() -> bool:
     """transformWithStateInPandas talks to the JVM over a protobuf
     channel; environments without google.protobuf (this container)

@@ -168,3 +168,39 @@ def test_funnel_tws_matches_applyinpandas_and_batch(spark):
         "user_id", "view_ts", "click_ts", "purchase_ts", "funnel_micros").collect()}
     assert tws == legacy == batch
     assert len(tws) > 0
+
+
+def test_stream_attribution_matches_batch_interval_join(spark):
+    """The stream-stream interval self-join, drained over the static
+    file, must produce exactly the batch interval join's pair set."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.events import ATTRIBUTION_LAG_MIN
+    from pyspark.sql import functions as F
+
+    srows = {tuple(r) for r in QUERIES["stream_attribution"](spark, SF_DIR).collect()}
+
+    e = load_table(spark, SF_DIR, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    batch = (
+        c.join(
+            v,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("v_ts") <= F.col("c_ts"))
+            & (F.col("v_ts") > F.col("c_ts") - F.expr(f"INTERVAL {ATTRIBUTION_LAG_MIN} MINUTES")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "view_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
+        )
+    )
+    brows = {tuple(r) for r in batch.collect()}
+    assert srows == brows
+    assert len(srows) > 0
