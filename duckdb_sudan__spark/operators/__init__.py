@@ -40,3 +40,4 @@ def load_all() -> None:
         timeseries,
     )
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401
+    from duckdb_sudan__spark.streaming import sinks as streaming_sinks  # noqa: F401

@@ -1,0 +1,117 @@
+"""Streaming sinks: how a drained stream lands in tables.
+
+Two sink shapes the reference's users need that `writeStream.format(
+"memory")` doesn't cover:
+
+- foreachBatch upsert (`stream_sink_upsert`): maintain a
+  latest-event-per-user table across micro-batches. Parquet has no
+  MERGE, so each batch rewrites the snapshot via stage-and-swap —
+  write the merged snapshot to a staging dir, then atomically rename
+  over the target (never read-and-overwrite the same path in one
+  job). At 100 TB the same foreachBatch body targets a Delta/Iceberg
+  MERGE instead of a snapshot rewrite; the batch-side logic (window
+  latest-wins on the key) is unchanged.
+- partitioned parquet append sink (`stream_sink_partitioned`): the
+  native `writeStream.format("parquet").partitionBy(...)` path with a
+  checkpoint dir — exactly-once file sink, partition pruning for
+  downstream readers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.streaming.events import events_stream
+
+
+def latest_per_user(df: DataFrame) -> DataFrame:
+    """Latest-wins on user_id, ordered by (ts, event_id) — event_id
+    breaks exact-timestamp ties deterministically."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_foreach_batch(target_dir: str):
+    """foreachBatch body: merge the micro-batch into the snapshot at
+    target_dir with latest-wins semantics, via stage-and-swap."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = ["user_id", "ts", "event_type", "value", "event_id"]
+        new = batch_df.select(*cols)
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            merged = latest_per_user(spark.read.parquet(target_dir).unionByName(new))
+        else:
+            merged = latest_per_user(new)
+        staging = target_dir + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = target_dir + f".old-{batch_id}"
+        if os.path.exists(target_dir):
+            os.rename(target_dir, old)
+        os.rename(staging, target_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return fn
+
+
+@register("stream_sink_upsert")  # rows-only: sink round-trip, not SQL-comparable
+def stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the event stream through the foreachBatch upsert and
+    return the resulting latest-event-per-user table."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        os.link(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+        target = os.path.join(tmp, "latest_by_user")
+        q = (
+            events_stream(spark, src)
+            .writeStream.foreachBatch(upsert_foreach_batch(target))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        # materialize before the TemporaryDirectory vanishes
+        rows = spark.read.parquet(target)
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+    return out.orderBy("user_id")
+
+
+@register("stream_sink_partitioned")  # rows-only: native file sink round-trip
+def stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the event stream into a parquet sink partitioned by
+    event_type; return per-partition counts read back through the
+    partition-pruned layout."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        os.link(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+        out_dir = os.path.join(tmp, "by_type")
+        q = (
+            events_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .partitionBy("event_type")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        back = spark.read.parquet(out_dir)
+        counts = back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+        out = spark.createDataFrame(counts.collect(), counts.schema)
+    return out.orderBy("event_type")

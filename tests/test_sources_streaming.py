@@ -204,3 +204,27 @@ def test_stream_attribution_matches_batch_interval_join(spark):
     brows = {tuple(r) for r in batch.collect()}
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_stream_sink_upsert_matches_batch_latest_wins(spark):
+    """The foreachBatch stage-and-swap upsert must end at exactly the
+    batch latest-event-per-user table."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.sinks import latest_per_user
+
+    got = {tuple(r) for r in QUERIES["stream_sink_upsert"](spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_type", "value", "event_id")
+    want = {tuple(r) for r in latest_per_user(e).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_sink_partitioned_counts(spark, duck):
+    """The partitioned streaming parquet sink must land every event,
+    with per-type counts equal to the exact batch counts."""
+    from duckdb_sudan__spark.operators import QUERIES
+
+    got = {(r.event_type, r.n_events) for r in QUERIES["stream_sink_partitioned"](spark, SF_DIR).collect()}
+    want = set(duck.sql("SELECT event_type, COUNT(*) FROM events GROUP BY event_type").fetchall())
+    assert got == want
