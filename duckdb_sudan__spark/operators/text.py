@@ -480,3 +480,127 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.md5(norm).alias("norm_fp"), F.length(norm).cast("int").alias("n_norm_chars"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — greedy sequence packing: concatenate documents in
+# order and split every CONTEXT_LEN tokens (the concat-and-chunk
+# packing used to build fixed-length training batches). bin_id is
+# derived from the running token count BEFORE each doc, so the
+# assignment is a pure window expression: one shuffle on lang, no
+# iteration. All integers.
+# ---------------------------------------------------------------------------
+
+CONTEXT_LEN = 512
+
+PACK_ORACLE = f"""
+SELECT lang, doc_id, n_tok, bin_id
+FROM (
+  SELECT lang, doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {CONTEXT_LEN} AS BIGINT) AS bin_id
+  FROM (SELECT lang, doc_id, CAST({_sql_n_tokens()} AS BIGINT) AS n_tok FROM documents)
+)
+ORDER BY lang, doc_id
+"""
+
+
+@register("pack_sequences", PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select("lang", "doc_id", n_tokens_expr().cast("bigint").alias("n_tok"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("bin_id", F.expr(f"cum_before div {CONTEXT_LEN}"))
+        .select("lang", "doc_id", "n_tok", "bin_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_length_histogram — token-length histogram per language: the
+# first corpus-health plot of any dataset build. Map-side bucket id +
+# one partial-aggregated shuffle; integers only.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_TOKENS = 10
+
+HIST_ORACLE = f"""
+SELECT lang, CAST(n_tok // {HIST_BUCKET_TOKENS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tok
+FROM (SELECT lang, CAST({_sql_n_tokens()} AS BIGINT) AS n_tok FROM documents)
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register("corpus_length_histogram", HIST_ORACLE)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", n_tokens_expr().cast("bigint").alias("n_tok"))
+        .withColumn("bucket", F.expr(f"n_tok div {HIST_BUCKET_TOKENS}"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tok"))
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngram_overlap — eval-set contamination scan: corpus
+# documents sharing any 8-token shingle with the (small) eval set,
+# with the count of distinct shared shingles. The eval gram set is
+# DISTINCT + broadcast, so at 100 TB the corpus side streams through
+# a broadcast hash join — no shuffle of corpus grams at all. The
+# synthetic eval set is every doc_id ≡ 0 (mod EVAL_MOD).
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 50
+DECON_NGRAM = 8
+
+DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(toks) >= {DECON_NGRAM}
+    THEN list_transform(range(1, len(toks) - {DECON_NGRAM - 2}),
+                        i -> array_to_string(toks[i:i+{DECON_NGRAM - 1}], ' '))
+    ELSE [] END)) AS gram
+  FROM toks
+)
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared_grams
+FROM grams c
+JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0) e USING (gram)
+WHERE c.doc_id % {EVAL_MOD} <> 0
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("decontaminate_ngram_overlap", DECON_ORACLE)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    grams_arr = F.when(
+        F.size(toks) >= DECON_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DECON_NGRAM - 1)),
+            lambda i: F.array_join(F.slice(toks, i, DECON_NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    eval_grams = g.where(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    return (
+        g.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gram")).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
