@@ -136,3 +136,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert pf and "day" in pf[0], f"no partition filter in scan:\n{plan[:1200]}"
     # the filter must NOT appear as a post-scan data filter
     assert back.count() == e.where(F.to_date("ts") == "2024-01-15").count()
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must reach the corpus side as a broadcast —
+    the corpus's exploded grams must never shuffle for the join."""
+    plan = plan_of(QUERIES["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    ("key", "banned_cols"),
+    [
+        ("pack_sequences", ("n_chars", "url", "quality")),
+        ("sample_hash_stratified", ("text", "n_chars")),
+        ("corpus_length_histogram", ("doc_id", "n_chars")),
+        ("text_normalize", ("lang", "n_chars")),
+    ],
+)
+def test_new_text_ops_prune_columns(spark, key, banned_cols):
+    """Each scan must read only the columns the operator touches."""
+    plan = plan_of(QUERIES[key](spark, SF_DIR))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in banned_cols:
+        assert col not in read_schema, f"{key}: scan reads unused column {col}"
