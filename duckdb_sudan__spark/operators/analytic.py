@@ -706,3 +706,79 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# setops_multiset — INTERSECT ALL / EXCEPT ALL bag semantics
+# (setops_customers above covers the DISTINCT forms). Multiplicities
+# matter: a customer with 3 urgent orders and 1 finished order keeps
+# 2 copies under EXCEPT ALL. Spark's intersectAll/exceptAll implement
+# the same min/difference-of-multiplicities semantics as SQL ALL ops
+# via a counted hash aggregation — one shuffle each, no join.
+# ---------------------------------------------------------------------------
+
+SETOPS_ALL_ORACLE = """
+SELECT op, custkey FROM (
+  SELECT 'except_all' AS op, custkey FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  )
+  UNION ALL
+  SELECT 'intersect_all' AS op, custkey FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  )
+)
+ORDER BY op, custkey
+"""
+
+
+@register("setops_multiset", SETOPS_ALL_ORACLE)
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    finished = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    ex = urgent.exceptAll(finished).select(F.lit("except_all").alias("op"), "custkey")
+    inter = urgent.intersectAll(finished).select(F.lit("intersect_all").alias("op"), "custkey")
+    return ex.unionByName(inter).orderBy("op", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# array_funcs — the list/array scalar surface (DuckDB list_* ≙ Spark
+# array functions): split, length, element access, sort, join,
+# membership. All map-only JVM expressions over one pruned column.
+# ---------------------------------------------------------------------------
+
+ARRAY_ORACLE = """
+SELECT p_partkey,
+       CAST(len(w) AS INTEGER) AS n_words,
+       w[1] AS first_word,
+       w[-1] AS last_word,
+       array_to_string(list_sort(w), '|') AS sorted_joined,
+       list_contains(w, 'green') AS has_green,
+       CAST(list_position(w, 'green') AS INTEGER) AS green_pos
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+WHERE p_partkey <= 100
+ORDER BY p_partkey
+"""
+
+
+@register("array_funcs", ARRAY_ORACLE)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    w = F.split(F.col("p_name"), " ")
+    return (
+        p.select(
+            "p_partkey",
+            F.size(w).alias("n_words"),
+            F.element_at(w, 1).alias("first_word"),
+            F.element_at(w, -1).alias("last_word"),
+            F.array_join(F.sort_array(w), "|").alias("sorted_joined"),
+            F.array_contains(w, "green").alias("has_green"),
+            # both engines return 0 when the element is absent
+            F.array_position(w, "green").cast("int").alias("green_pos"),
+        )
+        .orderBy("p_partkey")
+    )
