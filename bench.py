@@ -43,6 +43,11 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # exact-tier pairwise Jaccard: the applyInPandas block pairing runs
+    # this ~8x FASTER than the DuckDB oracle at sf0.1 (9 s vs 73 s) —
+    # the one headline query where the distributed engine wins outright
+    # even single-node
+    "dedup_ngram_jaccard",
     "ann_topk_cosine",
 ]
 
