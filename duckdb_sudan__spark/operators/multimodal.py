@@ -245,3 +245,63 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
 
     return attach_media(d).mapInPandas(chunks, AUDIO_SCHEMA).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# mm_dedup_phash — perceptual-hash near-dup detection for media
+# payloads: decode (fake) → 8×8 block-mean thumbnail → 64-bit
+# block-mean hash (bit i = block i brighter than the thumbnail mean)
+# → hamming-≤k candidate pairs via the same 4×16-bit band pigeonhole
+# equi-join as dedup_simhash. The scale shape is identical to text
+# simhash: one Arrow-batched map for the hash, one equi-join on
+# (band, chunk) — never O(n²) over payloads.
+# ---------------------------------------------------------------------------
+
+PHASH_HAMMING_MAX = 6
+
+_PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("phash", T.LongType())]
+)
+
+
+def _phash64(pixels: np.ndarray) -> int:
+    """64-bit block-mean hash of a decoded image (real pHash math —
+    only the upstream decode is fake in this container)."""
+    thumb = _block_mean_resize(pixels, THUMB)
+    bits = (thumb > thumb.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # to signed int64
+
+
+@register("mm_dedup_phash")  # rows-only: decode is library-dependent
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_media(d)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                _, _, pixels = _fake_decode(bytes(payload))
+                rows.append({"doc_id": doc_id, "phash": _phash64(pixels)})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = mm.select("doc_id", "payload").mapInPandas(hash_batches, _PHASH_SCHEMA)
+    chunks = F.explode(
+        F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS chunk))")
+    )
+    banded = hashed.select("doc_id", "phash", chunks.alias("c")).select(
+        "doc_id", "phash", "c.band", "c.chunk"
+    )
+    left = banded.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "chunk")
+    right = banded.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "chunk")
+    return (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("id_a", "id_b")
+    )

@@ -146,3 +146,34 @@ def test_mm_audio_chunks_energy(spark):
     assert len(rows) > 0
     assert all(r.rms >= 0 for r in rows)
     assert all(0 <= r.zero_crossings < 256 for r in rows)
+
+
+def test_mm_dedup_phash_catches_exact_dups(spark):
+    """Band-pigeonhole completeness at hamming 0: every pair whose
+    payloads hash to the SAME 64-bit phash (computed locally with the
+    operator's own kernels) must survive the (band, chunk) equi-join —
+    the blocking may add candidates, but it must never lose an
+    identical-hash pair."""
+    from itertools import combinations
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.multimodal import _fake_decode, _phash64
+    from duckdb_sudan__spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    groups: dict[int, list[int]] = {}
+    for r in docs:
+        ph = _phash64(_fake_decode((r.text or "").encode("utf-8"))[2])
+        groups.setdefault(ph, []).append(r.doc_id)
+    want = {
+        (a, b)
+        for ids in groups.values()
+        if len(ids) > 1
+        for a, b in combinations(sorted(ids), 2)
+    }
+    assert want, "corpus should contain equal-phash payload pairs"
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["mm_dedup_phash"](spark, SF_DIR).where("hamming = 0").collect()
+    }
+    assert want == got
