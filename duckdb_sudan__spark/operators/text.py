@@ -604,3 +604,89 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("gram")).alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_mix — the full selection pipeline as ONE declarative
+# plan: integer quality gate → canonical dedup on the bag-of-words
+# fingerprint → per-language token-budget fill (longest first) →
+# CONTEXT_LEN packing summary. Output: per language, how many docs /
+# tokens / packed bins the training mix gets. Three shuffles total
+# (fp window, lang window, final agg) and every emitted column is an
+# integer — the end-to-end "build me a training mix" query.
+# ---------------------------------------------------------------------------
+
+MIX_MIN_TOKENS = 20
+MIX_BUDGET = 3000
+
+MIX_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, lang,
+         CAST({_sql_n_tokens()} AS BIGINT) AS n_tok,
+         {SQL_BOW_FP} AS bow_fp
+  FROM documents
+  WHERE CAST({_sql_n_tokens()} AS BIGINT) >= {MIX_MIN_TOKENS}
+),
+canonical AS (
+  SELECT doc_id, lang, n_tok
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY bow_fp) AS fp_min FROM gated)
+  WHERE doc_id = fp_min
+),
+filled AS (
+  SELECT lang, doc_id, n_tok, cum_tok,
+         CAST((cum_tok - n_tok) // {CONTEXT_LEN} AS BIGINT) AS bin_id
+  FROM (
+    SELECT lang, doc_id, n_tok,
+           CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+    FROM canonical
+  )
+  WHERE cum_tok <= {MIX_BUDGET}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins
+FROM filled
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipeline_training_mix", MIX_ORACLE)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gated = (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tokens_expr().cast("bigint").alias("n_tok"),
+            bow_fingerprint_expr().alias("bow_fp"),
+        )
+        .where(F.col("n_tok") >= MIX_MIN_TOKENS)
+    )
+    wfp = Window.partitionBy("bow_fp")
+    canonical = (
+        gated.withColumn("fp_min", F.min("doc_id").over(wfp))
+        .where(F.col("doc_id") == F.col("fp_min"))
+        .select("lang", "doc_id", "n_tok")
+    )
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_tok"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        canonical.withColumn("cum_tok", F.sum("n_tok").over(wlang))
+        .where(F.col("cum_tok") <= MIX_BUDGET)
+        .withColumn("bin_id", F.expr(f"(cum_tok - n_tok) div {CONTEXT_LEN}"))
+    )
+    return (
+        filled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tok"),
+            (F.max("bin_id") + F.lit(1)).alias("n_bins"),
+        )
+        .orderBy("lang")
+    )
