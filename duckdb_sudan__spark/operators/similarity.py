@@ -391,3 +391,45 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_random_projection — Johnson-Lindenstrauss dimensionality
+# reduction: project embeddings onto PROJ_DIM fixed random Gaussian
+# directions before ANN / clustering (the standard way to cut the
+# cosine cost of everything downstream). The projection matrix is
+# derived from a fixed seed, so every executor regenerates the SAME
+# matrix locally — nothing is shuffled or broadcast, and the operator
+# is a pure map stage at any scale. Rows-only: Gaussian sampling is
+# not SQL-expressible.
+# ---------------------------------------------------------------------------
+
+PROJ_DIM = 16
+_PROJ_SEED = 20240813
+
+
+def _projection_matrix(in_dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_PROJ_SEED)
+    return rng.standard_normal((in_dim, PROJ_DIM)) / np.sqrt(PROJ_DIM)
+
+
+@register("emb_random_projection")  # rows-only
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def project(batches):
+        R = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if R is None:
+                R = _projection_matrix(X.shape[1])
+            P = X @ R
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "proj": list(P)})
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(project, "vec_id long, proj array<double>")
+        .orderBy("vec_id")
+    )

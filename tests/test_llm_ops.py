@@ -177,3 +177,32 @@ def test_mm_dedup_phash_catches_exact_dups(spark):
         for r in QUERIES["mm_dedup_phash"](spark, SF_DIR).where("hamming = 0").collect()
     }
     assert want == got
+
+
+def test_emb_random_projection_deterministic_and_distance_preserving(spark):
+    """Fixed-seed projection: identical output across runs, output dim
+    PROJ_DIM, and pairwise cosine roughly preserved on average
+    (Johnson-Lindenstrauss at k=16 is loose — assert a weak bound)."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.similarity import PROJ_DIM
+
+    a = QUERIES["emb_random_projection"](spark, SF_DIR).collect()
+    b = QUERIES["emb_random_projection"](spark, SF_DIR).collect()
+    assert [(r.vec_id, tuple(r.proj)) for r in a] == [(r.vec_id, tuple(r.proj)) for r in b]
+    assert all(len(r.proj) == PROJ_DIM for r in a)
+
+    from duckdb_sudan__spark.session import load_table
+
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, SF_DIR, "embeddings").collect()}
+    proj = {r.vec_id: np.asarray(r.proj) for r in a}
+    rng = np.random.default_rng(7)
+    ids = sorted(orig)
+    cos = lambda x, y: float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))  # noqa: E731
+    errs = []
+    for _ in range(200):
+        i, j = rng.choice(ids, 2, replace=False)
+        errs.append(abs(cos(orig[i], orig[j]) - cos(proj[i], proj[j])))
+    assert np.mean(errs) < 0.25  # k=16 JL: loose but real preservation
