@@ -28,3 +28,19 @@ def test_query_contract(spark, duck, key):
         assert_matches_oracle(df, duck, ALL_ORACLES[key])
     else:
         assert df.collect() is not None
+
+
+def test_correctness_window_is_full_and_oracled():
+    """The driver hashes only the FIRST 50 queries() entries: that
+    window must stay exactly 50 unique keys, every one oracled —
+    otherwise a rotation edit silently wastes driver coverage."""
+    import __spark_entry__ as E
+
+    keys = list(E.queries())
+    oracles = E.oracle_sql()
+    window = keys[:50]
+    assert len(set(window)) == 50
+    missing = [k for k in window if k not in oracles]
+    assert not missing, f"non-oracled entries inside the window: {missing}"
+    # every oracle key must correspond to a registered query
+    assert set(oracles) <= set(keys)
