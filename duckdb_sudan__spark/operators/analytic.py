@@ -402,9 +402,9 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_ORACLE = f"""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       (SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000)
-         // COUNT(*) AS avg_k_micros
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST((SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000)
+         // COUNT(*) AS BIGINT) AS avg_k_micros
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
 GROUP BY event_type

@@ -103,7 +103,12 @@ def _brute_cosine_scored(spark: SparkSession, e: DataFrame) -> DataFrame | None:
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             dots = _foldmul_acc(X, Q)
             denom = np.sqrt(_fold_sq_norm(X))[:, None] * q_norm[None, :]
-            cos = dots / denom
+            # zero-norm guard: an all-zero embedding has no defined cosine —
+            # emit cos=0 (never NaN/±inf, which would leak through top-k /
+            # threshold filters nondeterministically). The synthetic corpus
+            # has no zero vectors, so this branch changes nothing on testdata.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
             n, m = cos.shape
             out = pd.DataFrame(
                 {

@@ -153,23 +153,29 @@ class SudanReader(DataSourceReader):
             nonlocal end
             end = min(end, v) if end > 0 else v
 
+        # a predicate is absorbed ONLY when its tightened bound stays >= 1:
+        # YearFilter uses 0 as the "unbounded" sentinel, so folding e.g.
+        # `year < 1` / `year <= 0` / `year = 0` into the struct would turn
+        # an excluding predicate into no filter at all (parse_* map
+        # unparseable years to 0, so `year = 0` is a realistic query).
+        # Degenerate bounds stay residual and Catalyst evaluates them.
         residual: list[Filter] = []
         for f in filters:
             handled = False
             if getattr(f, "attribute", None) == _YEAR_COLUMN and isinstance(getattr(f, "value", None), int):
-                if isinstance(f, GreaterThanOrEqual):
+                if isinstance(f, GreaterThanOrEqual) and f.value >= 1:
                     tighten_start(f.value)
                     handled = True
-                elif isinstance(f, GreaterThan):
+                elif isinstance(f, GreaterThan) and f.value + 1 >= 1:
                     tighten_start(f.value + 1)
                     handled = True
-                elif isinstance(f, LessThanOrEqual):
+                elif isinstance(f, LessThanOrEqual) and f.value >= 1:
                     tighten_end(f.value)
                     handled = True
-                elif isinstance(f, LessThan):
+                elif isinstance(f, LessThan) and f.value - 1 >= 1:
                     tighten_end(f.value - 1)
                     handled = True
-                elif isinstance(f, EqualTo):
+                elif isinstance(f, EqualTo) and f.value >= 1:
                     tighten_start(f.value)
                     tighten_end(f.value)
                     handled = True

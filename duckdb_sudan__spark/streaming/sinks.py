@@ -42,14 +42,46 @@ def latest_per_user(df: DataFrame) -> DataFrame:
     )
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link when src/dst share a filesystem, copy otherwise
+    (os.link raises EXDEV across mounts — e.g. testdata on a different
+    volume than the tempdir)."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
+
+
+def _recover_snapshot(target_dir: str) -> None:
+    """Crash recovery for the stage-and-swap: if a previous batch died
+    between rename(target→old) and rename(staging→target), the target
+    is missing but the displaced snapshot survives as `.old-<id>` —
+    restore the newest one so the retry merges against the accumulated
+    snapshot instead of silently rebuilding from one micro-batch."""
+    if os.path.exists(target_dir):
+        return
+    parent = os.path.dirname(target_dir) or "."
+    base = os.path.basename(target_dir) + ".old-"
+    if not os.path.isdir(parent):
+        return
+    olds = sorted(
+        (n for n in os.listdir(parent) if n.startswith(base) and n[len(base):].isdigit()),
+        key=lambda n: int(n[len(base):]),
+    )
+    if olds:
+        os.rename(os.path.join(parent, olds[-1]), target_dir)
+
+
 def upsert_foreach_batch(target_dir: str):
     """foreachBatch body: merge the micro-batch into the snapshot at
-    target_dir with latest-wins semantics, via stage-and-swap."""
+    target_dir with latest-wins semantics, via stage-and-swap (with
+    `.old-` recovery closing the two-rename crash window)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cols = ["user_id", "ts", "event_type", "value", "event_id"]
         new = batch_df.select(*cols)
+        _recover_snapshot(target_dir)
         if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
             merged = latest_per_user(spark.read.parquet(target_dir).unionByName(new))
         else:
@@ -73,7 +105,7 @@ def stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "events")
         os.makedirs(src)
-        os.link(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+        _link_or_copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
         target = os.path.join(tmp, "latest_by_user")
         q = (
             events_stream(spark, src)
@@ -98,7 +130,7 @@ def stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "events")
         os.makedirs(src)
-        os.link(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+        _link_or_copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
         out_dir = os.path.join(tmp, "by_type")
         q = (
             events_stream(spark, src)

@@ -269,6 +269,30 @@ def test_push_filters_strict_bounds_and_equality():
     assert r2.year_filter == YearFilter(2016, 2016)
 
 
+def test_push_filters_leaves_degenerate_bounds_residual():
+    """Bounds that would collapse into YearFilter's 0-means-unbounded
+    sentinel must NOT be absorbed: `year < 1` / `year <= 0` / `year = 0`
+    would silently become no-filter (ADVICE r2). They stay residual so
+    Catalyst evaluates them."""
+    degenerate = [LessThan(("year",), 1), LessThanOrEqual(("year",), 0), EqualTo(("year",), 0)]
+    for f in degenerate:
+        r = SudanReader({"provider": "worldbank", "indicator": "SP.POP.TOTL"})
+        assert list(r.pushFilters([f])) == [f], f
+        assert r.year_filter == YearFilter(), f  # untouched — still unbounded
+    # boundary: year <= 1 and year = 1 ARE absorbable (bound stays >= 1)
+    r = SudanReader({"provider": "worldbank", "indicator": "SP.POP.TOTL"})
+    assert list(r.pushFilters([LessThanOrEqual(("year",), 1)])) == []
+    assert r.year_filter == YearFilter(0, 1)
+    r2 = SudanReader({"provider": "worldbank", "indicator": "SP.POP.TOTL"})
+    assert list(r2.pushFilters([GreaterThan(("year",), 0), EqualTo(("year",), 1)])) == []
+    assert r2.year_filter == YearFilter(1, 1)
+    # a degenerate lower bound (year > -1 ⇒ year >= 0) also stays residual
+    r3 = SudanReader({"provider": "worldbank", "indicator": "SP.POP.TOTL"})
+    gt = GreaterThan(("year",), -1)
+    assert list(r3.pushFilters([gt])) == [gt]
+    assert r3.year_filter == YearFilter()
+
+
 def test_push_filters_intersects_with_options():
     r = SudanReader(
         {"provider": "worldbank", "indicator": "SP.POP.TOTL", "year_start": "2010", "year_end": "2020"}

@@ -206,3 +206,20 @@ def test_emb_random_projection_deterministic_and_distance_preserving(spark):
         i, j = rng.choice(ids, 2, replace=False)
         errs.append(abs(cos(orig[i], orig[j]) - cos(proj[i], proj[j])))
     assert np.mean(errs) < 0.25  # k=16 JL: loose but real preservation
+
+
+def test_brute_cosine_zero_norm_guard(spark):
+    """An all-zero embedding must yield cos=0 rows, never NaN/±inf
+    (NaN compares false against thresholds but inf survives top-k —
+    both diverge from the oracle; ADVICE r2)."""
+    import math
+
+    from duckdb_sudan__spark.operators.similarity import _brute_cosine_scored
+
+    rows = [(0, [1.0, 0.0, 2.0]), (1, [0.0, 0.0, 0.0]), (50, [3.0, 1.0, 0.5])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = _brute_cosine_scored(spark, e).collect()
+    assert scored  # the corpus row still pairs with both queries
+    assert all(math.isfinite(r.cos) for r in scored)
+    zero_rows = [r for r in scored if r.query_id == 1 or r.neighbor_id == 1]
+    assert zero_rows and all(r.cos == 0.0 for r in zero_rows)

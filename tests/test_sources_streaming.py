@@ -228,3 +228,43 @@ def test_stream_sink_partitioned_counts(spark, duck):
     got = {(r.event_type, r.n_events) for r in QUERIES["stream_sink_partitioned"](spark, SF_DIR).collect()}
     want = set(duck.sql("SELECT event_type, COUNT(*) FROM events GROUP BY event_type").fetchall())
     assert got == want
+
+
+def test_upsert_sink_recovers_snapshot_after_crash_window():
+    """If a batch dies between rename(target→old) and rename(staging→
+    target), the next batch must restore the displaced snapshot instead
+    of rebuilding from one micro-batch (ADVICE r2)."""
+    from duckdb_sudan__spark.streaming.sinks import _recover_snapshot
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "snap")
+        # simulate the mid-swap crash: target missing, two generations of .old
+        for bid, payload in [(3, "gen3"), (7, "gen7")]:
+            d = target + f".old-{bid}"
+            os.makedirs(d)
+            with open(os.path.join(d, "data.txt"), "w") as f:
+                f.write(payload)
+        _recover_snapshot(target)
+        assert os.path.isdir(target)
+        assert open(os.path.join(target, "data.txt")).read() == "gen7"  # newest wins
+        # idempotent: an existing target is never clobbered
+        _recover_snapshot(target)
+        assert open(os.path.join(target, "data.txt")).read() == "gen7"
+
+
+def test_link_or_copy_falls_back_on_oserror(monkeypatch):
+    """os.link raises EXDEV across filesystems — the helper must copy."""
+    from duckdb_sudan__spark.streaming import sinks
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "a.bin")
+        with open(src, "wb") as f:
+            f.write(b"xyz")
+
+        def boom(*a, **k):
+            raise OSError(18, "Invalid cross-device link")
+
+        monkeypatch.setattr(os, "link", boom)
+        dst = os.path.join(tmp, "b.bin")
+        sinks._link_or_copy(src, dst)
+        assert open(dst, "rb").read() == b"xyz"
