@@ -112,11 +112,23 @@ def extract_http_settings(conf=None) -> HttpSettings:
 # URL builders — exact reference URL shapes
 # ---------------------------------------------------------------------------
 
+# scheme+host per provider. Production values are the reference's public
+# API hosts; tests point entries at an in-process loopback http.server to
+# drive the real socket path (urllib opener, redirects, timeouts) with no
+# network.
+PROVIDER_BASES = {
+    "worldbank": "https://api.worldbank.org",
+    "who": "https://ghoapi.azureedge.net",
+    "fao": "https://faostatservices.fao.org",
+    "unhcr": "https://api.unhcr.org",
+    "ilo": "https://sdmx.ilo.org",
+}
+
 
 def build_worldbank_url(indicator: str, iso3: str, yf: YearFilter, page: int = 1) -> str:
     # wb_functions.cpp:113-126
     url = (
-        f"https://api.worldbank.org/v2/country/{iso3}/indicator/{indicator}"
+        f"{PROVIDER_BASES['worldbank']}/v2/country/{iso3}/indicator/{indicator}"
         f"?format=json&per_page=1000&page={page}"
     )
     year_param = encode_worldbank(yf)
@@ -125,7 +137,7 @@ def build_worldbank_url(indicator: str, iso3: str, yf: YearFilter, page: int = 1
 
 def build_who_url(indicator: str, iso3: str, yf: YearFilter) -> str:
     # who_functions.cpp:110-112; year range merged into the OData $filter
-    url = f"https://ghoapi.azureedge.net/api/{indicator}?$filter=SpatialDim eq '{iso3}'"
+    url = f"{PROVIDER_BASES['who']}/api/{indicator}?$filter=SpatialDim eq '{iso3}'"
     year_param = encode_who(yf)
     if year_param:
         url += " and " + year_param.removeprefix("$filter=")
@@ -148,7 +160,7 @@ def build_fao_url(dataset: str, iso3: str) -> str:
     offset pagination; `element` is NOT a URL parameter — it's matched
     client-side against the Element field (partial, case-insensitive)."""
     return (
-        f"https://faostatservices.fao.org/api/v1/en/data/{dataset}"
+        f"{PROVIDER_BASES['fao']}/api/v1/en/data/{dataset}"
         f"?area={fao_area_code(iso3)}&output_type=objects&limit=500"
     )
 
@@ -158,7 +170,7 @@ def build_unhcr_url(param_name: str, iso3: str, yf: YearFilter) -> str:
     endpoint; cf_type=iso makes the API accept ISO3 codes; param_name
     is 'coo' (origin) or 'coa' (asylum) — callers fetch BOTH. The
     population type selects a response FIELD, not a path segment."""
-    url = f"https://api.unhcr.org/population/v1/population/?limit=10000&cf_type=iso&{param_name}={iso3}"
+    url = f"{PROVIDER_BASES['unhcr']}/population/v1/population/?limit=10000&cf_type=iso&{param_name}={iso3}"
     year_param = encode_unhcr(yf)
     return f"{url}&{year_param}" if year_param else url
 
@@ -173,7 +185,7 @@ def build_ilo_urls(indicator: str, iso3: str, yf: YearFilter) -> list[str]:
     wildcard suffix ('.' … '.....') yields a candidate URL to try in
     order until one succeeds."""
     dataflow = indicator if indicator.startswith("DF_") else f"DF_{indicator}"
-    base = f"https://sdmx.ilo.org/rest/data/ILO,{dataflow}/{iso3}.A"
+    base = f"{PROVIDER_BASES['ilo']}/rest/data/ILO,{dataflow}/{iso3}.A"
     suffix = "?format=jsondata&detail=dataonly&lastNObservations=20"
     year_param = encode_ilo(yf)
     if year_param:
@@ -214,7 +226,12 @@ def http_get_json(url: str, settings: HttpSettings | None = None) -> dict | list
             headers = {"User-Agent": s.user_agent, **s.extra_headers}
             if s.keep_alive:
                 headers.setdefault("Connection", "keep-alive")
-            req = Request(url, headers=headers)
+            # the WHO OData $filter carries literal spaces (reference URL
+            # shape, who_functions.cpp:110-112) — a raw space in the
+            # request line is malformed HTTP and real servers 400 it, so
+            # percent-encode it at send time (cache stays keyed on the
+            # readable URL)
+            req = Request(url.replace(" ", "%20"), headers=headers)
             with opener.open(req, timeout=s.timeout) as resp:
                 if getattr(resp, "status", 200) != 200:
                     return None

@@ -194,6 +194,14 @@ class SudanReader(DataSourceReader):
         build, year_idx = _PROVIDER_META[self.provider]
         rows: list[tuple] = []
         if not self.offline:
+            # optional scheme+host override (mirror, corporate proxy,
+            # loopback test server). read() runs in a Python worker
+            # process, so the module-global must be set HERE, not on the
+            # driver — driver-side mutation never reaches the worker.
+            base_url = self.options.get("base_url", "")
+            if base_url:
+                for k in http.PROVIDER_BASES:
+                    http.PROVIDER_BASES[k] = base_url
             rows = _PROVIDER_FETCH[self.provider](self.options, partition.iso3, self.year_filter, None)
         if not rows:
             rows = build(self.options, [partition.iso3])
