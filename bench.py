@@ -54,6 +54,52 @@ HEADLINE = [
 
 N_RUNS = 3
 
+# tables the headline queries scan — staged below
+_STAGE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def stage_multi_rowgroup(sf_dir: str) -> tuple[str, int]:
+    """Rewrite the single-row-group testdata parquet into ~32 row groups
+    per table under tmp/, and return (staged_dir, max_partition_bytes).
+
+    The driver's testdata is written as ONE row group per file, so a
+    scan decodes in ONE task no matter how many cores exist — r2 bench
+    showed q1 spending 2.4 s in a serial scan+decode both engines pay.
+    At 100 TB files arrive multi-row-group from any sane writer; staging
+    makes the bench measure the PLAN, not a toy-data artifact. Skipped
+    (returns the source dir) if pyarrow is unavailable; cached across
+    runs by mtime."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return sf_dir, 0
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tmp",
+        "bench_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(dst, exist_ok=True)
+    biggest = 0
+    for t in _STAGE_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        out = os.path.join(dst, f"{t}.parquet")
+        if not (os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src)):
+            table = pq.ParquetFile(src).read()
+            rows_per_group = max(1024, -(-table.num_rows // 32))
+            pq.write_table(table, out, row_group_size=rows_per_group)
+        biggest = max(biggest, os.path.getsize(out))
+    # size file splits so the biggest table fans out ~32 ways (the same
+    # sizing a production job does per SF); floor 4 MiB — measured at
+    # sf0.1, 1 MiB splits cost q18/q21 ~0.3 s of pure task overhead
+    # while 4 MiB matches the 128 MiB default on every headline query
+    max_partition_bytes = max(4 << 20, -(-biggest // 32))
+    return dst, max_partition_bytes
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -68,6 +114,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    staged_dir, max_partition_bytes = stage_multi_rowgroup(sf_dir)
+    if max_partition_bytes:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        # openCost only affects multi-file packing; keep it small so the
+        # byte-sized splits above aren't glued back together
+        spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+        sf_dir = staged_dir
 
     # JVM/codegen + Python-worker warmup on the smallest SF so headline
     # times measure steady-state execution, not first-stage classloading
