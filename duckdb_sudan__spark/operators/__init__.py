@@ -32,6 +32,7 @@ def load_all() -> None:
         analytic,
         dedup,
         multimodal,
+        olap2,
         relational,
         similarity,
         sketches,

@@ -62,19 +62,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     top of this are pushed into the scan by Catalyst (PushedFilters /
     pruned ReadSchema) — keep transformations declarative.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos and truncate to
-    microseconds (`ts div 1000` — integer division, no double
-    round-trip). DuckDB's reader truncates ns→µs identically, so
-    oracle comparisons stay exact.
+    `events.ts` has shipped in two physical forms across testdata
+    generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    reader rejects, so it is read as raw nanos (`nanosAsLong`) and
+    truncated to microseconds with integer division, matching DuckDB's
+    ns→µs truncation exactly — and plain TIMESTAMP(MICROS), which
+    Spark reads as TIMESTAMP_NTZ and we align to the session-TZ
+    TIMESTAMP the nanos path produced (session TZ is pinned UTC, so
+    the instant is unchanged and oracle hashes stay exact).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) generation
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not isinstance(ts_type, T.TimestampType):  # TIMESTAMP_NTZ generation
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

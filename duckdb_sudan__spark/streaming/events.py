@@ -15,6 +15,7 @@ watermark horizon.
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 
@@ -22,28 +23,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw parquet nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # raw nanos (Long) or TIMESTAMP(MICROS)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based stream of events; ts converted nanos → timestamp the
-    same way as the batch loader (session.load_table)."""
+    """File-based stream of events; ts converted to session-TZ
+    timestamp the same way as the batch loader (session.load_table),
+    handling both on-disk generations (TIMESTAMP(NANOS)-as-long and
+    TIMESTAMP(MICROS)/NTZ)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    disk_type = (
+        spark.read.parquet(staged[0]).schema["ts"].dataType
+        if staged
+        else T.TimestampNTZType()
+    )
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(disk_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(disk_type, T.LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(disk_type, T.TimestampType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
