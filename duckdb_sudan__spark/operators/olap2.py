@@ -261,7 +261,7 @@ SELECT t.event_type, d.day, COALESCE(a.n, 0) AS n_events
 FROM days d
 CROSS JOIN types t
 LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
-ORDER BY event_type, day
+ORDER BY t.event_type, d.day
 """
 
 
@@ -270,19 +270,26 @@ def ts_gapfill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill: the day×type grid is bounded by calendar span ×
     cardinality (tiny, broadcast both); the only data-sized stage is
     the one partial-agg shuffle on (day, type). The big fact table
-    never joins the grid — the grid left-joins the aggregate."""
+    never joins the grid — the grid left-joins the aggregate, and the
+    bounds + type list are derived from that SAME tiny aggregate (not
+    from re-scanning events). Column pruning diverges the three agg
+    subtrees so ReuseExchange alone can't dedupe them; persisting the
+    bounded-size aggregate (|days|×|types| rows — calendar span ×
+    type cardinality, ~365k rows even for 10 years × 100 types at
+    100 TB) makes the fact scan physically happen once (asserted as
+    3× InMemoryTableScan over one cached relation in
+    tests/test_plans.py). The cache manager keys on the canonical
+    plan, so repeated calls reuse one entry — no unbounded growth."""
     e = load_table(spark, sf_dir, "events")
     agg = (
         e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-    bounds = e.agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
-    )
+    ).persist()
+    bounds = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
-    types = e.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     grid = F.broadcast(days).crossJoin(F.broadcast(types))
     return (
         grid.join(agg, ["day", "event_type"], "left")

@@ -160,3 +160,97 @@ def test_new_text_ops_prune_columns(spark, key, banned_cols):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     for col in banned_cols:
         assert col not in read_schema, f"{key}: scan reads unused column {col}"
+
+
+# ---------------------------------------------------------------------------
+# olap2 plan shapes (r4): the posture asserted for the r1 surface,
+# asserted for the newest surface too. Counting uses formatted
+# explain's NUMBERED node list — the prose section repeats node names,
+# so substring counts over the whole plan double-count.
+# ---------------------------------------------------------------------------
+
+import re
+
+
+def plan_nodes(df) -> list[str]:
+    """The '(N) NodeName' lines of a formatted explain, in order."""
+    return [
+        re.sub(r"^\(\d+\)\s+", "", ln.strip())
+        for ln in plan_of(df).splitlines()
+        if re.match(r"^\s*\(\d+\)\s+\S", ln)
+    ]
+
+
+def shuffle_count(nodes: list[str]) -> int:
+    """Shuffle Exchanges only (BroadcastExchange moves dims, not data)."""
+    return sum(1 for n in nodes if n == "Exchange")
+
+
+def test_argmax_is_window_free_partial_agg(spark):
+    """max_by/min_by compiles to a partial+final aggregate pair — NOT
+    the double window sort the oracle spells. One agg shuffle plus the
+    output sort's range exchange; broadcast nation."""
+    nodes = plan_nodes(QUERIES["agg_argmax"](spark, SF_DIR))
+    assert not any("Window" in n for n in nodes), "argmax must not window"
+    aggs = [n for n in nodes if "Aggregate" in n]
+    assert len(aggs) >= 2, f"no partial+final agg pair: {nodes}"
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert shuffle_count(nodes) <= 2, f"extra shuffles: {nodes}"
+
+
+def test_locf_is_single_window_shuffle(spark):
+    """LOCF = ONE hash-partitioned exchange feeding the running-frame
+    window (the second Exchange is the output sort's range partition);
+    no self-join anywhere."""
+    nodes = plan_nodes(QUERIES["ts_locf_fill"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Window") == 1
+    assert shuffle_count(nodes) == 2, f"expected window+sort shuffles only: {nodes}"
+    assert not any("Join" in n for n in nodes), "LOCF must not self-join"
+
+
+def test_gapfill_scans_events_once(spark):
+    """The fact table is scanned ONCE: bounds and the type list derive
+    from the cached (day,type,n) aggregate — three InMemoryTableScans
+    over one shared InMemoryRelation whose child holds the single
+    parquet scan. The grid sides are broadcast."""
+    nodes = plan_nodes(QUERIES["ts_gapfill_days"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"multiple fact scans: {nodes}"
+    assert sum(1 for n in nodes if n == "InMemoryTableScan") == 3
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any(n == "CartesianProduct" for n in nodes)
+
+
+def test_listagg_broadcasts_dim_single_agg_shuffle(spark):
+    """Region broadcasts to nation; collect_list aggregates partially
+    map-side (ObjectHashAggregate pair) around one shuffle."""
+    nodes = plan_nodes(QUERIES["listagg_nations"](spark, SF_DIR))
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 2
+    assert shuffle_count(nodes) <= 2  # agg + output sort
+
+
+def test_unpivot_broadcasts_nation_two_agg_shuffles(spark):
+    """Each fact side partial-aggregates on its nationkey (two
+    shuffles), nation broadcasts to both, unpivot is a map-side Expand
+    (no shuffle of its own)."""
+    nodes = plan_nodes(QUERIES["unpivot_nation_counts"](spark, SF_DIR))
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) == 2
+    assert any(n == "Expand" for n in nodes), "unpivot should compile to Expand"
+    assert shuffle_count(nodes) <= 3  # 2 aggs + output sort
+
+
+def test_tok_positions_is_map_only(spark):
+    """posexplode is a Generate — a pure map stage; the only exchange
+    is the output sort."""
+    nodes = plan_nodes(QUERIES["tok_positions"](spark, SF_DIR))
+    assert any(n == "Generate" for n in nodes)
+    assert shuffle_count(nodes) == 1, f"explode must not shuffle: {nodes}"
+
+
+@pytest.mark.parametrize("key", ["agg_bitwise", "agg_median"])
+def test_scalar_aggs_are_partial(spark, key):
+    """bit_and/or/xor and exact percentile both keep map-side partial
+    aggregation: one agg shuffle + the output sort."""
+    nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 2
+    assert shuffle_count(nodes) == 2, f"{key}: {nodes}"
