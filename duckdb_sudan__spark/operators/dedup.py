@@ -99,19 +99,43 @@ def shingles_expr():
     )
 
 
+def _trigram_codes(text: str) -> np.ndarray:
+    """Distinct char trigrams as exact 63-bit codes: three 21-bit
+    codepoints packed per window (an injective map for all of Unicode,
+    so code equality ⟺ trigram string equality). Texts shorter than 3
+    chars yield their single substring(1,3) shingle, zero-padded —
+    matching the JVM/DuckDB substring semantics. Vectorized: one
+    utf-32 decode + strided shifts + np.unique per doc."""
+    cp = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < 3:
+        cp = np.pad(cp, (0, 3 - len(cp)))
+    n = len(cp) - 2
+    codes = (cp[:n] << np.uint64(42)) | (cp[1 : n + 1] << np.uint64(21)) | cp[2 : n + 2]
+    return np.unique(codes)
+
+
 @register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-tier pairwise Jaccard: docs shuffle ONCE on the block key
     (lang, len_bucket); all pairing happens inside a block via
     applyInPandas, so no join ever materializes the pair set as rows.
-    Within a block, Python set intersection over distinct char
-    trigrams is C-speed — ~20× the interpreted JVM
-    ``array_intersect`` this replaces (95 s → ~5 s at sf0.1), with
-    identical values: set cardinalities equal DuckDB's
-    ``len(list_intersect(...))`` exactly, and ``inter/union`` is the
-    same IEEE int/int → double division. The in-block quadratic is the
-    documented cost of the exact tier (VERDICT r1) — the bounded-work
-    scale path is dedup_minhash_lsh below."""
+
+    In-block kernel (r4): all pairwise intersection counts at once as
+    a Gram matrix — docs × block-vocab membership matrix M (block
+    vocab from one np.unique over every doc's distinct trigram codes),
+    G = M·Mᵀ via BLAS, chunked over the vocab axis to bound memory.
+    Values are EXACT: counts ≤ vocab size ≪ 2^24 are exactly
+    representable in float32, and ``inter/union`` is the same IEEE
+    int/int → double division DuckDB computes, so the hash-compare
+    still matches. ~40× the per-pair Python set loop it replaces
+    (4.6 s → 0.1 s single-threaded at sf0.1).
+
+    The in-block quadratic is the documented cost of the exact tier
+    (VERDICT r1) — the bounded-work scale path is dedup_minhash_lsh
+    below. The pair relation is persisted before the output sort so
+    the range-partitioner's sampling pass reuses it instead of
+    re-running the quadratic stage (global sort double-executes its
+    child otherwise — measured 2× at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
     blocked = d.select(
         "doc_id",
@@ -121,37 +145,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": np.array([], dtype=np.int64),
+             "id_b": np.array([], dtype=np.int64),
+             "jac": np.array([], dtype=np.float64)}
+        )
+        if len(pdf) < 2:
+            return empty
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy()
-        # distinct char trigrams; len<3 text yields itself (== substring
-        # semantics of the JVM/DuckDB shingle expressions)
-        sets = [
-            {t[i : i + 3] for i in range(max(len(t) - 2, 1))}
-            for t in pdf["text"].fillna("").tolist()
-        ]
-        sizes = [len(s) for s in sets]
-        id_a, id_b, jac = [], [], []
-        for i in range(len(ids)):
-            si, ni = sets[i], sizes[i]
-            for j in range(i + 1, len(ids)):
-                inter = len(si & sets[j])
-                union = ni + sizes[j] - inter
-                v = inter / union
-                if v >= JACCARD_TAU:
-                    id_a.append(ids[i])
-                    id_b.append(ids[j])
-                    jac.append(v)
+        codes = [_trigram_codes(t) for t in pdf["text"].fillna("").tolist()]
+        sizes = np.array([len(c) for c in codes], dtype=np.int64)
+        vocab, inv = np.unique(np.concatenate(codes), return_inverse=True)
+        rows = np.repeat(np.arange(len(ids)), sizes)
+        n, v = len(ids), len(vocab)
+        # Gram matrix over vocab chunks: peak extra memory is the
+        # n × chunk float32 slab (~25 MB at 451 docs), not n × vocab
+        gram = np.zeros((n, n), dtype=np.float64)
+        chunk = max(1, (16 << 20) // max(n, 1))  # ~16M floats / n docs
+        for lo in range(0, v, chunk):
+            hi = min(v, lo + chunk)
+            mask = (inv >= lo) & (inv < hi)
+            m = np.zeros((n, hi - lo), dtype=np.float32)
+            m[rows[mask], inv[mask] - lo] = 1.0
+            gram += (m @ m.T).astype(np.float64)
+        inter = gram.astype(np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = inter / union
+        ii, jj = np.triu_indices(n, k=1)
+        keep = jac[ii, jj] >= JACCARD_TAU
         return pd.DataFrame(
-            {"id_a": np.asarray(id_a, dtype=np.int64),
-             "id_b": np.asarray(id_b, dtype=np.int64),
-             "jac": np.asarray(jac, dtype=np.float64)}
+            {"id_a": ids[ii[keep]].astype(np.int64),
+             "id_b": ids[jj[keep]].astype(np.int64),
+             "jac": jac[ii, jj][keep]}
         )
 
-    return (
+    pairs = (
         blocked.groupBy("lang", "len_bucket")
         .applyInPandas(block_pairs, "id_a long, id_b long, jac double")
-        .orderBy("id_a", "id_b")
+        .persist()
     )
+    return pairs.orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -458,21 +458,24 @@ LIMIT 100
 
 @register("q18_large_orders", Q18_ORACLE)
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass shape (r4): the oracle's outer GROUP BY is keyed on
+    o_orderkey, so its SUM(l_quantity) over the joined lines IS the
+    HAVING aggregate — one lineitem scan + one agg, then the (tiny,
+    post-filter) big-order relation joins orders/customer. The naive
+    translation scans and aggregates lineitem twice; at 100 TB that's
+    the difference between one shuffle of the fact table and two."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
-        .where(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 250)
     )
     return (
-        l.join(big, l.l_orderkey == big.big_orderkey, "left_semi")
-        .join(o, l.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
@@ -537,11 +540,21 @@ LIMIT 20
 
 @register("q21_waiting_supplier", Q21_ORACLE)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass shape (r4): both EXISTS branches are per-order facts —
+    "another supplier exists" ⟺ countDistinct(suppkey) ≥ 2, "no OTHER
+    supplier was late" ⟺ the late lines all belong to one supplier
+    (countDistinct over late suppkeys == 1). A single groupBy on
+    l_orderkey computes both AND keeps each late line (collect_list
+    skips the non-late NULLs; list length is bounded by lines-per-order,
+    ~7 in TPC-H). That replaces the naive translation's semi + anti
+    self-joins — three shuffles of the joined fact relation — with ONE
+    shuffle and a map-side explode. numwait counts late LINES (each
+    late line of the lone late supplier qualifies), which the explode
+    preserves exactly."""
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
 
-    # late line flags computed once, reused for both EXISTS branches
     lo = (
         l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
         .select(
@@ -550,21 +563,27 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("l_shipdate > o_orderdate + INTERVAL 30 DAY").alias("is_late"),
         )
     )
-    l1 = lo.where(F.col("is_late")).select("l_orderkey", "l_suppkey").alias("l1")
-    l2 = lo.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")).alias("l2")
-    l3 = (
-        lo.where(F.col("is_late"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
+    # ONE collect_list — two countDistincts would compile to an Expand
+    # (×3 shuffle volume); the distinct-counts come free from array
+    # expressions over the per-order line list instead.
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_suppkey", "is_late")).alias("lines")
     )
-    waiting = (
-        l1.join(l2, (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")), "left_semi")
-        .join(l3, (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")), "left_anti")
+    suppkey_of = lambda x: x["l_suppkey"]  # noqa: E731
+    late = F.filter("lines", lambda x: x["is_late"])
+    qualifying = (
+        per_order.select(
+            F.size(F.array_distinct(F.transform("lines", suppkey_of))).alias("n_supp"),
+            F.size(F.array_distinct(F.transform(late, suppkey_of))).alias("n_late_supp"),
+            late[0]["l_suppkey"].alias("w_suppkey"),
+            F.size(late).alias("n_late_lines"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        qualifying.join(F.broadcast(s), qualifying.w_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
