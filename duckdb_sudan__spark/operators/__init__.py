@@ -33,6 +33,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         olap2,
+        olap3,
         relational,
         similarity,
         sketches,

@@ -254,3 +254,34 @@ def test_scalar_aggs_are_partial(spark, key):
     nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
     assert sum(1 for n in nodes if "Aggregate" in n) >= 2
     assert shuffle_count(nodes) == 2, f"{key}: {nodes}"
+
+
+# ---------------------------------------------------------------------------
+# olap3 plan shapes (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_qualify_is_two_phase_topk(spark):
+    """QUALIFY rn<=3 compiles to TWO windows — a local one keyed on
+    (segment, partition id) that prunes before the skewed per-segment
+    shuffle, and a global one over ≤ k·partitions survivors. A single
+    window would funnel every order into 5 reducers at 100 TB."""
+    nodes = plan_nodes(QUERIES["qualify_top_orders"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Window" or "WindowGroupLimit" in n) >= 2
+    assert not any(n == "CartesianProduct" for n in nodes)
+
+
+def test_map_event_counts_two_partial_agg_shuffles(spark):
+    """(user,type) count then per-user map build: two agg shuffles +
+    the output sort, map bounded by type cardinality."""
+    nodes = plan_nodes(QUERIES["map_event_counts"](spark, SF_DIR))
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 4  # two partial+final pairs
+    assert shuffle_count(nodes) <= 3
+
+
+def test_list_lambda_is_map_only(spark):
+    """Higher-order array functions never shuffle — the only exchange
+    is the output sort's range partitioning."""
+    nodes = plan_nodes(QUERIES["list_lambda_docs"](spark, SF_DIR))
+    assert shuffle_count(nodes) == 1, f"lambda ops must not shuffle: {nodes}"
+    assert not any("Generate" in n for n in nodes), "must not explode"
