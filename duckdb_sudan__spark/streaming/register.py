@@ -48,8 +48,21 @@ def _tws_available() -> bool:
         return False
 
 
-if _tws_available():
+def _register_tws_tier() -> bool:
+    """Conditionally register the transformWithStateInPandas tier.
+    Factored out of module top-level so the gate itself is unit-tested
+    in environments with AND without protobuf
+    (tests/test_sources_streaming.py::test_tws_gate_*) — the runtime
+    equivalence test (funnel_tws ≡ applyInPandasWithState ≡ batch)
+    still runs wherever protobuf exists."""
+    if not _tws_available():
+        return False
 
     @register("stream_funnel_tws")  # rows-only: transformWithStateInPandas tier
     def stream_funnel_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_stream_to_memory(spark, sf_dir, "funnel_tws")
+
+    return True
+
+
+TWS_REGISTERED = _register_tws_tier()

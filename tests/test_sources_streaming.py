@@ -170,6 +170,127 @@ def test_funnel_tws_matches_applyinpandas_and_batch(spark):
     assert len(tws) > 0
 
 
+def test_tws_gate_matches_protobuf_availability(spark):
+    """The conditional registration is consistent: stream_funnel_tws is
+    in QUERIES exactly when protobuf imports — never a half-registered
+    tier."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.streaming import register as sr
+
+    assert sr.TWS_REGISTERED == sr._tws_available()
+    assert ("stream_funnel_tws" in QUERIES) == sr.TWS_REGISTERED
+
+
+def test_tws_gate_registers_when_protobuf_present(monkeypatch):
+    """Execute the registration branch itself (this container lacks
+    protobuf, so without forcing the gate the branch would never run):
+    with the availability probe forced true, the tier registers into
+    QUERIES; the entry is removed again to keep the session honest."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.streaming import register as sr
+
+    already = "stream_funnel_tws" in QUERIES
+    monkeypatch.setattr(sr, "_tws_available", lambda: True)
+    try:
+        assert sr._register_tws_tier() is True
+        assert "stream_funnel_tws" in QUERIES
+        fn = QUERIES["stream_funnel_tws"]
+        assert callable(fn)
+    finally:
+        if not already:
+            QUERIES.pop("stream_funnel_tws", None)
+
+
+def test_tws_plan_builds_without_protobuf(spark):
+    """transformWithStateInPandas PLAN construction (processor class,
+    output schema, state spec wiring) must not require the protobuf
+    runtime — only execution does. Guards the tier's plumbing in this
+    container even though the channel itself can't run here."""
+    import pytest
+
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming import events as ev
+
+    e = load_table(spark, SF_DIR, "events")
+    try:
+        df = ev.funnel_tws_stream(ev.as_stream_shape(e) if hasattr(ev, "as_stream_shape") else e)
+    except ImportError:
+        pytest.skip("plan construction itself imports protobuf in this pyspark version")
+    names = [f.name for f in df.schema]
+    assert {"user_id", "view_ts", "click_ts", "purchase_ts", "funnel_micros"} <= set(names)
+
+
+def test_merge_capabilities_probe_is_honest(spark):
+    """Classpath probe reports both lakehouse runtimes absent in this
+    container (neither jar ships here) — and never raises."""
+    from duckdb_sudan__spark.streaming.sinks import merge_capabilities
+
+    caps = merge_capabilities(spark)
+    assert set(caps) == {"delta", "iceberg"}
+    assert caps["delta"] is False and caps["iceberg"] is False
+
+
+def test_merge_statement_pins_latest_wins_contract():
+    """The MERGE text is the same latest-wins semantic the parquet
+    stage-and-swap implements: keyed on user_id, (ts, event_id)
+    tie-break, upsert-all columns."""
+    from duckdb_sudan__spark.streaming.sinks import merge_statement
+
+    sql = merge_statement("lake.latest_by_user", "updates")
+    assert "MERGE INTO lake.latest_by_user t" in sql
+    assert "USING updates s" in sql
+    assert "ON t.user_id = s.user_id" in sql
+    assert "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)" in sql
+    assert "UPDATE SET *" in sql and "INSERT *" in sql
+
+
+def test_merge_foreach_batch_fails_loud_without_jars(spark):
+    """Without either runtime the body must raise the documented
+    guidance, not silently no-op or half-write."""
+    import pytest
+
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.sinks import merge_upsert_foreach_batch
+
+    fn = merge_upsert_foreach_batch("lake.latest_by_user")
+    batch = load_table(spark, SF_DIR, "events").limit(10)
+    with pytest.raises(RuntimeError, match="Delta or Iceberg"):
+        fn(batch, 0)
+
+
+def test_merge_sink_end_to_end(spark):
+    """Execution leg: runs only where a lakehouse runtime is on the
+    classpath (skipped in this container). Drains the event stream
+    through MERGE and checks latest-wins equivalence with the batch
+    reduction."""
+    import pytest
+
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.sinks import (
+        latest_per_user,
+        merge_capabilities,
+        merge_upsert_foreach_batch,
+    )
+
+    caps = merge_capabilities(spark)
+    if not any(caps.values()):
+        pytest.skip("no Delta/Iceberg runtime on the classpath")
+    fmt = "delta" if caps["delta"] else "iceberg"
+    spark.sql("CREATE TABLE IF NOT EXISTS _merge_target "
+              "(user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE, event_id BIGINT) "
+              f"USING {fmt}")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        fn = merge_upsert_foreach_batch("_merge_target")
+        fn(events, 0)
+        got = {tuple(r) for r in spark.table("_merge_target").collect()}
+        want = {tuple(r) for r in latest_per_user(
+            events.select("user_id", "ts", "event_type", "value", "event_id")).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _merge_target")
+
+
 def test_stream_attribution_matches_batch_interval_join(spark):
     """The stream-stream interval self-join, drained over the static
     file, must produce exactly the batch interval join's pair set."""
