@@ -260,12 +260,12 @@ def minhash_from_text(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register("dedup_minhash_lsh")  # rows-only: permutation hashing isn't SQL-expressible
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: signature → 16 bands → bucket equi-join →
-    signature-agreement ≥ EST_TAU. Plan shape at scale: one Arrow map
-    stage (signatures), one explode (16×docs rows), one shuffle on
-    (band, band_hash), one distinct. No O(n²) anywhere."""
+def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
+    """Shared head of the MinHash-LSH pipeline: cached signatures and
+    the distinct banded candidate-pair relation. Factored out so
+    `minhash_candidate_counts` (the SCALING.md falsifiability probe)
+    counts the EXACT relations the production query joins, not a
+    re-implementation that could drift."""
     d = load_table(spark, sf_dir, "documents")
     # the test parquet is a single file → a single input partition; fan
     # the Arrow-batched signature work across all cores (on a cluster,
@@ -291,6 +291,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    return sig, candidates
+
+
+def minhash_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Falsifiability probe for the LSH scaling claim: |docs|,
+    |distinct candidate pairs| after banding, and |emitted pairs|
+    (est ≥ τ). If banding ever degenerated (bad shingle size, band
+    collisions), candidate growth would outrun the true-pair structure
+    here — the number, not a narrative, is what SCALING.md reports."""
+    sig, candidates = _minhash_sig_and_candidates(spark, sf_dir)
+    return {
+        "docs": sig.count(),
+        "candidate_pairs": candidates.count(),
+        "emitted_pairs": dedup_minhash_lsh(spark, sf_dir).count(),
+    }
+
+
+@register("dedup_minhash_lsh")  # rows-only: permutation hashing isn't SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: signature → 16 bands → bucket equi-join →
+    signature-agreement ≥ EST_TAU. Plan shape at scale: one Arrow map
+    stage (signatures), one explode (16×docs rows), one shuffle on
+    (band, band_hash), one distinct. No O(n²) anywhere."""
+    sig, candidates = _minhash_sig_and_candidates(spark, sf_dir)
     # verification joins are plain shuffle equi-joins against the cached
     # sig relation: the candidate-pair count is data-dependent (a
     # dup-heavy crawl yields O(n) pairs, and each carries a 128-slot
