@@ -151,15 +151,15 @@ _WINDOW_PRIORITY = [
     # -- 31-37: analytic entries, last driver row r1 ---------------------
     "w2_window_running", "rollup_sales", "cube_sales",
     "setops_customers", "distinct_types", "cte_topn", "pivot_status",
-    # -- 38-40: NEW in r4 (olap3), never driver-checked ------------------
+    # -- 38-44: NEW in r4, never driver-checked --------------------------
     "qualify_top_orders", "map_event_counts", "list_lambda_docs",
-    # -- 41-50: r3-green regression re-checks (incl. the three entries
-    #           whose plans changed this round: q18/q21 are in the
-    #           stale block above; dedup_ngram_jaccard is here) ---------
+    "ts_ohlc_hourly", "w4_value_windows", "recursive_cte_chain",
+    "agg_bool",
+    # -- 45-50: r3-green regression re-checks (incl. the entries whose
+    #           plans changed this round: q18/q21 are in the stale
+    #           block above; dedup_ngram_jaccard is here) ---------------
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "w1_window_rank", "ev_funnel", "grouping_sets_sales",
-    "merge_upsert", "ev_asof_join", "sudan_ds_worldbank",
-    "dedup_ngram_jaccard",
+    "w1_window_rank", "ev_funnel", "dedup_ngram_jaccard",
 ]
 
 

@@ -1,11 +1,13 @@
 """Third wave of relational/OLAP surface (r4): QUALIFY-style window
-filtering, map-type functions, and lambda-over-array aggregation.
+filtering, map-type functions, lambda-over-array aggregation, native
+recursive CTEs, and boolean aggregates.
 
-Closes the remaining commonly-hit DuckDB scalar surface the reference
-engine exposes "for free" (QUALIFY, map_from_entries / map_extract /
-cardinality, list_filter / list_transform / list_aggregate) —
-re-expressed as Catalyst plans. Every entry is a JVM-side expression
-pipeline with the scale shape noted per operator.
+Closes the remaining commonly-hit DuckDB surface the reference engine
+exposes "for free" (QUALIFY, map_from_entries / map_extract /
+cardinality, list_filter / list_transform / list_aggregate,
+WITH RECURSIVE, bool_and/bool_or) — re-expressed as Catalyst plans.
+Every entry is a JVM-side expression pipeline with the scale shape
+noted per operator.
 """
 
 from __future__ import annotations
@@ -143,4 +145,71 @@ def list_lambda_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(lens).cast("long").alias("max_len"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# recursive_cte_chain — WITH RECURSIVE parity (Spark 4 executes
+# recursive CTEs natively via UnionLoop; DuckDB has had them forever)
+# ---------------------------------------------------------------------------
+
+RECURSIVE_SQL = """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM {customer} WHERE c_custkey % 37 = 0
+  UNION ALL
+  SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+  FROM walk WHERE node > 0
+)
+SELECT custkey,
+       MAX(depth) AS depth_to_root,
+       CAST(SUM(node) AS BIGINT) AS path_sum
+FROM walk
+GROUP BY custkey
+ORDER BY custkey
+"""
+
+RECURSIVE_ORACLE = RECURSIVE_SQL.format(customer="customer")
+
+
+@register("recursive_cte_chain", RECURSIVE_ORACLE)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE on BOTH engines — identical SQL text (the
+    decimal-digit parent chain custkey → custkey/10 → … → 0 recurses
+    ~7 levels over the selected keys). Spark executes the recursion as
+    an iterated UnionLoop of joins — the engine-native version of the
+    iterative min-label propagation dedup_components hand-rolls, with
+    per-step work bounded by the frontier, not the table."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc")
+    return spark.sql(RECURSIVE_SQL.format(customer="customer_rc"))
+
+
+# ---------------------------------------------------------------------------
+# agg_bool — bool_and / bool_or aggregates (DuckDB bool_and/bool_or,
+# Spark every/some — ANSI names bool_and/bool_or on both)
+# ---------------------------------------------------------------------------
+
+BOOL_ORACLE = """
+SELECT l_returnflag,
+       bool_and(l_quantity > 5) AS all_qty_gt5,
+       bool_or(l_discount > 0.09) AS any_big_disc,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_bool", BOOL_ORACLE)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates are associative+commutative → full map-side
+    partial aggregation, one tiny shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 5).alias("all_qty_gt5"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
     )

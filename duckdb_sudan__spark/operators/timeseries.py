@@ -114,3 +114,104 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ohlc_hourly — hypertable-style OHLC rollup (the time_bucket +
+# first/last aggregation a timescale-ish user runs constantly)
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.hour, o.value AS open, a.high, a.low, c.value AS close, a.n_events
+FROM agg a
+JOIN (SELECT * FROM ranked WHERE rn_open = 1) o
+  ON o.event_type = a.event_type AND o.hour = a.hour
+JOIN (SELECT * FROM ranked WHERE rn_close = 1) c
+  ON c.event_type = a.event_type AND c.hour = a.hour
+ORDER BY a.event_type, a.hour
+"""
+
+
+@register("ts_ohlc_hourly", OHLC_ORACLE)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: open/close via min_by/max_by with a
+    (ts, event_id) struct ordering key — ONE window-free partial-agg
+    shuffle on (type, hour). The oracle needs two window sorts plus a
+    double self-join to express the same thing; the max_by shape is
+    what survives 100 TB (map-side combine, no per-group sort). The
+    (ts, event_id) composite makes open/close deterministic under
+    exact-timestamp ties."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.min_by(F.col("value"), key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w4_value_windows — first_value / last_value / nth_value frames
+# ---------------------------------------------------------------------------
+
+VALUE_WINDOWS_ORACLE = """
+SELECT event_id, user_id, ts,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_val
+FROM events
+WHERE user_id % 101 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("w4_value_windows", VALUE_WINDOWS_ORACLE)
+def w4_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value frames: all three windows share ONE
+    partitioning+ordering, so Catalyst plans a single Exchange + Sort
+    and evaluates the frames in one Window operator."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 101 == 0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.first("value").over(running).alias("first_val"),
+            F.last("value").over(full).alias("last_val"),
+            F.nth_value("value", 2).over(full).alias("second_val"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -285,3 +285,28 @@ def test_list_lambda_is_map_only(spark):
     nodes = plan_nodes(QUERIES["list_lambda_docs"](spark, SF_DIR))
     assert shuffle_count(nodes) == 1, f"lambda ops must not shuffle: {nodes}"
     assert not any("Generate" in n for n in nodes), "must not explode"
+
+
+def test_ohlc_is_window_free_single_agg(spark):
+    """The hypertable rollup is ONE partial+final aggregate on
+    (type, hour) — no window, no self-join (the oracle needs two
+    window sorts and a double join for the same result)."""
+    nodes = plan_nodes(QUERIES["ts_ohlc_hourly"](spark, SF_DIR))
+    assert not any("Window" in n for n in nodes)
+    assert not any("Join" in n for n in nodes)
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 2
+    assert shuffle_count(nodes) == 2  # agg + output sort
+
+
+def test_value_windows_share_one_window_shuffle(spark):
+    """Three frames over one (partition, order) → a single Exchange
+    feeding the window stage (plus the output sort)."""
+    nodes = plan_nodes(QUERIES["w4_value_windows"](spark, SF_DIR))
+    assert shuffle_count(nodes) == 2, f"frames must share the shuffle: {nodes}"
+
+
+def test_recursive_cte_compiles_to_union_loop(spark):
+    """WITH RECURSIVE runs on Spark's native UnionLoop iteration (per
+    step: frontier-sized work), not via a collected driver loop."""
+    nodes = plan_nodes(QUERIES["recursive_cte_chain"](spark, SF_DIR))
+    assert any("UnionLoop" in n for n in nodes), f"no UnionLoop: {nodes}"
