@@ -143,49 +143,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / LEN_BUCKET).cast("long").alias("len_bucket"),
         "text",
     )
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": np.array([], dtype=np.int64),
-             "id_b": np.array([], dtype=np.int64),
-             "jac": np.array([], dtype=np.float64)}
-        )
-        if len(pdf) < 2:
-            return empty
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy()
-        codes = [_trigram_codes(t) for t in pdf["text"].fillna("").tolist()]
-        sizes = np.array([len(c) for c in codes], dtype=np.int64)
-        vocab, inv = np.unique(np.concatenate(codes), return_inverse=True)
-        rows = np.repeat(np.arange(len(ids)), sizes)
-        n, v = len(ids), len(vocab)
-        # Gram matrix over vocab chunks: peak extra memory is the
-        # n × chunk float32 slab (~25 MB at 451 docs), not n × vocab
-        gram = np.zeros((n, n), dtype=np.float64)
-        chunk = max(1, (16 << 20) // max(n, 1))  # ~16M floats / n docs
-        for lo in range(0, v, chunk):
-            hi = min(v, lo + chunk)
-            mask = (inv >= lo) & (inv < hi)
-            m = np.zeros((n, hi - lo), dtype=np.float32)
-            m[rows[mask], inv[mask] - lo] = 1.0
-            gram += (m @ m.T).astype(np.float64)
-        inter = gram.astype(np.int64)
-        union = sizes[:, None] + sizes[None, :] - inter
-        jac = inter / union
-        ii, jj = np.triu_indices(n, k=1)
-        keep = jac[ii, jj] >= JACCARD_TAU
-        return pd.DataFrame(
-            {"id_a": ids[ii[keep]].astype(np.int64),
-             "id_b": ids[jj[keep]].astype(np.int64),
-             "jac": jac[ii, jj][keep]}
-        )
-
     pairs = (
         blocked.groupBy("lang", "len_bucket")
-        .applyInPandas(block_pairs, "id_a long, id_b long, jac double")
+        .applyInPandas(_jaccard_block_pairs, "id_a long, id_b long, jac double")
         .persist()
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+def _jaccard_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The in-block Gram-matrix pairing kernel (module-level so the
+    hypothesis equivalence test in tests/test_properties.py can run it
+    against the naive per-pair set loop without a SparkSession)."""
+    empty = pd.DataFrame(
+        {"id_a": np.array([], dtype=np.int64),
+         "id_b": np.array([], dtype=np.int64),
+         "jac": np.array([], dtype=np.float64)}
+    )
+    if len(pdf) < 2:
+        return empty
+    pdf = pdf.sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy()
+    codes = [_trigram_codes(t) for t in pdf["text"].fillna("").tolist()]
+    sizes = np.array([len(c) for c in codes], dtype=np.int64)
+    vocab, inv = np.unique(np.concatenate(codes), return_inverse=True)
+    rows = np.repeat(np.arange(len(ids)), sizes)
+    n, v = len(ids), len(vocab)
+    # Gram matrix over vocab chunks: peak extra memory is the
+    # n × chunk float32 slab (~25 MB at 451 docs), not n × vocab
+    gram = np.zeros((n, n), dtype=np.float64)
+    chunk = max(1, (16 << 20) // max(n, 1))  # ~16M floats / n docs
+    for lo in range(0, v, chunk):
+        hi = min(v, lo + chunk)
+        mask = (inv >= lo) & (inv < hi)
+        m = np.zeros((n, hi - lo), dtype=np.float32)
+        m[rows[mask], inv[mask] - lo] = 1.0
+        gram += (m @ m.T).astype(np.float64)
+    inter = gram.astype(np.int64)
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = inter / union
+    ii, jj = np.triu_indices(n, k=1)
+    keep = jac[ii, jj] >= JACCARD_TAU
+    return pd.DataFrame(
+        {"id_a": ids[ii[keep]].astype(np.int64),
+         "id_b": ids[jj[keep]].astype(np.int64),
+         "jac": jac[ii, jj][keep]}
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -96,3 +96,56 @@ def test_minhash_signature_is_set_based(t1, t2):
         # each position is attained by some code under that permutation
         for k in (0, len(_MH_A) // 2, len(_MH_A) - 1):
             assert sig[k] in (_MH_A[k] * codes)
+
+
+# ---------------------------------------------------------------------------
+# r4: trigram-code and Gram-matrix Jaccard kernel invariants
+# ---------------------------------------------------------------------------
+
+from duckdb_sudan__spark.operators.dedup import (  # noqa: E402
+    JACCARD_TAU,
+    _jaccard_block_pairs,
+    _trigram_codes,
+)
+
+
+def _trigram_set(t: str) -> set:
+    """Reference semantics: substring(i, 3) over 1..max(len-2, 1)."""
+    return {t[i : i + 3] for i in range(max(len(t) - 2, 1))}
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_trigram_codes_count_matches_distinct_trigrams(t):
+    assert len(_trigram_codes(t)) == len(_trigram_set(t))
+
+
+@given(texts, texts)
+@settings(max_examples=200, deadline=None)
+def test_trigram_code_sets_equal_iff_trigram_sets_equal(t1, t2):
+    codes_eq = np.array_equal(_trigram_codes(t1), _trigram_codes(t2))
+    sets_eq = _trigram_set(t1) == _trigram_set(t2)
+    assert codes_eq == sets_eq
+
+
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=0, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_gram_matrix_pairs_equal_naive_set_loop(docs):
+    """The chunked float32 Gram matrix must produce EXACTLY the pairs
+    (ids and IEEE jac values) of the per-pair Python set loop it
+    replaced — intersection counts are integers ≪ 2^24, so float32
+    matmul is exact and the division identical."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    got = _jaccard_block_pairs(pdf)
+    got_pairs = {(int(a), int(b)): float(j) for a, b, j in got.itertuples(index=False, name=None)}
+    want = {}
+    sets = [_trigram_set(t) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= JACCARD_TAU:
+                want[(i, j)] = jac
+    assert got_pairs == want
