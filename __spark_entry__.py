@@ -151,14 +151,14 @@ _WINDOW_PRIORITY = [
     # -- 31-37: analytic entries, last driver row r1 ---------------------
     "w2_window_running", "rollup_sales", "cube_sales",
     "setops_customers", "distinct_types", "cte_topn", "pivot_status",
-    # -- 38-44: NEW in r4, never driver-checked --------------------------
+    # -- 38-45: NEW in r4, never driver-checked --------------------------
     "qualify_top_orders", "map_event_counts", "list_lambda_docs",
     "ts_ohlc_hourly", "w4_value_windows", "recursive_cte_chain",
-    "agg_bool",
-    # -- 45-50: r3-green regression re-checks (incl. the entries whose
+    "agg_bool", "ev_retention_cohorts",
+    # -- 46-50: r3-green regression re-checks (incl. the entries whose
     #           plans changed this round: q18/q21 are in the stale
     #           block above; dedup_ngram_jaccard is here) ---------------
-    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q1_pricing_summary", "q3_shipping_priority",
     "w1_window_rank", "ev_funnel", "dedup_ngram_jaccard",
 ]
 

@@ -215,3 +215,52 @@ def w4_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_retention_cohorts — weekly cohort retention (first-seen cohort ×
+# week offset × active users), the standard product-analytics rollup
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+       COUNT(*) AS active_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("ev_retention_cohorts", RETENTION_ORACLE)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention in ONE fact shuffle: a single groupBy on
+    user_id computes the first-seen week AND the distinct active-week
+    set together (collect_set dedups (user, week) in the same partial
+    agg — bounded by calendar weeks per user, never raw events), then
+    a map-side explode feeds the tiny (cohort, offset) rollup. The
+    two-relation formulation (first_seen ⋈ distinct activity) the
+    oracle spells would shuffle the fact table twice on different keys
+    and re-shuffle for the join."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week"),
+        F.collect_set(week).alias("weeks"),
+    )
+    return (
+        per_user.select("cohort_week", F.explode("weeks").alias("week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -310,3 +310,14 @@ def test_recursive_cte_compiles_to_union_loop(spark):
     step: frontier-sized work), not via a collected driver loop."""
     nodes = plan_nodes(QUERIES["recursive_cte_chain"](spark, SF_DIR))
     assert any("UnionLoop" in n for n in nodes), f"no UnionLoop: {nodes}"
+
+
+def test_retention_is_single_fact_shuffle(spark):
+    """Cohort retention scans events once and shuffles the fact table
+    exactly once (on user_id); the (cohort, offset) rollup and output
+    sort work on tiny relations. No join — the oracle's two-relation
+    formulation would shuffle the fact twice plus once for the join."""
+    nodes = plan_nodes(QUERIES["ev_retention_cohorts"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+    assert shuffle_count(nodes) == 3, f"user agg + rollup + sort only: {nodes}"
