@@ -274,7 +274,13 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     # the Arrow-batched signature work across all cores (on a cluster,
     # across executors) before the UDF
     par = spark.sparkContext.defaultParallelism
-    sig = d.repartition(par, "doc_id").select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
+    # project BEFORE the fan-out repartition so the shuffle moves only
+    # (doc_id, text), not every documents column
+    sig = (
+        d.select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
+    )
     sig.cache()
 
     # band bucket = xxhash64 over the band's 8 signature slots passed as
@@ -380,7 +386,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is an equi-join on (band, 16-bit chunk)."""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    sh = d.repartition(par, "doc_id").select("doc_id", simhash64(F.col("text")).alias("sim")).cache()
+    sh = (
+        d.select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", simhash64(F.col("text")).alias("sim"))
+        .cache()
+    )
     chunks = F.explode(
         F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b * 16) & 65535 AS chunk))")
     )
