@@ -312,6 +312,28 @@ def test_recursive_cte_compiles_to_union_loop(spark):
     assert any("UnionLoop" in n for n in nodes), f"no UnionLoop: {nodes}"
 
 
+def test_q18_scans_lineitem_once(spark):
+    """The r4 single-pass shape: the HAVING aggregate IS the output
+    sum, so lineitem appears exactly once (plus one scan each for
+    orders and customer) and there is no semi join."""
+    nodes = plan_nodes(QUERIES["q18_large_orders"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 3, f"extra scans: {nodes}"
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 2  # partial+final
+    assert not any("Expand" in n for n in nodes)
+
+
+def test_q21_is_one_pass_no_expand(spark):
+    """The r4 one-pass shape: one lineitem scan, one orders scan, the
+    EXISTS logic inside a single collect_list aggregation — no semi or
+    anti self-joins over the fact relation and no multi-countDistinct
+    Expand."""
+    nodes = plan_nodes(QUERIES["q21_waiting_supplier"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 3  # lineitem, orders, supplier
+    assert not any("Expand" in n for n in nodes), "multi-distinct Expand crept back"
+    joins = [n for n in nodes if "Join" in n]
+    assert len(joins) <= 2, f"self-joins crept back: {joins}"
+
+
 def test_retention_is_single_fact_shuffle(spark):
     """Cohort retention scans events once and shuffles the fact table
     exactly once (on user_id); the (cohort, offset) rollup and output
