@@ -103,12 +103,14 @@ def _trigram_codes(text: str) -> np.ndarray:
     """Distinct char trigrams as exact 63-bit codes: three 21-bit
     codepoints packed per window (an injective map for all of Unicode,
     so code equality ⟺ trigram string equality). Texts shorter than 3
-    chars yield their single substring(1,3) shingle, zero-padded —
-    matching the JVM/DuckDB substring semantics. Vectorized: one
-    utf-32 decode + strided shifts + np.unique per doc."""
+    chars yield their single substring(1,3) shingle, padded with the
+    sentinel 0x110000 (one past U+10FFFF, fits in 21 bits, can never
+    equal a real codepoint — zero-padding would make '' collide with
+    '\\x00') — matching the JVM/DuckDB substring semantics. Vectorized:
+    one utf-32 decode + strided shifts + np.unique per doc."""
     cp = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     if len(cp) < 3:
-        cp = np.pad(cp, (0, 3 - len(cp)))
+        cp = np.pad(cp, (0, 3 - len(cp)), constant_values=0x110000)
     n = len(cp) - 2
     codes = (cp[:n] << np.uint64(42)) | (cp[1 : n + 1] << np.uint64(21)) | cp[2 : n + 2]
     return np.unique(codes)

@@ -128,6 +128,20 @@ def test_trigram_code_sets_equal_iff_trigram_sets_equal(t1, t2):
     assert codes_eq == sets_eq
 
 
+def test_trigram_codes_nul_pad_injective():
+    """Regression (r5 ADVICE): short-text padding must use a sentinel
+    outside Unicode, not 0 — '' vs '\\x00' and 'a' vs 'a\\x00' are
+    distinct shingle strings and must get distinct codes. With
+    zero-padding they collided and _jaccard_block_pairs emitted a
+    false (0, 1, 1.0) pair."""
+    import pandas as pd
+
+    for a, b in [("", "\x00"), ("a", "a\x00"), ("\x00", "\x00\x00")]:
+        assert not np.array_equal(_trigram_codes(a), _trigram_codes(b))
+    pdf = pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64), "text": ["", "\x00"]})
+    assert len(_jaccard_block_pairs(pdf)) == 0
+
+
 @given(st.lists(st.text(min_size=0, max_size=60), min_size=0, max_size=12))
 @settings(max_examples=100, deadline=None)
 def test_gram_matrix_pairs_equal_naive_set_loop(docs):
