@@ -48,6 +48,9 @@ HEADLINE = [
     # the one headline query where the distributed engine wins outright
     # even single-node
     "dedup_ngram_jaccard",
+    # embedding near-dup got the same Gram-fold kernel in r5
+    # (27 s interpreted-HOF self-join → ~1.5 s)
+    "dedup_embedding",
     "ann_topk_cosine",
 ]
 

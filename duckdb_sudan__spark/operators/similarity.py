@@ -195,20 +195,80 @@ ORDER BY id_a, id_b
 """
 
 
+def _emb_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """In-block pairwise cosine kernel (r5 — replaces the interpreted
+    aggregate(zip_with) self-join that ran 27 s at sf0.1; this is the
+    same treatment dedup.py's ngram Gram-matrix rewrite got in r4).
+
+    Bit-exactness: `_foldmul_acc` applies one rounded multiply + one
+    rounded add per dimension in the same order as Spark's
+    `aggregate(zip_with(...))` fold and DuckDB's sequential
+    list_cosine_similarity accumulation, and the final
+    `dot / (norm_a * norm_b)` is the same two rounded fp ops — so the
+    raw doubles handed back to the JVM are identical to the old plan's
+    and the driver's value hash is unchanged. Rounding to 6 decimals
+    stays JVM-side (Spark HALF_UP ≠ numpy HALF_EVEN), so the kernel
+    pre-filters with a half-ulp-of-round slack (keep unless
+    cos < τ - 1e-6, which also keeps NaN exactly like the old plan's
+    Spark-side `>=` would) and the exact τ filter runs after F.round.
+
+    Memory: chunked over pair-matrix rows — the slab is
+    chunk × n doubles, never n × n, so a skewed label block degrades
+    to more chunks, not an OOM. Module-level for the equivalence test
+    in tests/test_properties.py."""
+    empty = pd.DataFrame(
+        {"id_a": np.array([], dtype=np.int64),
+         "id_b": np.array([], dtype=np.int64),
+         "cos": np.array([], dtype=np.float64)}
+    )
+    if len(pdf) < 2:
+        return empty
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.sqrt(_fold_sq_norm(X))
+    n = len(ids)
+    frames = []
+    chunk = max(1, (8 << 20) // max(n, 1))  # ~8M doubles per slab
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        dots = _foldmul_acc(X[lo:hi], X)
+        denom = norms[lo:hi, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / denom
+        cols = np.arange(n)[None, :]
+        rows_g = np.arange(lo, hi)[:, None]
+        with np.errstate(invalid="ignore"):
+            keep = (cols > rows_g) & ~(cos < NEAR_DUP_TAU - 1e-6)
+        ii, jj = np.nonzero(keep)
+        frames.append(pd.DataFrame(
+            {"id_a": ids[ii + lo].astype(np.int64),
+             "id_b": ids[jj].astype(np.int64),
+             "cos": cos[ii, jj]}
+        ))
+    return pd.concat(frames, ignore_index=True) if frames else empty
+
+
 @register("dedup_embedding", DEDUP_EMB_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on `label` (a cluster /
-    shard key): the self-join is an equi-join on the block key, so at
-    scale it shuffles once on label instead of building n² pairs."""
+    shard key): ONE shuffle on the block key, then all pairing happens
+    inside the block via an Arrow-batched numpy fold kernel — no join
+    ever materializes the n² pair set as rows (reference parity:
+    embedding near-dup semantics; plan shape mirrors
+    dedup_ngram_jaccard). The pair relation is persisted before the
+    output sort so the range-partitioner's sampling pass reuses it
+    instead of re-running the quadratic kernel."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("label").alias("lbl_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("lbl_b"))
-    return (
-        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", F.round(cosine_expr("emb_a", "emb_b"), 6).alias("cos"))
+    pairs = (
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_emb_block_pairs, "id_a long, id_b long, cos double")
+        .withColumn("cos", F.round(F.col("cos"), 6))
         .where(F.col("cos") >= NEAR_DUP_TAU)
-        .orderBy("id_a", "id_b")
+        .persist()
     )
+    return pairs.orderBy("id_a", "id_b")
 
 
 N_PLANES = 12

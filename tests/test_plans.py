@@ -343,3 +343,16 @@ def test_retention_is_single_fact_shuffle(spark):
     assert sum(1 for n in nodes if n == "Scan parquet") == 1
     assert not any("Join" in n for n in nodes)
     assert shuffle_count(nodes) == 3, f"user agg + rollup + sort only: {nodes}"
+
+
+def test_dedup_embedding_is_single_block_shuffle_no_join(spark):
+    """The r5 kernel shape: embeddings scan ONCE, one hash shuffle on
+    the label block key feeding the Arrow pairing kernel
+    (FlatMapGroupsInPandas), plus the output sort's range exchange —
+    the old label self-join (SortMergeJoin + two scans + interpreted
+    cosine HOFs) must not come back."""
+    nodes = plan_nodes(QUERIES["dedup_embedding"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"fact scanned twice: {nodes}"
+    assert not any("Join" in n for n in nodes), f"self-join crept back: {nodes}"
+    assert any("FlatMapGroupsInPandas" in n for n in nodes)
+    assert shuffle_count(nodes) <= 2, f"block shuffle + sort only: {nodes}"

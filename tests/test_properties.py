@@ -142,6 +142,72 @@ def test_trigram_codes_nul_pad_injective():
     assert len(_jaccard_block_pairs(pdf)) == 0
 
 
+# ---------------------------------------------------------------------------
+# r5: embedding-cosine block kernel must be bit-exact vs the scalar fold
+# ---------------------------------------------------------------------------
+
+from duckdb_sudan__spark.operators.similarity import (  # noqa: E402
+    NEAR_DUP_TAU,
+    _emb_block_pairs,
+)
+
+
+def _scalar_fold_cos(a, b):
+    """The JVM aggregate(zip_with(...)) semantics: one rounded multiply
+    + one rounded add per dimension, strictly left-to-right, then
+    dot / (sqrt(na) * sqrt(nb))."""
+    import math
+
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom else float("nan")
+
+
+@given(
+    st.integers(min_value=1, max_value=8).flatmap(
+        lambda dim: st.lists(
+            st.lists(
+                st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_emb_block_pairs_bit_exact_vs_scalar_fold(vecs):
+    """The chunked numpy fold kernel must emit BIT-IDENTICAL raw cosine
+    doubles to the scalar left-to-right fold it replaced, and exactly
+    the pairs surviving the τ - 1e-6 pre-filter (NaN kept)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": vecs}
+    )
+    got = {
+        (int(a), int(b)): c
+        for a, b, c in _emb_block_pairs(pdf).itertuples(index=False, name=None)
+    }
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            cos = _scalar_fold_cos(vecs[i], vecs[j])
+            if not (cos < NEAR_DUP_TAU - 1e-6):  # keeps NaN, like the kernel
+                want[(i, j)] = cos
+    assert set(got) == set(want)
+    for k, v in want.items():
+        g = got[k]
+        assert (np.isnan(g) and np.isnan(v)) or np.float64(g) == np.float64(v), (k, g, v)
+
+
 @given(st.lists(st.text(min_size=0, max_size=60), min_size=0, max_size=12))
 @settings(max_examples=100, deadline=None)
 def test_gram_matrix_pairs_equal_naive_set_loop(docs):
