@@ -279,10 +279,17 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: deterministic hyperplanes (seeded),
     sign-bit bucket id per vector, exact cosine within buckets only.
 
-    Scale path: bucket id is a JVM-side expression (no Python); the
-    candidate join is an equi-join on bucket — at 1000 executors it
-    hash-partitions on bucket id. Brute-force fallback covers recall
-    evaluation (see tests).
+    Scale path: bucket id is ONE Arrow-batched numpy pass (r5 — the
+    old form was 12 interpreted aggregate(zip_with) dot products per
+    row, the idiom measured ~100× slower than numpy everywhere else);
+    `_foldmul_acc` keeps the per-dim fold order, so sign bits — and
+    bucket assignments — are bit-identical to the old JVM fold, not
+    merely close (a BLAS matmul could flip a sign at an exact-zero
+    dot). Map-only: the hyperplanes ride inside the UDF closure
+    (O(12·dim) — no broadcast needed). The candidate join is an
+    equi-join on bucket — at 1000 executors it hash-partitions on
+    bucket id. Brute-force fallback covers recall evaluation (see
+    tests).
     """
     import numpy as np
 
@@ -290,18 +297,17 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     planes = rng.standard_normal((N_PLANES, dim))
+    bit_weights = (1 << np.arange(N_PLANES)).astype(np.int64)
 
-    # bucket id = sum of sign bits; expressed as nested JVM expressions
-    # over array literals — no Python UDF, no shuffle to compute.
-    bucket = None
-    for i in range(N_PLANES):
-        plane_lit = "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in planes[i]) + ")"
-        dot = F.expr(
-            f"aggregate(zip_with(embedding, {plane_lit}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-        )
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    with_bucket = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    @F.pandas_udf("int")
+    def bucket_of(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=np.int32)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        dots = _foldmul_acc(X, planes)
+        return pd.Series(((dots > 0) @ bit_weights).astype(np.int32))
+
+    with_bucket = e.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
 
     a = with_bucket.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("bk_a")
