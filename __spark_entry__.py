@@ -118,48 +118,53 @@ def _sudan_oracles() -> dict[str, str]:
 # The driver's correctness gate hashes only the FIRST 50 entries of
 # queries() (verified round 1: CORRECTNESS_r01.json keys == the first 50
 # keys in registration order). With more oracled entries than window
-# slots, the order below ROTATES coverage each round. r4 window
-# (per the r3 verdict's item 2):
-#   1-8   the 8 olap2 entries (new in r3, never driver-checked —
-#         ts_gapfill_days additionally carries this round's oracle fix),
-#   9-37  the 29 entries whose last driver row is r1 (all sudan_*,
-#         q4/q7/q10/q14/q16-q21, w2, rollup/cube, setops_customers,
-#         distinct_types, cte_topn, pivot_status),
-#   38-41 entries NEW in r4 (never driver-checked),
-#   42-50 backfill with r3-green entries (regression re-checks),
-#   51+   r3-green entries parked outside this round (still
+# slots, the order below ROTATES coverage each round. r5 window
+# (per the r4 verdict's item 2): exactly the 45 oracled entries whose
+# last driver-green row is r3 (everything NOT in the r4 window), plus
+# the 3 entries NEW in r5 (never driver-checked), plus 2 r4-green
+# regression re-checks whose code changed this round. Union of r5+r4
+# driver-green rows covers all 98 oracled entries with nothing older
+# than two rounds — r6 should rotate back to the 48 r4-green entries.
+#   1-10  TPC-H-shape entries, last driver row r3
+#   11-23 analytic/window/setops entries, last driver row r3
+#   24-43 §2.C LLM-pipeline + similarity entries, last driver row r3
+#         (dedup_embedding and q11 in the blocks above also changed
+#         code this round — kernel rewrite / threshold retune — so
+#         their re-check is doubly needed)
+#   44-45 timeseries joins + the DataSource leg, last driver row r3
+#   46-48 NEW in r5 (never driver-checked)
+#   49-50 r4-green re-checks: dedup_ngram_jaccard (NUL-pad fix this
+#         round), ts_gapfill_days (the r3 red, rewritten r4)
+#   51+   r4-green entries parked outside this round (still
 #         oracle-exact in tests/test_entry.py every pytest run AND in
 #         CORRECTNESS_LOCAL.md at sf0.01 + sf0.1),
 #   then  rows-only entries (no SQL oracle by design).
-# Union of r4+r3 driver-green rows covers every oracled entry with
-# nothing older than two rounds.
 _WINDOW_PRIORITY = [
-    # -- 1-8: olap2, new in r3, never driver-checked ---------------------
-    "listagg_nations", "unpivot_nation_counts", "tok_positions",
-    "agg_argmax", "agg_bitwise", "agg_median",
-    "ts_gapfill_days", "ts_locf_fill",
-    # -- 9-20: sudan surface, last driver row r1 -------------------------
-    "sudan_providers", "sudan_worldbank", "sudan_who", "sudan_fao",
-    "sudan_unhcr", "sudan_ilo", "sudan_wb_indicators",
-    "sudan_who_indicators", "sudan_search", "sudan_states",
-    "sudan_boundaries_state", "sudan_geocode",
-    # -- 21-30: TPC-H-shape entries, last driver row r1 ------------------
-    "q4_order_priority", "q7_volume_shipping", "q10_returned_items",
-    "q14_promo_effect", "q16_supplier_cnt", "q17_small_qty",
-    "q18_large_orders", "q19_disjunctive", "q20_heavy_shippers",
-    "q21_waiting_supplier",
-    # -- 31-37: analytic entries, last driver row r1 ---------------------
-    "w2_window_running", "rollup_sales", "cube_sales",
-    "setops_customers", "distinct_types", "cte_topn", "pivot_status",
-    # -- 38-45: NEW in r4, never driver-checked --------------------------
-    "qualify_top_orders", "map_event_counts", "list_lambda_docs",
-    "ts_ohlc_hourly", "w4_value_windows", "recursive_cte_chain",
-    "agg_bool", "ev_retention_cohorts",
-    # -- 46-50: r3-green regression re-checks (incl. the entries whose
-    #           plans changed this round: q18/q21 are in the stale
-    #           block above; dedup_ngram_jaccard is here) ---------------
-    "q1_pricing_summary", "q3_shipping_priority",
-    "w1_window_rank", "ev_funnel", "dedup_ngram_jaccard",
+    # -- 1-10: TPC-H-shape, last driver row r3 ---------------------------
+    "q2_min_cost_supp", "q5_local_supplier", "q6_forecast_revenue",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q12_late_lines", "q13_cust_distribution", "q15_top_supplier",
+    "q22_global_sales",
+    # -- 11-23: analytic/window/setops, last driver row r3 ---------------
+    "w3_window_frames", "str_funcs", "dt_funcs", "merge_upsert",
+    "setops_multiset", "array_funcs", "ev_tumbling", "ev_sessionize",
+    "ev_json_props", "grouping_sets_sales", "stats_moments",
+    "skew_salted_join", "emb_centroids",
+    # -- 24-43: §2.C LLM-pipeline + similarity, last driver row r3 -------
+    "dedup_exact", "dedup_components", "dedup_embedding",
+    "ann_topk_cosine", "ann_range_search",
+    "text_tokens", "text_langid", "text_quality", "text_fingerprint",
+    "text_vocab_topk", "text_repetition", "text_normalize",
+    "sample_hash_stratified", "dataset_token_budget", "pack_sequences",
+    "corpus_length_histogram", "decontaminate_ngram_overlap",
+    "pipeline_clean_corpus", "pipeline_training_mix",
+    "ev_asof_join",
+    # -- 44-45: range join + DataSource leg, last driver row r3 ----------
+    "ev_range_join", "sudan_ds_worldbank",
+    # -- 46-48: NEW in r5, never driver-checked --------------------------
+    "list_sort_lambda", "agg_topk_orders", "series_calendar",
+    # -- 49-50: r4-green re-checks with code changes this round ----------
+    "dedup_ngram_jaccard", "ts_gapfill_days",
 ]
 
 

@@ -34,6 +34,7 @@ def load_all() -> None:
         multimodal,
         olap2,
         olap3,
+        olap4,
         relational,
         similarity,
         sketches,

@@ -823,7 +823,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q11 — important parts by revenue share (scalar-subquery threshold; the
-# scalar lives in a 1-row broadcast crossJoin, no driver collect)
+# scalar lives in a 1-row broadcast crossJoin, no driver collect).
+# Threshold is 2× the MEAN per-part value — scale-free, unlike TPC-H's
+# 0.0001/SF fraction-of-total: a fixed fraction returns 0 rows once the
+# part count outgrows it (the r4 verdict caught exactly that at sf0.1,
+# where max share is 0.00037 < 0.001), and a 0-row contract can't catch
+# value regressions. 2×mean selects ~10% of parts at every SF.
 # ---------------------------------------------------------------------------
 
 Q11_ORACLE = """
@@ -838,7 +843,7 @@ WITH val AS (
 )
 SELECT l_partkey, value
 FROM val
-WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) * 0.001 FROM val)
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) * 2.0 FROM val)
 ORDER BY value DESC, l_partkey
 """
 
@@ -853,8 +858,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"))
     )
+    # same fp-op order as the oracle: decimal sum → double, ÷ count, ×2
     threshold = val.agg(
-        (F.sum(F.col("value").cast("decimal(27,6)")).cast("double") * F.lit(0.001)).alias("thresh")
+        (F.sum(F.col("value").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1)) * F.lit(2.0)).alias("thresh")
     )
     return (
         val.crossJoin(F.broadcast(threshold))

@@ -356,3 +356,40 @@ def test_dedup_embedding_is_single_block_shuffle_no_join(spark):
     assert not any("Join" in n for n in nodes), f"self-join crept back: {nodes}"
     assert any("FlatMapGroupsInPandas" in n for n in nodes)
     assert shuffle_count(nodes) <= 2, f"block shuffle + sort only: {nodes}"
+
+
+def test_list_sort_lambda_is_map_only(spark):
+    """Comparator-lambda sort is a pure JVM expression — one scan, no
+    Join/Window/Aggregate; the only exchange is the output sort."""
+    nodes = plan_nodes(QUERIES["list_sort_lambda"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) == 1, f"sort exchange only: {nodes}"
+
+
+def test_topk_orders_is_two_phase_balanced_shuffle(spark):
+    """max_by(x,y,k): the fact crosses ONE balanced (group, pid)
+    exchange, gets pruned to local top-3 there, and only survivors
+    reach the 5-key final exchange (+ output sort = 3 exchanges). A
+    single-phase plan would show 2 exchanges but concentrate the whole
+    table on 5 reducers; no join, no window, one fact scan."""
+    nodes = plan_nodes(QUERIES["agg_topk_orders"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"fact scanned twice: {nodes}"
+    assert not any("Join" in n for n in nodes)
+    assert not any("Window" in n for n in nodes)
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 4  # partial+final per phase
+    assert shuffle_count(nodes) == 3, f"balanced + final + output sort: {nodes}"
+
+
+def test_series_calendar_broadcasts_tvf_and_pushes_filter(spark):
+    """The 365-row range() side broadcasts; the fact scan carries the
+    pushed o_orderdate range; one partial-agg shuffle."""
+    df = QUERIES["series_calendar"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_orderdate" in pushed, f"date range not pushed: {pushed}"
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert plan.count("Range") >= 1  # the TVF source node
