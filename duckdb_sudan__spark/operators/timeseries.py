@@ -138,11 +138,15 @@ agg AS (
 SELECT a.event_type, a.hour, o.value AS open, a.high, a.low, c.value AS close, a.n_events
 FROM agg a
 JOIN (SELECT * FROM ranked WHERE rn_open = 1) o
-  ON o.event_type = a.event_type AND o.hour = a.hour
+  ON o.event_type IS NOT DISTINCT FROM a.event_type AND o.hour = a.hour
 JOIN (SELECT * FROM ranked WHERE rn_close = 1) c
-  ON c.event_type = a.event_type AND c.hour = a.hour
+  ON c.event_type IS NOT DISTINCT FROM a.event_type AND c.hour = a.hour
 ORDER BY a.event_type, a.hour
 """
+# ^ IS NOT DISTINCT FROM keeps NULL event_type groups in the oracle —
+# the Spark implementation's groupBy retains NULL keys, and a plain
+# equi-join would silently drop them (r5 ADVICE; current testdata has
+# no NULL event_type, so values are unchanged).
 
 
 @register("ts_ohlc_hourly", OHLC_ORACLE)
