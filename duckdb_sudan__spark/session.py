@@ -28,6 +28,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def get_spark(app_name: str = "duckdb_sudan__spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # must precede JVM launch: worker processes inherit $PYTHONPATH
+    # captured now — this makes google.protobuf (real or vendored shim)
+    # importable inside them for the transformWithState tier
+    from duckdb_sudan__spark.vendor import ensure_protobuf_path
+
+    ensure_protobuf_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32

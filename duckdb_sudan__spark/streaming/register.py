@@ -36,16 +36,15 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tws_available() -> bool:
     """transformWithStateInPandas talks to the JVM over a protobuf
-    channel; environments without google.protobuf (this container)
-    cannot run the tier, so its entry is registered conditionally —
-    the applyInPandasWithState funnel above is the always-available
-    twin with identical results."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401, PLC0415
+    channel: real google.protobuf if installed, else the in-repo
+    pure-Python shim (vendor/protoshim — the proto3 wire subset the
+    StateMessage channel uses). ensure_protobuf_path also runs inside
+    session.get_spark() BEFORE the JVM launches, so worker processes
+    inherit the shim on $PYTHONPATH. The applyInPandasWithState funnel
+    above remains the protobuf-free twin with identical results."""
+    from duckdb_sudan__spark.vendor import ensure_protobuf_path
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf_path()
 
 
 def _register_tws_tier() -> bool:

@@ -154,10 +154,15 @@ def test_funnel_tws_matches_applyinpandas_and_batch(spark):
     """The transformWithStateInPandas funnel tier must be
     result-identical to the GroupState tier AND to the batch ev_funnel
     oracle query — same state machine, three execution strategies.
-    Requires google.protobuf (the tier's JVM↔Python state channel)."""
+    Requires a google.protobuf runtime (the tier's JVM↔Python state
+    channel) — the real wheel or the vendored shim, whichever
+    ensure_protobuf_path resolved before the session's JVM started."""
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    from duckdb_sudan__spark.vendor import ensure_protobuf_path
+
+    if not ensure_protobuf_path():
+        pytest.skip("no google.protobuf runtime and no vendored shim")
     from duckdb_sudan__spark import operators
     from duckdb_sudan__spark.operators import QUERIES
 
