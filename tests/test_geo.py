@@ -106,3 +106,76 @@ def test_gadm_locality_parse_and_live_fetch(spark, monkeypatch):
     assert rows["Omdurman"].locality_name_ar is None  # 'NA' normalized
     assert rows["Khartoum"].state_name == "Khartoum"
     assert '"MultiPolygon"' in rows["Khartoum"].geojson
+
+
+def test_gadm_country_live_fetch_yields_real_geometry(spark, monkeypatch):
+    """offline=False at level 0: the GADM feature's actual coordinates
+    flow through to the geojson column; offline stays the placeholder;
+    a failed fetch falls back to the placeholder (same schema)."""
+    import json
+
+    from duckdb_sudan__spark.geo import states as geo_states
+    from duckdb_sudan__spark.providers import http
+
+    real_coords = [[[[21.8, 8.7], [38.6, 8.7], [38.6, 22.2], [21.8, 22.2], [21.8, 8.7]]]]
+    gadm_doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "properties": {"GID_0": "SDN", "COUNTRY": "Sudan"},
+                "geometry": {"type": "MultiPolygon", "coordinates": real_coords},
+            }
+        ],
+    }
+    monkeypatch.setattr(
+        http, "http_get_json", lambda url, settings=None: gadm_doc if "gadm41_SDN_0" in url else None
+    )
+    live = geo_states.sudan_boundaries(spark, "country", offline=False).collect()
+    assert len(live) == 1
+    assert live[0].iso_code == "SDN"
+    assert json.loads(live[0].geojson)["coordinates"] == real_coords
+    # offline: the marked placeholder, NOT the fixture geometry
+    offline = geo_states.sudan_boundaries(spark, "country").collect()
+    assert json.loads(offline[0].geojson)["coordinates"] != real_coords
+    # fetch failure → placeholder fallback, never an empty relation
+    monkeypatch.setattr(http, "http_get_json", lambda url, settings=None: None)
+    fallback = geo_states.sudan_boundaries(spark, "country", offline=False).collect()
+    assert [r.geojson for r in fallback] == [r.geojson for r in offline]
+
+
+def test_gadm_state_live_fetch_matches_names_and_varnames(spark, monkeypatch):
+    """offline=False at level 1: all 18 canonical rows come back;
+    geometry flows through for NAME_1 matches AND VARNAME_1 matches
+    (GADM spells Gezira/Gedaref differently from ISO); unmatched
+    states carry NULL geometry rather than wrong shapes."""
+    import json
+
+    from duckdb_sudan__spark.geo import states as geo_states
+    from duckdb_sudan__spark.providers import http
+
+    kh_coords = [[[[32.2, 15.2], [32.9, 15.2], [32.9, 16.1], [32.2, 16.1], [32.2, 15.2]]]]
+    gz_coords = [[[[33.0, 14.2], [34.0, 14.2], [34.0, 15.2], [33.0, 14.2]]]]
+    gadm_doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {  # direct NAME_1 match
+                "properties": {"NAME_1": "Khartoum"},
+                "geometry": {"type": "MultiPolygon", "coordinates": kh_coords},
+            },
+            {  # GADM spelling; VARNAME_1 carries the ISO-style name
+                "properties": {"NAME_1": "Gezira", "VARNAME_1": "Al Jazirah|El Gezira"},
+                "geometry": {"type": "MultiPolygon", "coordinates": gz_coords},
+            },
+        ],
+    }
+    monkeypatch.setattr(
+        http, "http_get_json", lambda url, settings=None: gadm_doc if "gadm41_SDN_1" in url else None
+    )
+    live = geo_states.sudan_boundaries(spark, "state", offline=False)
+    rows = {r.iso_code: r for r in live.collect()}
+    assert len(rows) == 18  # always the full canonical state list
+    assert json.loads(rows["SD-KH"].geojson)["coordinates"] == kh_coords
+    assert json.loads(rows["SD-GZ"].geojson)["coordinates"] == gz_coords  # via VARNAME_1
+    assert rows["SD-RS"].geojson is None  # absent from the fixture → no fake shape
+    assert rows["SD-KH"].state_name == "Khartoum"
+    assert rows["SD-GZ"].state_name_ar == "الجزيرة"
