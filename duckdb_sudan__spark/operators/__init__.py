@@ -35,11 +35,13 @@ def load_all() -> None:
         olap2,
         olap3,
         olap4,
+        olap5,
         relational,
         similarity,
         sketches,
         skew,
         text,
+        text2,
         timeseries,
     )
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401

@@ -1,0 +1,408 @@
+"""Fifth wave of relational/OLAP surface (r5): distribution window
+functions, width_bucket histograms, regression aggregates, time_bucket
+parity, Gini diversity, event-transition matrix, and string-distance
+functions.
+
+Reference parity: DuckDB's window/aggregate/string surface available
+to every sudan-extension user (docs/functions.md; the extension rides
+on stock DuckDB SQL, reference src/sudan_extension.cpp:30-44 registers
+only the table functions). Each entry is a JVM-side expression
+pipeline; fp-sensitive outputs are computed with an identical IEEE op
+sequence in the Spark plan and the oracle (decimal-exact sums first,
+then the same double arithmetic), so hashes are bit-stable without
+rounding fudges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# win_distribution — percent_rank / cume_dist / ntile
+# ---------------------------------------------------------------------------
+
+WIN_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, pr, o_orderkey
+"""
+
+
+@register("win_distribution", WIN_DISTRIBUTION_ORACLE)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over one month of orders: ONE
+    window shuffle on o_orderpriority serves all three functions (the
+    ORDER BY total_price, orderkey tiebreak makes rank/ntile total, so
+    results are deterministic). percent_rank = (rank-1)/(n-1) and
+    cume_dist = peers/n are exact double divisions of integers —
+    bit-identical across engines. Scale: the filter is pushed to the
+    parquet scan; the single window partitioning survives 100× (5
+    priority partitions is coarse, but each is a linear pass — and at
+    real scale the month filter bounds the input, not the key count).
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderpriority", "pr", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_width_bucket_hist — equi-width histogram via width_bucket
+# ---------------------------------------------------------------------------
+
+WIDTH_BUCKET_ORACLE = """
+SELECT CASE WHEN l_quantity < 0.0 THEN 0
+            WHEN l_quantity >= 50.0 THEN 11
+            ELSE CAST(FLOOR(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("agg_width_bucket_hist", WIDTH_BUCKET_ORACLE)
+def agg_width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_quantity (10 buckets over [0, 50),
+    Postgres width_bucket semantics: value == hi lands in bucket 11;
+    DuckDB has no width_bucket, so the oracle spells the same
+    floor(v / width) + 1 arithmetic — bit-identical here because the
+    bucket width (50−0)/10 = 5.0 is exact and the quantities are
+    integral doubles). Map-side combine into ≤11 groups — the
+    cheapest possible shuffle — and the price sum is decimal-exact so
+    the double presentation is order-independent. Scale: partial
+    aggregation makes this a pure scan; no skew possible with a
+    closed bucket domain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.width_bucket("l_quantity", F.lit(0.0), F.lit(50.0), F.lit(10)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_regression — least-squares slope/intercept/r² from exact moments
+# ---------------------------------------------------------------------------
+
+_REG_MOMENTS = """
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(qi AS DECIMAL(38,0)))      AS sx,
+         SUM(CAST(ki AS DECIMAL(38,0)))      AS sy,
+         SUM(CAST(qi * qi AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(qi * ki AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(ki * ki AS DECIMAL(38,0))) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS qi,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS ki
+        FROM lineitem)
+  GROUP BY l_returnflag
+"""
+
+_REG_SELECT = """
+SELECT l_returnflag,
+       n AS regr_count,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0
+         AS regr_slope,
+       ((CAST(sy AS DOUBLE) / 100.0)
+        - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0)
+          * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE)
+         AS regr_intercept,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS regr_r2
+FROM m
+ORDER BY l_returnflag
+"""
+
+AGG_REGRESSION_ORACLE = f"WITH m AS ({_REG_MOMENTS})\n{_REG_SELECT}"
+
+
+@register("agg_regression", AGG_REGRESSION_ORACLE)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_slope / regr_intercept / regr_r2 per return flag, DuckDB's
+    regr_* semantics re-derived from DECIMAL-exact moment sums
+    (Σx, Σy, Σx², Σxy, Σy²) so the result is independent of partial-agg
+    order — the built-in double-accumulating regr_* aggs are
+    nondeterministic at the last ulp under parallel reduce, which a
+    hash gate cannot tolerate. The closed-form arithmetic then runs the
+    SAME IEEE op sequence as the oracle. One map-combined shuffle into
+    3 groups; scales as a pure scan.
+
+    The moments are INTEGER-scaled (quantity as-is — it is integral —
+    and price × 100, exact because prices are 2-decimal) and summed as
+    DECIMAL(38,0): a fractional-scale decimal is NOT cross-engine
+    hash-safe here — DuckDB converts double→decimal via a scaled
+    double multiply (y² × 10^scale overflows exact-integer doubles at
+    scale 6) and decimal→double via int128→double THEN ÷10^scale
+    (double rounding once the scaled sum tops 2^53, measured at
+    sf0.1) — whereas an integer sum is converted with a single
+    correctly-rounded step by both engines. The 100× price scale then
+    cancels symbolically in r² and divides out of slope/intercept with
+    the same explicit /100.0 double op on both sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qi = F.round(F.col("l_quantity")).cast("bigint")
+    ki = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = l.select("l_returnflag", qi.alias("qi"), ki.alias("ki"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("qi"), F.col("ki")
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    cov_s = nd * sxy - sx * sy  # n·Σxy − Σx·Σy, price-scale ×100
+    var_xs = nd * sxx - sx * sx
+    var_ys = nd * syy - sy * sy
+    slope = (cov_s / var_xs) / F.lit(100.0)
+    return (
+        m.select(
+            "l_returnflag",
+            F.col("n").alias("regr_count"),
+            slope.alias("regr_slope"),
+            (((sy / F.lit(100.0)) - slope * sx) / nd).alias("regr_intercept"),
+            ((cov_s * cov_s) / (var_xs * var_ys)).alias("regr_r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_time_bucket — DuckDB time_bucket ⇄ Spark epoch-floor arithmetic
+# ---------------------------------------------------------------------------
+
+TS_TIME_BUCKET_ORACLE = """
+SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+"""
+
+
+@register("ts_time_bucket", TS_TIME_BUCKET_ORACLE)
+def ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``time_bucket(INTERVAL 15 MINUTES, ts)`` parity: for
+    sub-day widths DuckDB's bucket origin (2000-01-01) is itself a
+    multiple of 900 s since the Unix epoch, so
+    ``floor(epoch/900)·900`` produces identical bucket boundaries —
+    a pure JVM cast/floor expression, no UDF. One map-combined shuffle
+    on (bucket, type); at 100 TB this is the canonical pre-aggregation
+    shape (bounded key domain per time range). Timestamps keep their
+    sub-second fraction through the double cast, matching DuckDB's
+    epoch()."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.col("ts").cast("double") / F.lit(900.0)) * F.lit(900)).cast("long")
+    ).alias("bucket_start")
+    return (
+        e.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_diversity — Gini impurity of source mix per language
+# ---------------------------------------------------------------------------
+
+AGG_GINI_ORACLE = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS cnt
+  FROM documents
+  GROUP BY lang, source
+), t AS (
+  SELECT lang, SUM(cnt) AS total, COUNT(*) AS n_sources FROM c GROUP BY lang
+)
+SELECT c.lang,
+       MAX(t.n_sources) AS n_sources,
+       1.0 - CAST(SUM(CAST((CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                           * (CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                           AS DECIMAL(20,18))) AS DOUBLE) AS gini
+FROM c JOIN t ON c.lang = t.lang
+GROUP BY c.lang
+ORDER BY c.lang
+"""
+
+
+@register("agg_gini_diversity", AGG_GINI_ORACLE)
+def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity (Gini impurity, 1 − Σp²) of each language's
+    corpus slice — the transcendental-free cousin of DuckDB's
+    ``entropy()`` (ln/log2 are not guaranteed to round identically
+    across libm implementations, so a hash gate needs the polynomial
+    form). Each p² double is exactly rounded, then accumulated as
+    DECIMAL(20,18) so the Σ is order-independent. Two map-combined
+    shuffles over a (lang, source) key domain of a few hundred —
+    scales as a pure scan."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("lang").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy(F.col("lang"))
+        .agg(
+            F.max("n_sources").alias("n_sources"),
+            (F.lit(1.0) - F.sum((p * p).cast("decimal(20,18)")).cast("double")).alias("gini"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_transition_matrix — Markov transitions between event types
+# ---------------------------------------------------------------------------
+
+EV_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, next_type, COUNT(*) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, cnt,
+       CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+@register("ev_transition_matrix", EV_TRANSITION_ORACLE)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lag() within (user_id, ts, event_id) order — the
+    event_id tiebreak makes the sequence total —, count each
+    (prev → next) pair, then normalize rows of the matrix with a
+    window over the tiny pairs relation. One fact shuffle on user_id
+    (the lag window), one map-combined shuffle into ≤|types|² groups,
+    and the normalizing window runs on ≤25 rows. The probability is a
+    single exact double division. Scale: user_id partitioning is the
+    natural session key; no skew beyond a power user's own history."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.sum("cnt").over(wn).cast("double")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# str_distance — levenshtein + character-bigram Jaccard
+# ---------------------------------------------------------------------------
+
+STR_DISTANCE_ORACLE = """
+WITH g AS (
+  SELECT p_partkey, p_name, lower(p_type) AS p_type_lc,
+         list_distinct(list_transform(generate_series(1, length(p_name) - 1),
+                                      i -> substring(p_name, i, 2))) AS bg_a,
+         list_distinct(list_transform(generate_series(1, length(lower(p_type)) - 1),
+                                      i -> substring(lower(p_type), i, 2))) AS bg_b
+  FROM part
+)
+SELECT p_partkey,
+       levenshtein(p_name, p_type_lc) AS lev,
+       CAST(length(list_intersect(bg_a, bg_b)) AS DOUBLE)
+         / CAST(length(list_distinct(list_concat(bg_a, bg_b))) AS DOUBLE) AS bigram_jaccard
+FROM g
+ORDER BY p_partkey
+"""
+
+
+@register("str_distance", STR_DISTANCE_ORACLE)
+def str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance functions over part names: Levenshtein edit
+    distance (JVM built-in on both engines) and character-bigram
+    Jaccard similarity built from the same sequence→substring→distinct
+    expression pipeline DuckDB's list functions express. Map-only —
+    no shuffle except the output sort; the bigram arrays are bounded
+    by name length. The Jaccard ratio is one exact int/int double
+    division. Scale: embarrassingly parallel scan."""
+    p = load_table(spark, sf_dir, "part")
+    # F.substring does not accept a Column start — use expr for the
+    # positional slice so the plan stays a JVM expression.
+    a = F.expr("array_distinct(transform(sequence(1, length(p_name) - 1), i -> substring(p_name, i, 2)))")
+    b = F.expr(
+        "array_distinct(transform(sequence(1, length(lower(p_type)) - 1), i -> substring(lower(p_type), i, 2)))"
+    )
+    g = p.select(
+        "p_partkey",
+        "p_name",
+        F.lower("p_type").alias("p_type_lc"),
+        a.alias("bg_a"),
+        b.alias("bg_b"),
+    )
+    return (
+        g.select(
+            "p_partkey",
+            F.levenshtein("p_name", "p_type_lc").alias("lev"),
+            (
+                F.size(F.array_intersect("bg_a", "bg_b")).cast("double")
+                / F.size(F.array_union("bg_a", "bg_b")).cast("double")
+            ).alias("bigram_jaccard"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -350,7 +350,14 @@ def test_dedup_embedding_is_single_block_shuffle_no_join(spark):
     the label block key feeding the Arrow pairing kernel
     (FlatMapGroupsInPandas), plus the output sort's range exchange —
     the old label self-join (SortMergeJoin + two scans + interpreted
-    cosine HOFs) must not come back."""
+    cosine HOFs) must not come back.
+
+    clearCache first: the operator persist()s its pair relation, so if
+    another test already RAN dedup_embedding in this session the
+    CacheManager substitutes InMemoryTableScan for the parquet scan at
+    compile time and the scan-count assertion becomes order-dependent.
+    """
+    spark.catalog.clearCache()
     nodes = plan_nodes(QUERIES["dedup_embedding"](spark, SF_DIR))
     assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"fact scanned twice: {nodes}"
     assert not any("Join" in n for n in nodes), f"self-join crept back: {nodes}"
