@@ -274,20 +274,24 @@ def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``entropy()`` (ln/log2 are not guaranteed to round identically
     across libm implementations, so a hash gate needs the polynomial
     form). Each p² double is exactly rounded, then accumulated as
-    DECIMAL(20,18) so the Σ is order-independent. Two map-combined
-    shuffles over a (lang, source) key domain of a few hundred —
-    scales as a pure scan."""
+    DECIMAL(20,18) so the Σ is order-independent.
+
+    Single corpus scan: the per-lang totals come from a window over
+    the tiny (lang, source) aggregate, NOT a join back to a second
+    aggregation of the fact — Catalyst does not reuse unpersisted
+    subplans, so the oracle's two-relation join would scan documents
+    twice. One fact shuffle (the counts agg); the window and final
+    agg run on the few-hundred-row counts relation already
+    partitioned by lang."""
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy("lang").agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_sources")
-    )
+    wl = Window.partitionBy("lang")
+    c = c.withColumn("total", F.sum("cnt").over(wl))
     p = F.col("cnt").cast("double") / F.col("total").cast("double")
     return (
-        c.join(F.broadcast(t), "lang")
-        .groupBy(F.col("lang"))
+        c.groupBy("lang")
         .agg(
-            F.max("n_sources").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_sources"),
             (F.lit(1.0) - F.sum((p * p).cast("decimal(20,18)")).cast("double")).alias("gini"),
         )
         .orderBy("lang")

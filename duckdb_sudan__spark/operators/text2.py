@@ -174,26 +174,32 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf·idf with the
     RATIONAL idf ``N/df`` (see module docstring for why not ln —
     ranking by tf·N/df is order-isomorphic to tf·exp(idf_ln) per
-    term-frequency level, and bit-stable). Plan: one (doc, tok)
-    partial-agg shuffle builds tf; df aggregates FROM tf (no second
-    corpus scan — tf's (doc,tok) rows are already distinct so
-    COUNT(*) ≡ COUNT(DISTINCT doc)); the df and N relations broadcast
-    back onto tf; one row_number window on doc_id. Two fact shuffles
-    total (tf agg, doc window). Vocab is bounded (≤ corpus vocab), so
-    the broadcast side stays small even at 100 TB — for open-vocab
-    web text the join flips to shuffle automatically once df exceeds
-    the broadcast threshold."""
+    term-frequency level, and bit-stable).
+
+    ONE corpus scan + one zero-column count scan: the token explode
+    and (doc, tok) partial agg build tf; df comes from a COUNT window
+    over tf partitioned by tok (tf rows are distinct per (doc, tok),
+    so the window count ≡ COUNT(DISTINCT doc)) — NOT from a second
+    aggregation of tf, which Catalyst would recompute from a second
+    full corpus scan + explode. The N relation is a broadcast 1-row
+    count whose parquet scan prunes to zero columns (footer-only).
+    Three fact-sized shuffles (tf agg, tok window, doc window) — the
+    tok window is the skew point for web-scale vocab (stopword
+    tokens); at 100 TB the mitigation is the standard two-phase
+    df pre-agg, traded here for the single-scan plan."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
-    n_rel = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_rel = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wt = Window.partitionBy("tok")
     score = F.col("tf").cast("double") * (
         F.col("n_docs").cast("double") / F.col("df_docs").cast("double")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
     return (
-        tf.join(F.broadcast(df_rel), "tok")
+        tf.withColumn("df_docs", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n_rel))
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w))
@@ -247,53 +253,57 @@ LIMIT 10
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for a fixed 3-term query (k1=1.2,
     b=0.75), with the rational Robertson idf ``(N−df+0.5)/(df+0.5)``
-    (un-logged — module docstring). Per-doc term frequencies come
-    from a filter over the token array — map-only, no corpus explode;
-    corpus stats (N, avgdl) and per-term df are two scalar-sized
-    aggregates broadcast back. The per-doc score sums 3 terms inside
-    one groupBy whose addends are identical doubles on both engines
-    BUT float addition order must still be fixed — the (doc, term)
-    relation is 3 rows per doc and SUM's combine order over 3 values
-    is plan-stable here because each doc's rows land in one partition
-    (term-major build). The final top-10 is a global sort + limit —
-    TakeOrderedAndProject, no full sort at scale."""
+    (un-logged — module docstring).
+
+    ONE corpus scan: a narrow per-doc relation (doc_id, dl, one tf
+    column per query term — array filters, no explode) is persisted,
+    then corpus stats (N, avgdl) AND all per-term dfs come from a
+    single tiny aggregate over it, broadcast back as one row —
+    Catalyst does not reuse unpersisted subplans, so the oracle's
+    multi-CTE formulation would re-scan the corpus per reference.
+    The per-doc score is an explicit t₀+t₁+t₂ expression, fixing the
+    fp addition order by construction (matching the oracle's
+    term-major SUM order), where a SUM over exploded rows would
+    depend on row placement. Top-10 compiles to
+    TakeOrderedAndProject — no global sort materialization. Scale:
+    map-only over the corpus + a scalar broadcast, the minimal shape
+    for fixed-query scoring."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    stats = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (
-            F.sum(F.size("toks")).cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
-    )
-    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
-    tf = d.select(
+    def tf_col(term: str):
+        # closure, NOT a defaulted lambda arg — pyspark HOFs dispatch
+        # on lambda arity, so a 2-param lambda would receive (x, idx)
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    per_doc = d.select(
         "doc_id",
         F.size("toks").alias("dl"),
-        F.explode(terms).alias("term"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
-    )
-    df_rel = tf.groupBy("term").agg(
-        F.count_if(F.col("tf") > 0).cast("double").alias("df_docs")
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
+    ).persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).cast("double").alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
-    contrib = ((F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))) * (
-        (F.col("tf").cast("double") * (k1 + F.lit(1.0)))
-        / (
-            F.col("tf").cast("double")
-            + k1 * (F.lit(1.0) - b + b * (F.col("dl").cast("double") / F.col("avgdl")))
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}")
+        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        return idf * (
+            (tf * (k1 + F.lit(1.0)))
+            / (tf + k1 * (F.lit(1.0) - b + b * (F.col("dl").cast("double") / F.col("avgdl"))))
         )
-    )
+
+    score = contrib(0) + contrib(1) + contrib(2)
     return (
-        tf.join(F.broadcast(df_rel), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id", "dl")
-        .agg(F.sum(contrib).alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", score.alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )

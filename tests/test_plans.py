@@ -400,3 +400,119 @@ def test_series_calendar_broadcasts_tvf_and_pushes_filter(spark):
     nodes = plan_nodes(df)
     assert sum(1 for n in nodes if n == "Scan parquet") == 1
     assert plan.count("Range") >= 1  # the TVF source node
+
+
+# ---------------------------------------------------------------------------
+# r5 wave: olap5 + text2 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_win_distribution_single_window_pushed_filter(spark):
+    """percent_rank/cume_dist/ntile share ONE window shuffle; the month
+    filter reaches the parquet scan."""
+    df = QUERIES["win_distribution"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "Window" in n) == 1, "three functions must share one window"
+    assert shuffle_count(nodes) == 2, f"window + output sort only: {nodes}"
+
+
+def test_width_bucket_hist_is_partial_agg_scan(spark):
+    nodes = plan_nodes(QUERIES["agg_width_bucket_hist"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) == 2  # partial + final
+    assert shuffle_count(nodes) == 2, f"agg + output sort only: {nodes}"
+
+
+def test_regression_is_partial_agg_scan(spark):
+    """The five decimal moment sums ride ONE partial+final aggregate
+    over one scan — no per-moment passes, no window, no join."""
+    nodes = plan_nodes(QUERIES["agg_regression"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) == 2
+    assert shuffle_count(nodes) == 2, f"agg + output sort only: {nodes}"
+
+
+def test_time_bucket_is_partial_agg_scan(spark):
+    nodes = plan_nodes(QUERIES["ts_time_bucket"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert shuffle_count(nodes) == 2, f"agg + output sort only: {nodes}"
+
+
+def test_gini_single_scan_no_join(spark):
+    """Per-lang totals come from a window over the tiny counts
+    relation — the oracle's join-back formulation would scan the
+    corpus twice (Catalyst does not reuse unpersisted subplans)."""
+    nodes = plan_nodes(QUERIES["agg_gini_diversity"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"corpus scanned twice: {nodes}"
+    assert not any("Join" in n for n in nodes)
+    assert shuffle_count(nodes) <= 3, f"counts agg + lang window (+final agg reuse) + sort: {nodes}"
+
+
+def test_transition_matrix_one_fact_window(spark):
+    """One user_id window over the fact; the normalizing window runs
+    after the pairs aggregation (≤ |types|² rows)."""
+    nodes = plan_nodes(QUERIES["ev_transition_matrix"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+    assert sum(1 for n in nodes if "Window" in n) == 2
+    assert shuffle_count(nodes) <= 4
+
+
+def test_str_distance_is_map_only(spark):
+    nodes = plan_nodes(QUERIES["str_distance"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) == 1, f"output sort only: {nodes}"
+
+
+def test_chunk_overlap_is_map_only_generate(spark):
+    """Chunking is explode + slice — one Generate, no shuffle before
+    the output sort."""
+    nodes = plan_nodes(QUERIES["text_chunk_overlap"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if n == "Generate") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) == 1, f"output sort only: {nodes}"
+
+
+def test_pii_scrub_is_map_only(spark):
+    nodes = plan_nodes(QUERIES["text_pii_scrub"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) == 1, f"output sort only: {nodes}"
+
+
+def test_tfidf_one_corpus_scan_plus_footer_count(spark):
+    """df comes from a window over tf (NOT a second aggregation, which
+    would re-scan + re-explode the corpus); the only second scan is
+    the zero-column broadcast N count. Both rank windows get the
+    WindowGroupLimit top-k pushdown."""
+    df = QUERIES["tfidf_topk"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 2, f"corpus re-scanned: {nodes}"
+    assert sum(1 for n in nodes if n == "Generate") == 1, "corpus exploded more than once"
+    plan = plan_of(df)
+    # the N-count scan must be column-pruned to nothing (footer-only)
+    read_schemas = [ln.split("ReadSchema:")[1].strip() for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert any(rs == "struct<>" for rs in read_schemas), f"count scan reads columns: {read_schemas}"
+    assert any("WindowGroupLimit" in n for n in nodes), "top-k pushdown missing"
+
+
+def test_bm25_single_scan_take_ordered(spark):
+    """One corpus scan feeding a persisted narrow per-doc relation;
+    stats are ONE tiny aggregate broadcast back; top-10 is
+    TakeOrderedAndProject, not a global sort."""
+    spark.catalog.clearCache()  # persist()-based plan — see dedup_embedding test
+    nodes = plan_nodes(QUERIES["bm25_rank"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"corpus re-scanned: {nodes}"
+    joins = [n for n in nodes if "Join" in n]
+    assert all("Broadcast" in j for j in joins), f"non-broadcast join: {joins}"
+    assert any("TakeOrderedAndProject" in n for n in nodes), "global sort instead of top-k"
+    assert shuffle_count(nodes) <= 1, f"stats agg only: {nodes}"
