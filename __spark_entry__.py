@@ -123,8 +123,15 @@ def _sudan_oracles() -> dict[str, str]:
 # last driver-green row is r3 (everything NOT in the r4 window), plus
 # the 3 entries NEW in r5 (never driver-checked), plus 2 r4-green
 # regression re-checks whose code changed this round. Union of r5+r4
-# driver-green rows covers all 98 oracled entries with nothing older
-# than two rounds — r6 should rotate back to the 48 r4-green entries.
+# driver-green rows covers all 98 pre-r5 oracled entries with nothing
+# older than two rounds. The 13 entries added LATE in r5 (olap5.py +
+# text2.py: win_distribution, agg_width_bucket_hist, agg_regression,
+# ts_time_bucket, agg_gini_diversity, ev_transition_matrix,
+# str_distance, summarize_stats, win_lead_lag, text_chunk_overlap,
+# text_pii_scrub, tfidf_topk,
+# bm25_rank) don't fit the full window and are oracle-verified locally
+# this round (pytest + CORRECTNESS_LOCAL at sf0.01 AND sf0.1); they are
+# FIRST PRIORITY for the r6 window, then the 48 r4-green entries.
 #   1-10  TPC-H-shape entries, last driver row r3
 #   11-23 analytic/window/setops entries, last driver row r3
 #   24-43 §2.C LLM-pipeline + similarity entries, last driver row r3

@@ -410,3 +410,98 @@ def str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# summarize_stats — SUMMARIZE-style per-column statistics
+# ---------------------------------------------------------------------------
+
+_SUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+SUMMARIZE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n,
+       MIN({c}) AS min_v,
+       MAX({c}) AS max_v,
+       CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+       CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE) AS sum_v
+FROM lineitem"""
+    for c in _SUM_COLS
+) + "\nORDER BY column_name"
+
+
+@register("summarize_stats", SUMMARIZE_ORACLE)
+def summarize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``SUMMARIZE``-style column statistics for the numeric
+    lineitem columns (count / min / max / decimal-exact mean / sum),
+    one output row per column. The oracle spells it as a 4-way UNION
+    (4 scans — DuckDB's own shape for SUMMARIZE); Spark computes ALL
+    columns' stats in ONE partial+final aggregate over ONE scan, then
+    unpivots the single stats row with stack() — the shape that wins
+    at 100 TB, where each extra scan is the cost driver. approx-unique
+    is deliberately omitted: sketch estimates are not cross-engine
+    comparable (sketch_distinct covers that surface with error-bound
+    tests)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _SUM_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            (F.sum(col.cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias(f"{c}__mean"),
+            F.sum(col.cast("decimal(27,6)")).cast("double").alias(f"{c}__sum"),
+        ]
+    one = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__min, {c}__max, {c}__mean, {c}__sum" for c in _SUM_COLS
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_SUM_COLS)}, {stack_args}) AS "
+                "(column_name, n, min_v, max_v, mean_v, sum_v)"
+            )
+        )
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_lead_lag — lead/lag with explicit offsets and defaults
+# ---------------------------------------------------------------------------
+
+WIN_LEAD_LAG_ORACLE = """
+SELECT user_id, event_id,
+       lag(value, 2, -1.0)  OVER w AS lag2_value,
+       lead(value, 3, -1.0) OVER w AS lead3_value,
+       lag(event_type, 1, 'none') OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_lead_lag", WIN_LEAD_LAG_ORACLE)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with non-unit offsets and explicit defaults (the
+    boundary rows take the default, not NULL) over per-user event
+    sequences — one window shuffle on user_id serves all three
+    functions; the (ts, event_id) order is total so frames are
+    deterministic. Values pass through untouched (no fp arithmetic),
+    so hashes are trivially stable. Scale: the canonical sessionized
+    window — partitions by the natural session key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.lag("value", 2, -1.0).over(w).alias("lag2_value"),
+            F.lead("value", 3, -1.0).over(w).alias("lead3_value"),
+            F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -516,3 +516,21 @@ def test_bm25_single_scan_take_ordered(spark):
     assert all("Broadcast" in j for j in joins), f"non-broadcast join: {joins}"
     assert any("TakeOrderedAndProject" in n for n in nodes), "global sort instead of top-k"
     assert shuffle_count(nodes) <= 1, f"stats agg only: {nodes}"
+
+
+def test_summarize_stats_is_one_scan_one_agg(spark):
+    """SUMMARIZE parity computes all four columns' stats in ONE
+    partial+final aggregate over ONE scan and unpivots with stack —
+    the oracle's 4-way UNION shape would scan lineitem four times."""
+    nodes = plan_nodes(QUERIES["summarize_stats"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"per-column scans: {nodes}"
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) == 2
+    assert sum(1 for n in nodes if n == "Generate") == 1  # the stack unpivot
+
+
+def test_win_lead_lag_single_window(spark):
+    nodes = plan_nodes(QUERIES["win_lead_lag"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "Window" in n) == 1, "three functions must share one window"
+    assert shuffle_count(nodes) == 2, f"window + output sort only: {nodes}"
