@@ -154,7 +154,8 @@ oc AS (
   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
   GROUP BY to_date(o_orderdate)
 )
-SELECT cal.d, weekday(cal.d) + 1 AS isodow, COALESCE(oc.n_orders, 0) AS n_orders
+SELECT CAST(cal.d AS TIMESTAMP) AS d, weekday(cal.d) + 1 AS isodow,
+       COALESCE(oc.n_orders, 0) AS n_orders
 FROM cal LEFT JOIN oc ON cal.d = oc.d
 ORDER BY cal.d
 """
@@ -170,7 +171,8 @@ oc AS (
   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
   GROUP BY CAST(o_orderdate AS DATE)
 )
-SELECT cal.d, isodow(cal.d) AS isodow, COALESCE(oc.n_orders, 0) AS n_orders
+SELECT CAST(cal.d AS TIMESTAMP) AS d, isodow(cal.d) AS isodow,
+       COALESCE(oc.n_orders, 0) AS n_orders
 FROM cal LEFT JOIN oc ON cal.d = oc.d
 ORDER BY cal.d
 """
