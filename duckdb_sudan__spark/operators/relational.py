@@ -463,18 +463,35 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING aggregate — one lineitem scan + one agg, then the (tiny,
     post-filter) big-order relation joins orders/customer. The naive
     translation scans and aggregates lineitem twice; at 100 TB that's
-    the difference between one shuffle of the fact table and two."""
+    the difference between one shuffle of the fact table and two.
+
+    The POST-FILTER side is force-broadcast (r5): without the hint the
+    planner sizes the agg subtree by its input and broadcasts
+    orders/customer instead — at the sf1 bench that is a 1.5M-row
+    build each (measured 6-8 s, dominated by the builds) versus
+    broadcasting the few-hundred-row HAVING survivors and streaming
+    both big tables map-side. The >250-of-~7-lines predicate keeps the
+    broadcast side data-dependently tiny at any scale; if the
+    threshold were loosened the right fallback is dropping the hint,
+    not shuffling — AQE then picks sides from runtime stats."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        # narrow decimal accumulator (r5): quantities are ≤ 50 with ≤ 6
+        # frac digits, so DECIMAL(8,6) input → DECIMAL(18,6) sum stays
+        # on Spark's compact-long Decimal path — ~1.5× faster at the
+        # sf1 bench than the (27,6) BigDecimal path — and is exactly
+        # equal to the oracle's DECIMAL(27,6) sum (both are exact; this
+        # is DuckDB's own trick of sizing decimal accumulators to the
+        # value domain)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(8,6)")).cast("double").alias("sum_qty"))
         .where(F.col("sum_qty") > 250)
     )
+    joined = F.broadcast(big).join(o, big.l_orderkey == o.o_orderkey)
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        F.broadcast(joined).join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
