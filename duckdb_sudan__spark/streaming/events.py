@@ -71,6 +71,25 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def time_bucket_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch ts_time_bucket entry: 15-minute
+    tumbling windows per event_type. F.window's bucket boundaries are
+    epoch-aligned exactly like the batch floor(epoch/900)·900, and the
+    value sum uses the same DECIMAL(27,6) accumulator, so a completed
+    stream is row-identical to the batch operator (asserted in
+    tests/test_sources_streaming.py). Watermark bounds state: closed
+    buckets are evicted after 1 hour of event-time."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Gap-based session windows per user (the streaming form of
     ev_sessionize). session_window keeps state per open session only."""
@@ -99,6 +118,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
         events = events_stream(spark, src)
         if which == "tumbling":
             out, mode = tumbling_counts_stream(events), "complete"
+        elif which == "time_bucket":
+            out, mode = time_bucket_stream(events), "complete"
         elif which == "sessionize":
             out, mode = sessionize_stream(events), "complete"
         elif which == "funnel":  # stateful append-mode operator

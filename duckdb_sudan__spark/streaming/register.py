@@ -19,6 +19,11 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "sessionize")
 
 
+@register("stream_time_bucket")  # rows-only: ≡ batch ts_time_bucket (tested)
+def stream_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "time_bucket")
+
+
 @register("stream_funnel")  # rows-only: custom stateful operator (applyInPandasWithState)
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "funnel")

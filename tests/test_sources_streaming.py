@@ -394,3 +394,20 @@ def test_link_or_copy_falls_back_on_oserror(monkeypatch):
         dst = os.path.join(tmp, "b.bin")
         sinks._link_or_copy(src, dst)
         assert open(dst, "rb").read() == b"xyz"
+
+
+def test_stream_time_bucket_matches_batch_exactly(spark):
+    """The 15-minute F.window stream is ROW-IDENTICAL (no rounding) to
+    the batch ts_time_bucket operator: window boundaries are
+    epoch-aligned like floor(epoch/900)·900 and both sides accumulate
+    the value sum as DECIMAL(27,6), so even the double presentation is
+    bit-equal."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    stream_rows = sorted(
+        map(tuple, run_stream_to_memory(spark, SF_DIR, "time_bucket").collect())
+    )
+    batch_rows = sorted(map(tuple, QUERIES["ts_time_bucket"](spark, SF_DIR).collect()))
+    assert stream_rows == batch_rows
