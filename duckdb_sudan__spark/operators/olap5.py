@@ -505,3 +505,106 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_full_outer — FULL OUTER JOIN with COALESCE'd keys
+# ---------------------------------------------------------------------------
+
+JOIN_FULL_OUTER_ORACLE = """
+WITH day_orders AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY 1
+),
+day_urgent AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_urgent
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(a.d, b.d) AS TIMESTAMP) AS d,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(b.n_urgent, 0) AS n_urgent
+FROM day_orders a FULL OUTER JOIN day_urgent b ON a.d = b.d
+ORDER BY d
+"""
+
+
+@register("join_full_outer", JOIN_FULL_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN semantics over two overlapping daily aggregates
+    (Jan-Feb orders vs Feb-Mar urgent orders): unmatched sides
+    survive with COALESCE'd keys and zero-filled measures. Both
+    inputs aggregate before joining, so the outer join runs on
+    day-cardinality relations — the 100 TB rule for outer joins:
+    never full-outer-join two facts, join their pre-aggregates. The
+    day key is emitted as TIMESTAMP (DETERMINISM.md #4: DATE hashes
+    differently per fetch mode)."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    a = (
+        o.where((F.col("o_orderdate") >= ts("1995-01-01")) & (F.col("o_orderdate") < ts("1995-03-01")))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= ts("1995-02-01"))
+            & (F.col("o_orderdate") < ts("1995-04-01"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return (
+        a.join(b, a.d == b.d, "full_outer")
+        .select(
+            F.coalesce(a.d, b.d).cast("timestamp").alias("d"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_filter_clause — SQL:2003 FILTER clause aggregates
+# ---------------------------------------------------------------------------
+
+AGG_FILTER_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_filter_clause", AGG_FILTER_ORACLE)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 ``agg(...) FILTER (WHERE ...)`` parity — four
+    differently-filtered aggregates from ONE scan and ONE
+    partial+final aggregate (Spark SQL supports the FILTER clause
+    natively; the DataFrame twin is conditional aggregation). The
+    alternative — one subquery per predicate — would scan lineitem
+    four times. Decimal-exact taxed sum; filtered COUNTs are exact
+    ints. Pure scan at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.sum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").cast("decimal(27,6)"))
+            ).cast("double").alias("taxed_price"),
+        )
+        .orderBy("l_returnflag")
+    )

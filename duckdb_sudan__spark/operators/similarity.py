@@ -504,3 +504,64 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, "vec_id long, proj array<double>")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_covariance — one-pass distributed PCA (top components)
+# ---------------------------------------------------------------------------
+
+PCA_TOP_K = 8
+
+
+def _pca_partial_moments(iterator):
+    """mapInPandas kernel: per-batch partial moments (n, Σx, X^T X) —
+    each partition reduces its rows to ONE fixed-size (1 + d + d²)
+    record, so the driver only ever merges #partitions records
+    regardless of row count. float64 accumulation."""
+    for pdf in iterator:
+        if len(pdf) == 0:
+            continue
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        d = X.shape[1]
+        yield pd.DataFrame(
+            {
+                "n": [np.int64(len(X))],
+                "sum_x": [X.sum(axis=0).tolist()],
+                "gram": [(X.T @ X).reshape(d * d).tolist()],
+            }
+        )
+
+
+@register("emb_pca_covariance")  # rows-only: eigensolve is not SQL-expressible
+def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus in ONE pass: each
+    partition reduces to partial moments (n, Σx, X^T X) via an Arrow
+    kernel — a fixed-size d²+d+1 record per partition — the driver
+    merges them (#partitions records, a model-sized collect, never
+    rows), forms the covariance C = (G − n·x̄x̄ᵀ)/(n−1), and eigensolves
+    the d×d matrix locally. This is the canonical 100 TB shape for
+    spectral statistics: the cluster does one linear scan with
+    map-side reduction; the O(d³) eigensolve happens once on a 64×64
+    matrix. Output: top-8 components' eigenvalue + explained-variance
+    ratio (property-tested against numpy PCA on the collected corpus
+    at small SF — tests/test_llm_ops.py)."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = e.mapInPandas(
+        _pca_partial_moments, "n long, sum_x array<double>, gram array<double>"
+    ).collect()  # ≤ #partitions fixed-size records — a model object, not data
+    n = sum(p["n"] for p in parts)
+    if n < 2:
+        raise ValueError("emb_pca_covariance: need ≥ 2 vectors")
+    sum_x = np.sum([np.asarray(p["sum_x"]) for p in parts], axis=0)
+    d = sum_x.shape[0]
+    gram = np.sum([np.asarray(p["gram"]).reshape(d, d) for p in parts], axis=0)
+    mean = sum_x / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, _ = np.linalg.eigh(cov)  # ascending
+    evals = evals[::-1]
+    total = float(evals.sum())
+    rows = [
+        (int(i), float(evals[i]), float(evals[i] / total))
+        for i in range(min(PCA_TOP_K, d))
+    ]
+    return spark.createDataFrame(rows, "component int, eigenvalue double, explained_ratio double")

@@ -307,3 +307,62 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_counts — bigram language-model count tables
+# ---------------------------------------------------------------------------
+
+NGRAM_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE lang = 'en'
+), bg AS (
+  SELECT toks[s] AS w1, toks[s + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, length(toks) - 1)) AS s FROM tok)
+), c AS (
+  SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2
+)
+SELECT w1, w2, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS p_mle,
+       COUNT(*) OVER (PARTITION BY w2) AS continuation_types
+FROM c
+ORDER BY w1, w2
+"""
+
+
+@register("ngram_lm_counts", NGRAM_LM_ORACLE)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model count table over the English slice:
+    per-bigram count, MLE conditional probability P(w2|w1) (one exact
+    int/int double division), and the continuation-type count
+    |{w1 : c(w1,w2)>0}| that Kneser-Ney smoothing needs. One corpus
+    scan → map-side bigram explode (sequence over token positions, no
+    self-join) → one (w1,w2) partial-agg shuffle; both normalizing
+    windows run on the aggregated vocab²-bounded relation, not the
+    corpus. At 100 TB this is the canonical count-table shape — the
+    skew cure for stopword-headed w1 partitions is the same two-phase
+    pre-agg the counts already do."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    toks = d.select(F.split("text", " ").alias("toks"))
+    bg = (
+        toks.select(
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("s"), "toks"
+        )
+        .select(
+            F.element_at("toks", F.col("s")).alias("w1"),
+            F.element_at("toks", F.col("s") + 1).alias("w2"),
+        )
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w_w1 = Window.partitionBy("w1")
+    w_w2 = Window.partitionBy("w2")
+    return (
+        c.select(
+            "w1",
+            "w2",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(w_w1).cast("double")).alias("p_mle"),
+            F.count(F.lit(1)).over(w_w2).alias("continuation_types"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -223,3 +223,30 @@ def test_brute_cosine_zero_norm_guard(spark):
     assert all(math.isfinite(r.cos) for r in scored)
     zero_rows = [r for r in scored if r.query_id == 1 or r.neighbor_id == 1]
     assert zero_rows and all(r.cos == 0.0 for r in zero_rows)
+
+
+def test_emb_pca_matches_numpy_exact_pca(spark):
+    """The one-pass partial-moment PCA must agree with a direct numpy
+    PCA over the collected corpus: same top-8 eigenvalues of the
+    sample covariance (rtol 1e-9 — accumulation order differs, values
+    must not) and a valid explained-ratio simplex."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+
+    out = QUERIES["emb_pca_covariance"](spark, SF_DIR).collect()
+    X = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+        ]
+    )
+    cov = np.cov(X, rowvar=False, ddof=1)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert len(out) == 8
+    for r in out:
+        assert np.isclose(r["eigenvalue"], ref[r["component"]], rtol=1e-9)
+    ratios = [r["explained_ratio"] for r in out]
+    assert all(ratios[i] >= ratios[i + 1] for i in range(len(ratios) - 1))
+    assert 0 < sum(ratios) <= 1.0 + 1e-12

@@ -534,3 +534,43 @@ def test_win_lead_lag_single_window(spark):
     assert sum(1 for n in nodes if n == "Scan parquet") == 1
     assert sum(1 for n in nodes if "Window" in n) == 1, "three functions must share one window"
     assert shuffle_count(nodes) == 2, f"window + output sort only: {nodes}"
+
+
+def test_full_outer_join_runs_on_preaggregates(spark):
+    """Both sides aggregate to day cardinality BEFORE the outer join —
+    the join's inputs are Aggregate nodes, never raw scans; date range
+    filters reach both scans."""
+    df = QUERIES["join_full_outer"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    nodes = plan_nodes(df)
+    joins = [n for n in nodes if "Join" in n]
+    assert len(joins) == 1, f"extra joins: {joins}"
+    assert "FullOuter" in plan, "join type is not full outer"
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 4  # partial+final per side
+
+
+def test_filter_clause_is_one_scan_one_agg(spark):
+    """Four differently-filtered aggregates from ONE scan and ONE
+    partial+final aggregate — no per-predicate subquery scans."""
+    nodes = plan_nodes(QUERIES["agg_filter_clause"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"per-predicate scans: {nodes}"
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) == 2
+    assert shuffle_count(nodes) == 2, f"agg + output sort only: {nodes}"
+
+
+def test_ngram_lm_single_scan_windows_on_counts(spark):
+    """One corpus scan + map-side bigram explode; both normalizing
+    windows run AFTER the (w1,w2) aggregation (on the vocab²-bounded
+    counts), never on the exploded corpus."""
+    nodes = plan_nodes(QUERIES["ngram_lm_counts"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if n == "Generate") == 1
+    assert not any("Join" in n for n in nodes)
+    # leaf-first node order: the (w1,w2) aggregation must sit between
+    # the explode and the first window, so the windows see counts
+    gen_i = nodes.index("Generate")
+    agg_i = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
+    win_i = min(i for i, n in enumerate(nodes) if "Window" in n)
+    assert gen_i < agg_i < win_i, f"window runs on the exploded corpus: {nodes}"
