@@ -608,3 +608,58 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# str_try_parse — TRY_CAST error-handling parity
+# ---------------------------------------------------------------------------
+
+STR_TRY_PARSE_ORACLE = """
+WITH raw AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR)
+              WHEN p_partkey % 3 = 1 THEN p_name
+              ELSE '  ' || CAST(p_size * 10 AS VARCHAR) END AS maybe_num,
+         CASE WHEN p_partkey % 2 = 0
+              THEN '1995-0' || CAST((p_partkey % 9) + 1 AS VARCHAR) || '-15'
+              ELSE p_type END AS maybe_date
+  FROM part
+)
+SELECT p_partkey,
+       TRY_CAST(trim(maybe_num) AS INTEGER) AS as_int,
+       CAST(TRY_CAST(maybe_date AS DATE) AS TIMESTAMP) AS as_ts,
+       TRY_CAST(trim(maybe_num) AS INTEGER) IS NULL AS int_failed
+FROM raw
+ORDER BY p_partkey
+"""
+
+
+@register("str_try_parse", STR_TRY_PARSE_ORACLE)
+def str_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST parity — malformed values yield NULL, not errors, on
+    both engines (the ingestion-hardening contract: a 100 TB load
+    must quarantine bad rows, not die on row 3 billion). The probe
+    mixes deterministic valid/invalid numeric and date strings from
+    part columns; dates flow out as TIMESTAMP (DETERMINISM.md #4).
+    Map-only, whole-stage codegen; one output-sort exchange."""
+    p = load_table(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    maybe_num = (
+        F.when(key % 3 == 0, F.col("p_size").cast("string"))
+        .when(key % 3 == 1, F.col("p_name"))
+        .otherwise(F.concat(F.lit("  "), (F.col("p_size") * 10).cast("string")))
+    )
+    maybe_date = F.when(
+        key % 2 == 0,
+        F.concat(F.lit("1995-0"), ((key % 9) + 1).cast("string"), F.lit("-15")),
+    ).otherwise(F.col("p_type"))
+    as_int = F.try_to_number(F.trim(maybe_num), F.lit("999999")).cast("int")
+    return (
+        p.select(
+            "p_partkey",
+            as_int.alias("as_int"),
+            F.try_to_timestamp(maybe_date, F.lit("yyyy-MM-dd")).alias("as_ts"),
+            as_int.isNull().alias("int_failed"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -366,3 +366,66 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_chunk_index — RAG-prep: chunk → fingerprint → dedup flag
+# ---------------------------------------------------------------------------
+
+PIPELINE_CHUNK_INDEX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(length(toks) - 1, 0), {CHUNK_STRIDE})) AS s
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+         CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         length(list_slice(toks, s + 1, s + {CHUNK_SIZE})) AS n_tokens,
+         md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_SIZE}), ' ')) AS chunk_hash
+  FROM e
+)
+SELECT doc_id, chunk_idx, n_tokens, chunk_hash,
+       row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) > 1 AS is_dup
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("pipeline_chunk_index", PIPELINE_CHUNK_INDEX_ORACLE)
+def pipeline_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval-prep pipeline: sliding-window chunking
+    (text_chunk_overlap's shape) → md5 content fingerprint per chunk →
+    exact-duplicate chunk flag via ONE row_number window on the hash
+    (first occurrence by (doc_id, chunk_idx) is canonical, later ones
+    are flagged — what a RAG index build must drop before embedding).
+    One corpus scan, map-side explode+hash, one window shuffle on the
+    hash. The overlap-heavy chunk relation never stores chunk text —
+    only the 32-byte hash — so the shuffled bytes stay small at
+    100 TB; embedding the deduped survivors is the expensive
+    downstream stage this pipeline exists to shrink."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.size(F.slice(F.col("toks"), F.col("s") + 1, CHUNK_SIZE)).alias("n_tokens"),
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("s") + 1, CHUNK_SIZE), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("is_dup", F.row_number().over(w) > 1)
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -574,3 +574,26 @@ def test_ngram_lm_single_scan_windows_on_counts(spark):
     agg_i = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
     win_i = min(i for i, n in enumerate(nodes) if "Window" in n)
     assert gen_i < agg_i < win_i, f"window runs on the exploded corpus: {nodes}"
+
+
+def test_try_parse_is_map_only(spark):
+    nodes = plan_nodes(QUERIES["str_try_parse"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) == 1, f"output sort only: {nodes}"
+
+
+def test_chunk_index_shuffles_hashes_not_text(spark):
+    """The dedup window shuffles on chunk_hash AFTER the chunk text is
+    reduced to its md5 — the shuffled relation must not carry a
+    chunk_text column (overlap-heavy text would multiply shuffle
+    bytes)."""
+    df = QUERIES["pipeline_chunk_index"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if n == "Generate") == 1
+    assert not any("Join" in n for n in nodes)
+    plan = plan_of(df)
+    ex = [seg.splitlines()[0] for seg in plan.split("Arguments: hashpartitioning")[1:]]
+    assert not any("chunk_text" in e for e in ex)
+    assert "chunk_text" not in plan, "chunk text survives into the shuffled relation"
