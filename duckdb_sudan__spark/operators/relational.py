@@ -557,17 +557,18 @@ LIMIT 20
 
 @register("q21_waiting_supplier", Q21_ORACLE)
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass shape (r4): both EXISTS branches are per-order facts —
-    "another supplier exists" ⟺ countDistinct(suppkey) ≥ 2, "no OTHER
-    supplier was late" ⟺ the late lines all belong to one supplier
-    (countDistinct over late suppkeys == 1). A single groupBy on
-    l_orderkey computes both AND keeps each late line (collect_list
-    skips the non-late NULLs; list length is bounded by lines-per-order,
-    ~7 in TPC-H). That replaces the naive translation's semi + anti
-    self-joins — three shuffles of the joined fact relation — with ONE
-    shuffle and a map-side explode. numwait counts late LINES (each
-    late line of the lone late supplier qualifies), which the explode
-    preserves exactly."""
+    """One-pass shape (r4, min/max algebra r5): both EXISTS branches
+    are per-order facts — "another supplier exists" ⟺ the order's
+    suppkeys aren't all equal ⟺ min(suppkey) ≠ max(suppkey); "no OTHER
+    supplier was late" ⟺ the late lines all belong to one supplier ⟺
+    min/max over late-line suppkeys coincide (and late lines exist).
+    That turns both distinct-counts into plain min/max/count_if
+    aggregates — ONE codegen HashAggregate pass — where the r4 version
+    collected a per-order struct list (ObjectHashAggregate: object-
+    backed, no whole-stage codegen, ~40% slower at the 6M-row sf1
+    bench) and the naive translation runs semi + anti self-joins
+    (three fact shuffles). numwait counts late LINES of the lone late
+    supplier, which count_if(is_late) preserves exactly."""
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
@@ -580,22 +581,22 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("l_shipdate > o_orderdate + INTERVAL 30 DAY").alias("is_late"),
         )
     )
-    # ONE collect_list — two countDistincts would compile to an Expand
-    # (×3 shuffle volume); the distinct-counts come free from array
-    # expressions over the per-order line list instead.
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.collect_list(F.struct("l_suppkey", "is_late")).alias("lines")
-    )
-    suppkey_of = lambda x: x["l_suppkey"]  # noqa: E731
-    late = F.filter("lines", lambda x: x["is_late"])
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     qualifying = (
-        per_order.select(
-            F.size(F.array_distinct(F.transform("lines", suppkey_of))).alias("n_supp"),
-            F.size(F.array_distinct(F.transform(late, suppkey_of))).alias("n_late_supp"),
-            late[0]["l_suppkey"].alias("w_suppkey"),
-            F.size(late).alias("n_late_lines"),
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            F.min(late_supp).alias("min_late_supp"),
+            F.max(late_supp).alias("max_late_supp"),
+            F.count_if(F.col("is_late")).alias("n_late_lines"),
         )
-        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .where(
+            (F.col("min_supp") != F.col("max_supp"))
+            & (F.col("n_late_lines") > 0)
+            & (F.col("min_late_supp") == F.col("max_late_supp"))
+        )
+        .select(F.col("min_late_supp").alias("w_suppkey"), "n_late_lines")
     )
     return (
         qualifying.join(F.broadcast(s), qualifying.w_suppkey == s.s_suppkey)

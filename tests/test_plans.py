@@ -323,13 +323,16 @@ def test_q18_scans_lineitem_once(spark):
 
 
 def test_q21_is_one_pass_no_expand(spark):
-    """The r4 one-pass shape: one lineitem scan, one orders scan, the
-    EXISTS logic inside a single collect_list aggregation — no semi or
-    anti self-joins over the fact relation and no multi-countDistinct
-    Expand."""
+    """The r4 one-pass shape, r5 min/max algebra: one lineitem scan,
+    one orders scan, the EXISTS logic as plain min/max/count_if
+    aggregates — no semi or anti self-joins over the fact relation, no
+    multi-countDistinct Expand, and (r5) no object-backed collect_list
+    aggregation: the fact pass must stay inside codegen
+    HashAggregate."""
     nodes = plan_nodes(QUERIES["q21_waiting_supplier"](spark, SF_DIR))
     assert sum(1 for n in nodes if n == "Scan parquet") == 3  # lineitem, orders, supplier
     assert not any("Expand" in n for n in nodes), "multi-distinct Expand crept back"
+    assert not any("ObjectHashAggregate" in n for n in nodes), "object-backed agg crept back"
     joins = [n for n in nodes if "Join" in n]
     assert len(joins) <= 2, f"self-joins crept back: {joins}"
 
