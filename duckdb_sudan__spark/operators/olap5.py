@@ -253,17 +253,14 @@ WITH c AS (
   SELECT lang, source, COUNT(*) AS cnt
   FROM documents
   GROUP BY lang, source
-), t AS (
-  SELECT lang, SUM(cnt) AS total, COUNT(*) AS n_sources FROM c GROUP BY lang
 )
-SELECT c.lang,
-       MAX(t.n_sources) AS n_sources,
-       1.0 - CAST(SUM(CAST((CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
-                           * (CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
-                           AS DECIMAL(20,18))) AS DOUBLE) AS gini
-FROM c JOIN t ON c.lang = t.lang
-GROUP BY c.lang
-ORDER BY c.lang
+SELECT lang,
+       COUNT(*) AS n_sources,
+       1.0 - CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE)
+             / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS gini
+FROM c
+GROUP BY lang
+ORDER BY lang
 """
 
 
@@ -273,26 +270,28 @@ def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus slice — the transcendental-free cousin of DuckDB's
     ``entropy()`` (ln/log2 are not guaranteed to round identically
     across libm implementations, so a hash gate needs the polynomial
-    form). Each p² double is exactly rounded, then accumulated as
-    DECIMAL(20,18) so the Σ is order-independent.
+    form). Because p = cnt/total is rational, Σp² = Σcnt²/total² —
+    both numerator and denominator are EXACT integer sums (DECIMAL(38,0)
+    for the squares), so the whole statistic reduces to one fixed
+    double division with no double→fractional-decimal cast anywhere
+    (the r5-first formulation summed p² as DECIMAL(20,18), which obeys
+    DETERMINISM.md #2 only while p²·10¹⁸ < 2^53 — true for this data,
+    but a single-source-dominated language would cross it).
 
-    Single corpus scan: the per-lang totals come from a window over
-    the tiny (lang, source) aggregate, NOT a join back to a second
-    aggregation of the fact — Catalyst does not reuse unpersisted
-    subplans, so the oracle's two-relation join would scan documents
-    twice. One fact shuffle (the counts agg); the window and final
-    agg run on the few-hundred-row counts relation already
-    partitioned by lang."""
+    Single corpus scan, two map-combined aggregations (counts, then
+    per-lang moments) — no join, no window."""
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
-    wl = Window.partitionBy("lang")
-    c = c.withColumn("total", F.sum("cnt").over(wl))
-    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    cnt = F.col("cnt")
     return (
         c.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sources"),
-            (F.lit(1.0) - F.sum((p * p).cast("decimal(20,18)")).cast("double")).alias("gini"),
+            (
+                F.lit(1.0)
+                - F.sum((cnt * cnt).cast("decimal(38,0)")).cast("double")
+                / (F.sum(cnt).cast("double") * F.sum(cnt).cast("double"))
+            ).alias("gini"),
         )
         .orderBy("lang")
     )
@@ -662,4 +661,51 @@ def str_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_int.isNull().alias("int_failed"),
         )
         .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_time_range_sliding — RANGE-frame sliding aggregates over event time
+# ---------------------------------------------------------------------------
+
+WIN_TIME_RANGE_ORACLE = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_10min,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_10min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("win_time_range_sliding", WIN_TIME_RANGE_ORACLE)
+def win_time_range_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window over EVENT TIME (each row aggregates
+    its user's trailing 10 minutes — value-based frame bounds, not row
+    counts, so bursts widen the frame member set). Spark's DataFrame
+    rangeBetween needs a numeric ORDER BY, so the frame orders by the
+    epoch-second double (`ts` cast — identical fractional seconds to
+    DuckDB's epoch()) with a [-600, 0] range; frame MEMBERSHIP is
+    therefore identical to the oracle's INTERVAL frame. The windowed
+    sum is DECIMAL-exact so in-frame accumulation order can't leak
+    into the hash. One window shuffle on user_id (the session key);
+    ties in ts share a frame in BOTH engines because RANGE frames are
+    peer-inclusive. Scale: the canonical trailing-window fraud/rate
+    metric — partitions by user, no global state."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_10min"),
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("sum_10min"),
+        )
+        .orderBy("user_id", "ts", "event_id")
     )

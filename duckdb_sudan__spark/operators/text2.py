@@ -429,3 +429,76 @@ def pipeline_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.withColumn("is_dup", F.row_number().over(w) > 1)
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mix — temperature-rebalanced language sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_TEMP_MIX_ORACLE = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS total_chars
+  FROM documents GROUP BY lang
+), w AS (
+  -- weight quantized to 1e-6: round(sqrt(n)*1e6) is an exact BIGINT on
+  -- both engines (sqrt and the *1e6 multiply are correctly-rounded IEEE
+  -- ops on identical inputs), so the normalizer is an integer sum --
+  -- no double->fractional-decimal cast (DETERMINISM.md #2)
+  SELECT lang, n_docs, total_chars,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS wti
+  FROM c
+), t AS (
+  SELECT SUM(wti) AS wt_total, SUM(n_docs) AS all_docs FROM w
+)
+SELECT w.lang, w.n_docs, w.total_chars,
+       CAST(w.wti AS DOUBLE) / CAST(t.wt_total AS DOUBLE) AS sample_p,
+       (CAST(w.wti AS DOUBLE) / CAST(t.wt_total AS DOUBLE))
+         / (CAST(w.n_docs AS DOUBLE) / CAST(t.all_docs AS DOUBLE)) AS upweight
+FROM w CROSS JOIN t
+ORDER BY w.lang
+"""
+
+
+@register("sample_temperature_mix", SAMPLE_TEMP_MIX_ORACLE)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced multilingual sampling weights -- the
+    p_i ∝ n_i^α mix (α = 0.5) that upweights low-resource languages
+    in a training mixture. α is fixed at 0.5 BECAUSE n^0.5 is sqrt,
+    the one power IEEE 754 requires to be correctly rounded -- a
+    general pow(n, 0.7) is transcendental and not cross-libm
+    ulp-stable (DETERMINISM.md #1). The weights are quantized to
+    1e-6 (round(sqrt(n)*1e6) as BIGINT -- every op exactly rounded on
+    identical inputs) so the normalizer is an EXACT integer sum;
+    sample_p and the upweight ratio are then fixed-sequence double
+    divisions of exact integers. One map-combined shuffle into
+    |langs| groups + a 1-row broadcast total -- a pure scan at
+    100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double").alias("total_chars"),
+    )
+    w = c.withColumn(
+        "wti",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)).cast("bigint"),
+    )
+    # totals via an unpartitioned window over the |langs|-row aggregate
+    # (a derived t-relation would recompute the agg from a SECOND
+    # corpus scan - Catalyst does not reuse unpersisted subplans)
+    wall = Window.partitionBy()
+    w = w.withColumn("wt_total", F.sum("wti").over(wall)).withColumn(
+        "all_docs", F.sum("n_docs").over(wall)
+    )
+    p = F.col("wti").cast("double") / F.col("wt_total").cast("double")
+    return (
+        w
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            p.alias("sample_p"),
+            (p / (F.col("n_docs").cast("double") / F.col("all_docs").cast("double"))).alias("upweight"),
+        )
+        .orderBy("lang")
+    )

@@ -600,3 +600,25 @@ def test_chunk_index_shuffles_hashes_not_text(spark):
     ex = [seg.splitlines()[0] for seg in plan.split("Arguments: hashpartitioning")[1:]]
     assert not any("chunk_text" in e for e in ex)
     assert "chunk_text" not in plan, "chunk text survives into the shuffled relation"
+
+
+def test_temperature_mix_is_single_scan(spark):
+    """One corpus scan; the normalizer comes from an unpartitioned
+    window over the |langs|-row aggregate (a derived totals relation
+    would recompute the agg from a second scan), and the windowed
+    relation is the post-agg one — the window must appear above the
+    aggregation in leaf-first order."""
+    nodes = plan_nodes(QUERIES["sample_temperature_mix"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"corpus re-scanned: {nodes}"
+    assert not any("Join" in n for n in nodes)
+    agg_i = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
+    win_i = min(i for i, n in enumerate(nodes) if "Window" in n)
+    assert agg_i < win_i, f"window runs on the corpus: {nodes}"
+
+
+def test_time_range_sliding_single_window(spark):
+    nodes = plan_nodes(QUERIES["win_time_range_sliding"](spark, SF_DIR))
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "Window" in n) == 1, "both frame aggs share one window"
+    assert not any("Join" in n for n in nodes)
+    assert shuffle_count(nodes) == 2, f"user window + output sort only: {nodes}"
