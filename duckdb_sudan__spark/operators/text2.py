@@ -472,8 +472,8 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs) so the normalizer is an EXACT integer sum;
     sample_p and the upweight ratio are then fixed-sequence double
     divisions of exact integers. One map-combined shuffle into
-    |langs| groups + a 1-row broadcast total -- a pure scan at
-    100 TB."""
+    |langs| groups; the normalizer is an unpartitioned window over
+    that |langs|-row aggregate -- a pure scan at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
