@@ -250,3 +250,41 @@ def test_emb_pca_matches_numpy_exact_pca(spark):
     ratios = [r["explained_ratio"] for r in out]
     assert all(ratios[i] >= ratios[i + 1] for i in range(len(ratios) - 1))
     assert 0 < sum(ratios) <= 1.0 + 1e-12
+
+
+def test_chunk_overlap_invariants_and_reconstruction(spark):
+    """Semantic correctness of the chunker (the oracle only proves
+    Spark ≡ DuckDB, not that both are right): every chunk except a
+    ragged tail is exactly CHUNK_SIZE tokens; consecutive chunks of a
+    doc overlap by CHUNK_SIZE − CHUNK_STRIDE tokens; and dropping the
+    overlap from every chunk after the first reconstructs the original
+    token stream exactly (no token lost or duplicated)."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.text2 import CHUNK_SIZE, CHUNK_STRIDE
+    from duckdb_sudan__spark.session import load_table
+
+    chunks = QUERIES["text_chunk_overlap"](spark, SF_DIR).collect()
+    originals = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(originals)
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = originals[doc_id]
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        rebuilt: list[str] = []
+        for r in rows:
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert r["n_tokens"] == len(ctoks)
+            if r["chunk_idx"] < len(rows) - 1 and len(toks) >= CHUNK_SIZE:
+                if r["chunk_idx"] * CHUNK_STRIDE + CHUNK_SIZE <= len(toks):
+                    assert len(ctoks) == CHUNK_SIZE
+            rebuilt.extend(ctoks if not rebuilt else ctoks[overlap:] if len(ctoks) >= overlap else [])
+        # tail chunks shorter than the overlap add nothing new — they
+        # are fully contained in the previous window
+        assert rebuilt == toks, f"doc {doc_id}: reconstruction mismatch"
