@@ -124,14 +124,15 @@ def _sudan_oracles() -> dict[str, str]:
 # the 3 entries NEW in r5 (never driver-checked), plus 2 r4-green
 # regression re-checks whose code changed this round. Union of r5+r4
 # driver-green rows covers all 98 pre-r5 oracled entries with nothing
-# older than two rounds. The 20 oracled entries added LATE in r5
+# older than two rounds. The 21 oracled entries added LATE in r5
 # (olap5.py + text2.py: win_distribution, agg_width_bucket_hist,
 # agg_regression, ts_time_bucket, agg_gini_diversity,
 # ev_transition_matrix, str_distance, summarize_stats, win_lead_lag,
 # join_full_outer, agg_filter_clause, str_try_parse,
 # win_time_range_sliding, text_chunk_overlap, text_pii_scrub,
 # tfidf_topk, bm25_rank, ngram_lm_counts, pipeline_chunk_index,
-# sample_temperature_mix) don't fit the full window and are oracle-verified locally
+# sample_temperature_mix, hybrid_search_rrf) don't fit the full window
+# and are oracle-verified locally
 # this round (pytest + CORRECTNESS_LOCAL at sf0.01 AND sf0.1); they are
 # FIRST PRIORITY for the r6 window, then the 48 r4-green entries.
 #   1-10  TPC-H-shape entries, last driver row r3

@@ -502,3 +502,144 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — BM25 ⊕ embedding-cosine via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP_N = 50
+
+_BM25_SCORED_SQL = f"""
+  WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  ), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(length(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+           CAST(count_if(len(list_filter(toks, x -> x = 'data'))  > 0) AS DOUBLE) AS df_0,
+           CAST(count_if(len(list_filter(toks, x -> x = 'query')) > 0) AS DOUBLE) AS df_1,
+           CAST(count_if(len(list_filter(toks, x -> x = 'merge')) > 0) AS DOUBLE) AS df_2
+    FROM docs
+  )
+  SELECT d.doc_id,
+         ((s.n_docs - s.df_0 + 0.5) / (s.df_0 + 0.5))
+           * ((CAST(len(list_filter(d.toks, x -> x = 'data')) AS DOUBLE) * ({BM25_K1} + 1.0))
+              / (CAST(len(list_filter(d.toks, x -> x = 'data')) AS DOUBLE)
+                 + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(length(d.toks) AS DOUBLE) / s.avgdl))))
+         + ((s.n_docs - s.df_1 + 0.5) / (s.df_1 + 0.5))
+           * ((CAST(len(list_filter(d.toks, x -> x = 'query')) AS DOUBLE) * ({BM25_K1} + 1.0))
+              / (CAST(len(list_filter(d.toks, x -> x = 'query')) AS DOUBLE)
+                 + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(length(d.toks) AS DOUBLE) / s.avgdl))))
+         + ((s.n_docs - s.df_2 + 0.5) / (s.df_2 + 0.5))
+           * ((CAST(len(list_filter(d.toks, x -> x = 'merge')) AS DOUBLE) * ({BM25_K1} + 1.0))
+              / (CAST(len(list_filter(d.toks, x -> x = 'merge')) AS DOUBLE)
+                 + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(length(d.toks) AS DOUBLE) / s.avgdl))))
+         AS score
+  FROM docs d CROSS JOIN stats s
+"""
+
+HYBRID_RRF_ORACLE = f"""
+WITH bscored AS ({_BM25_SCORED_SQL}),
+btop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+  FROM bscored
+  QUALIFY rank_bm25 <= {RRF_TOP_N}
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+ctop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_cos
+  FROM cscored
+  QUALIFY rank_cos <= {RRF_TOP_N}
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       b.rank_bm25 AS rank_bm25,
+       c.rank_cos AS rank_cos,
+       COALESCE(1.0 / ({RRF_K} + b.rank_bm25), 0.0)
+         + COALESCE(1.0 / ({RRF_K} + c.rank_cos), 0.0) AS rrf
+FROM btop b FULL OUTER JOIN ctop c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("hybrid_search_rrf", HYBRID_RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the lexical BM25 ranking and the dense
+    embedding-cosine ranking (query = vector 0) fused by reciprocal
+    rank — RRF(d) = Σ 1/(60 + rank_i(d)) over the two top-50 lists,
+    the industry-standard fusion precisely BECAUSE it is rank-based:
+    the only fp math is two exact int divisions added in a fixed
+    order, so heterogeneous score scales (and cross-engine score
+    ulps) cannot perturb the result. Plan: each ranker reduces to a
+    TakeOrdered top-50 before any window touches it — ranks are
+    assigned on 50-row relations, never via an unbounded unpartitioned
+    window over the corpus — then a 50×50 full outer join and a
+    top-10. Scale: both candidate lists are fixed-size model objects;
+    the corpus-side work is the two scans the rankers already do."""
+    from duckdb_sudan__spark.operators.similarity import cosine_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda x: x == F.lit(term))(t))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).cast("double").alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}")
+        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        return idf * (
+            (tf * (k1 + F.lit(1.0)))
+            / (tf + k1 * (F.lit(1.0) - b + b * (F.col("dl").cast("double") / F.col("avgdl"))))
+        )
+
+    bscored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", (contrib(0) + contrib(1) + contrib(2)).alias("score")
+    )
+    btop50 = bscored.orderBy(F.desc("score"), "doc_id").limit(RRF_TOP_N)
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    btop = btop50.select("doc_id", F.row_number().over(wb).alias("rank_bm25"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cscored = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr("embedding", "q_emb"), 6).alias("cos"),
+        )
+    )
+    ctop50 = cscored.orderBy(F.desc("cos"), "doc_id").limit(RRF_TOP_N)
+    wc = Window.orderBy(F.desc("cos"), "doc_id")
+    ctop = ctop50.select("doc_id", F.row_number().over(wc).alias("rank_cos"))
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_cos")), F.lit(0.0))
+    return (
+        btop.join(ctop, "doc_id", "full_outer")
+        .select("doc_id", "rank_bm25", "rank_cos", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

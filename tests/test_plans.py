@@ -622,3 +622,21 @@ def test_time_range_sliding_single_window(spark):
     assert sum(1 for n in nodes if "Window" in n) == 1, "both frame aggs share one window"
     assert not any("Join" in n for n in nodes)
     assert shuffle_count(nodes) == 2, f"user window + output sort only: {nodes}"
+
+
+def test_hybrid_rrf_ranks_assigned_after_takeordered(spark):
+    """Each ranker reduces to a TakeOrdered top-50 BEFORE any window —
+    ranks are assigned on 50-row relations, never by an unbounded
+    unpartitioned window over the corpus; the fusion join and final
+    top-10 run on fixed-size lists."""
+    spark.catalog.clearCache()  # the bm25 per-doc relation persist()s
+    df = QUERIES["hybrid_search_rrf"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    takes = [n for n in nodes if "TakeOrderedAndProject" in n]
+    assert len(takes) >= 3, f"top-k must be TakeOrdered (2 rankers + fusion): {nodes}"
+    # every Window node must sit above a TakeOrdered in leaf-first order
+    win_is = [i for i, n in enumerate(nodes) if "Window" in n]
+    take_is = [i for i, n in enumerate(nodes) if "TakeOrderedAndProject" in n]
+    assert win_is and all(any(t < w for t in take_is) for w in win_is), (
+        f"a rank window runs before its TakeOrdered prune: {nodes}"
+    )
