@@ -66,8 +66,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("s")
     chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK_SIZE)
     return (
-        base.select("doc_id", "toks")
-        .select("doc_id", "toks", starts)
+        base.select("doc_id", "toks", starts)
         .select(
             "doc_id",
             (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
@@ -268,9 +267,22 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort materialization. Scale:
     map-only over the corpus + a scalar broadcast, the minimal shape
     for fixed-query scoring."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scorer (bm25_rank + hybrid_search_rrf): returns the
+    (doc_id, dl, score) relation. One corpus scan into a persisted
+    narrow per-doc tf relation; stats broadcast back as one row; the
+    score is the fixed-order t₀+t₁+t₂ expression."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+
     def tf_col(term: str):
         # closure, NOT a defaulted lambda arg — pyspark HOFs dispatch
         # on lambda arity, so a 2-param lambda would receive (x, idx)
@@ -301,11 +313,8 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     score = contrib(0) + contrib(1) + contrib(2)
-    return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", score.alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(10)
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", score.alias("score")
     )
 
 
@@ -584,39 +593,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-side work is the two scans the rankers already do."""
     from duckdb_sudan__spark.operators.similarity import cosine_expr
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    per_doc = d.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        *[
-            F.size(F.filter("toks", (lambda term: lambda x: x == F.lit(term))(t))).alias(f"tf_{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ],
-    ).persist()
-    stats = per_doc.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
-        *[
-            F.count_if(F.col(f"tf_{i}") > 0).cast("double").alias(f"df_{i}")
-            for i in range(len(BM25_TERMS))
-        ],
-    )
-    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
-
-    def contrib(i: int):
-        tf = F.col(f"tf_{i}").cast("double")
-        df = F.col(f"df_{i}")
-        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
-        return idf * (
-            (tf * (k1 + F.lit(1.0)))
-            / (tf + k1 * (F.lit(1.0) - b + b * (F.col("dl").cast("double") / F.col("avgdl"))))
-        )
-
-    bscored = per_doc.crossJoin(F.broadcast(stats)).select(
-        "doc_id", (contrib(0) + contrib(1) + contrib(2)).alias("score")
-    )
+    bscored = _bm25_scored(spark, sf_dir).select("doc_id", "score")
     btop50 = bscored.orderBy(F.desc("score"), "doc_id").limit(RRF_TOP_N)
     wb = Window.orderBy(F.desc("score"), "doc_id")
     btop = btop50.select("doc_id", F.row_number().over(wb).alias("rank_bm25"))
