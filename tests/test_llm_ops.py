@@ -288,3 +288,40 @@ def test_chunk_overlap_invariants_and_reconstruction(spark):
         # tail chunks shorter than the overlap add nothing new — they
         # are fully contained in the previous window
         assert rebuilt == toks, f"doc {doc_id}: reconstruction mismatch"
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """The BM25 entry must agree with an independent from-scratch
+    Python implementation of Robertson BM25 (rational idf variant) on
+    the real corpus — the DuckDB oracle only proves both ENGINES run
+    the same formula, not that the formula is BM25."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.text2 import BM25_B, BM25_K1, BM25_TERMS
+    from duckdb_sudan__spark.session import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: float(sum(1 for toks in docs.values() if t in toks)) for t in BM25_TERMS}
+
+    def score(toks):
+        s = 0.0
+        for t in BM25_TERMS:
+            tf = float(toks.count(t))
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(toks) / avgdl))
+            )
+        return s
+
+    expected = sorted(
+        ((score(toks), doc_id) for doc_id, toks in docs.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    got = QUERIES["bm25_rank"](spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in expected]
+    for r, (s, _) in zip(got, expected):
+        assert abs(r["score"] - s) < 1e-9 * max(1.0, abs(s))
