@@ -19,3 +19,33 @@ def test_query_matches_oracle(spark, duck, key):
     df = QUERIES[key](spark, SF_DIR)
     assert_matches_oracle(df, duck, ORACLES[key])
     assert df.count() >= 0
+
+
+def test_regression_matches_numpy_reference(spark, duck):
+    """agg_regression's closed-form slope/intercept/r2 must match a
+    from-scratch numpy least-squares on the collected data (rtol 1e-9)
+    — the oracle only proves both engines run the same arithmetic."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+
+    rows = QUERIES["agg_regression"](spark, SF_DIR).collect()
+    data = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in data:
+        by_flag.setdefault(r["l_returnflag"], []).append((r["l_quantity"], r["l_extendedprice"]))
+    assert len(rows) == len(by_flag)
+    for r in rows:
+        xy = np.asarray(by_flag[r["l_returnflag"]], dtype=np.float64)
+        x, y = xy[:, 0], xy[:, 1]
+        slope, intercept = np.polyfit(x, y, 1)
+        corr = np.corrcoef(x, y)[0, 1]
+        assert r["regr_count"] == len(x)
+        assert np.isclose(r["regr_slope"], slope, rtol=1e-9)
+        assert np.isclose(r["regr_intercept"], intercept, rtol=1e-9)
+        assert np.isclose(r["regr_r2"], corr * corr, rtol=1e-9)
