@@ -325,3 +325,59 @@ def test_bm25_matches_pure_python_reference(spark):
     assert [r["doc_id"] for r in got] == [d for _, d in expected]
     for r, (s, _) in zip(got, expected):
         assert abs(r["score"] - s) < 1e-9 * max(1.0, abs(s))
+
+
+def test_tfidf_matches_pure_python_reference(spark):
+    """tfidf_topk's top-3 terms per doc must match an independent
+    Python tf·(N/df) computation with the same (score desc, token asc)
+    tie-break."""
+    from collections import Counter
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    n = float(len(docs))
+    df: Counter = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    expected = {}
+    for doc_id, toks in docs.items():
+        tf = Counter(toks)
+        scored = sorted(
+            ((float(c) * (n / float(df[t])), t, c) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        expected[doc_id] = [(t, c, s) for s, t, c in scored]
+    got: dict[int, list] = {}
+    for r in QUERIES["tfidf_topk"](spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], []).append((r["tok"], r["tf"], r["score"]))
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert [(t, c) for t, c, _ in expected[doc_id]] == [(t, c) for t, c, _ in got[doc_id]]
+        for (_, _, se), (_, _, sg) in zip(expected[doc_id], got[doc_id]):
+            assert abs(se - sg) < 1e-9 * max(1.0, abs(se))
+
+
+def test_gini_matches_pure_python_reference(spark):
+    """agg_gini_diversity must equal 1 − Σ(cnt/total)² computed
+    independently in Python per language."""
+    from collections import Counter
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+
+    rows = load_table(spark, SF_DIR, "documents").select("lang", "source").collect()
+    per_lang: dict[str, Counter] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], Counter())[r["source"]] += 1
+    got = {r["lang"]: r for r in QUERIES["agg_gini_diversity"](spark, SF_DIR).collect()}
+    assert set(got) == set(per_lang)
+    for lang, counts in per_lang.items():
+        total = sum(counts.values())
+        gini = 1.0 - sum((c / total) ** 2 for c in counts.values())
+        assert got[lang]["n_sources"] == len(counts)
+        assert abs(got[lang]["gini"] - gini) < 1e-12
