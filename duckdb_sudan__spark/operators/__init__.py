@@ -36,6 +36,7 @@ def load_all() -> None:
         olap3,
         olap4,
         olap5,
+        olap6,
         relational,
         similarity,
         sketches,

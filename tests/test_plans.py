@@ -640,3 +640,91 @@ def test_hybrid_rrf_ranks_assigned_after_takeordered(spark):
     assert win_is and all(any(t < w for t in take_is) for w in win_is), (
         f"a rank window runs before its TakeOrdered prune: {nodes}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r5c wave: olap6 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_mode_quantile_windows_run_on_counts(spark):
+    """ONE fact scan feeds the (flag, qty) partial agg; every window
+    (total, cumulative, mode rank) runs on the ≤150-row count relation,
+    never on the fact table."""
+    df = QUERIES["agg_mode_quantile"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"fact scanned twice: {nodes}"
+    assert not any("Join" in n for n in nodes)
+    # counts partial+final, then the final per-flag agg partial+final
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 4
+    # windows must sit above the first aggregate pair (leaf-first order)
+    first_agg = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
+    assert all(i > first_agg for i, n in enumerate(nodes) if "Window" in n)
+
+
+def test_running_distinct_two_windows_no_join(spark):
+    """The COUNT(DISTINCT) OVER emulation is two windows — (user,type)
+    first-seen flag, then (user) running sum — with no join and no
+    aggregate; the user filter reaches the scan as a pushed filter."""
+    df = QUERIES["win_running_distinct"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Aggregate" in n) for n in nodes)
+    assert sum(1 for n in nodes if "Window" in n) == 2
+    assert shuffle_count(nodes) <= 3, f"two windows + output sort only: {nodes}"
+
+
+def test_semi_anti_join_types_in_plan(spark):
+    """The plan must carry genuine LeftSemi and LeftAnti joins (never a
+    row-multiplying inner join + dedup), the 1995 order filter must
+    reach the orders scan, and the ≤25-row nation/aggregate joins must
+    broadcast."""
+    df = QUERIES["join_semi_anti"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, "semi join must plan as LeftSemi"
+    assert "LeftAnti" in plan, "anti join must plan as LeftAnti"
+    assert "BroadcastHashJoin" in plan
+    pushed = [s.splitlines()[0] for s in plan.split("PushedFilters:")[1:]]
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), f"1995 range not pushed: {pushed}"
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_id_is_one_pass_expand(spark):
+    """GROUPING SETS compiles to ONE Expand + one partial/final agg
+    pair over a single fact scan — not a UNION of per-level scans."""
+    df = QUERIES["grouping_id_sets"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, f"per-level rescans: {nodes}"
+    assert any(n == "Expand" for n in nodes)
+    assert not any("Join" in n for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) == 2
+
+
+def test_asof_forward_is_union_window_not_range_join(spark):
+    """The forward as-of is the union-marker window: two pushed-filter
+    scans union into ONE per-user window — no join node, so the
+    quadratic per-user pair blowup the oracle's range join implies
+    never materializes."""
+    df = QUERIES["ev_asof_forward"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any(n == "Union" for n in nodes)
+    assert not any("Join" in n for n in nodes), f"range join crept in: {nodes}"
+    assert sum(1 for n in nodes if "Window" in n) == 1
+    assert shuffle_count(nodes) <= 2, f"user window + output sort only: {nodes}"
+    plan = plan_of(df)
+    assert "event_type" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_histogram_serializes_count_relation(spark):
+    """histogram() parity aggregates the fact ONCE into (flag, qty)
+    counts (hash partial+final); only the domain-bounded count relation
+    reaches the collect_list serialization aggregate."""
+    df = QUERIES["agg_histogram"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2
+    # the list-building agg exists and sits above the count agg
+    obj_is = [i for i, n in enumerate(nodes) if "ObjectHashAggregate" in n or "SortAggregate" in n]
+    hash_is = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
+    assert obj_is and min(obj_is) > min(hash_is)
