@@ -43,6 +43,7 @@ def load_all() -> None:
         skew,
         text,
         text2,
+        text3,
         timeseries,
     )
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401

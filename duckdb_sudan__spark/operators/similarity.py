@@ -565,3 +565,99 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(min(PCA_TOP_K, d))
     ]
     return spark.createDataFrame(rows, "component int, eigenvalue double, explained_ratio double")
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_graph — k-nearest-neighbor graph within label cells
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+KNN_GRAPH_ORACLE = f"""
+SELECT id_a, id_b, cos, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+           b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+WHERE rn <= {KNN_K}
+ORDER BY id_a, rank
+"""
+
+
+def _emb_block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """In-block k-NN candidate kernel: for every vector, the raw-cosine
+    top-K neighbors within its label cell, with a 2e-6 slack band so
+    the JVM-side round(.,6) + (cos DESC, id) window can settle rounded
+    near-ties exactly like the oracle does (rounding moves a value by
+    at most 5e-7, so any pair whose ROUNDED order could differ from
+    the RAW order lies within the band and is emitted for the window
+    to re-rank — final ranking never happens Python-side, per
+    DETERMINISM.md rule 5). Same `_foldmul_acc` fp-fold as
+    dedup_embedding, so the doubles are bit-identical to
+    list_cosine_similarity's. Chunked like `_emb_block_pairs`: the
+    slab is chunk×n, never n×n."""
+    empty = pd.DataFrame(
+        {"id_a": np.array([], dtype=np.int64),
+         "id_b": np.array([], dtype=np.int64),
+         "cos": np.array([], dtype=np.float64)}
+    )
+    if len(pdf) < 2:
+        return empty
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.sqrt(_fold_sq_norm(X))
+    n = len(ids)
+    frames = []
+    chunk = max(1, (8 << 20) // max(n, 1))
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        dots = _foldmul_acc(X[lo:hi], X)
+        denom = norms[lo:hi, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
+        # self-similarity must never win a top-k slot
+        for r in range(lo, hi):
+            cos[r - lo, r] = -np.inf
+        k = min(KNN_K, n - 1)
+        # k-th largest raw cosine per row, then keep the slack band
+        kth = np.partition(cos, n - k, axis=1)[:, n - k]
+        keep = cos >= (kth - 2e-6)[:, None]
+        ii, jj = np.nonzero(keep)
+        frames.append(pd.DataFrame(
+            {"id_a": ids[ii + lo].astype(np.int64),
+             "id_b": ids[jj].astype(np.int64),
+             "cos": cos[ii, jj]}
+        ))
+    return pd.concat(frames, ignore_index=True) if frames else empty
+
+
+@register("emb_knn_graph", KNN_GRAPH_ORACLE)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction — the neighborhood structure that feeds
+    graph-based dedup clustering, kNN-classification of unlabeled
+    docs, and diversity sampling. Neighbors are found WITHIN label
+    cells (the IVF posture: at 100 TB the cell assignment is the
+    coarse quantizer and each cell's graph is built independently —
+    an all-pairs global graph is never materialized).
+
+    Plan: ONE shuffle on the label key, Arrow-batched Gram-matrix
+    kernel per cell emitting only top-K(+slack) candidates (~K rows
+    per vector, not n²), then the exact JVM round + per-vector window
+    re-ranks candidates into the final top-K. The window input is
+    K-bounded per vector, so its shuffle moves ~K·n tiny rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), "id_b")
+    return (
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_emb_block_knn, "id_a long, id_b long, cos double")
+        .withColumn("cos", F.round(F.col("cos"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= KNN_K)
+        .orderBy("id_a", "rank")
+    )

@@ -728,3 +728,75 @@ def test_histogram_serializes_count_relation(spark):
     obj_is = [i for i, n in enumerate(nodes) if "ObjectHashAggregate" in n or "SortAggregate" in n]
     hash_is = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
     assert obj_is and min(obj_is) > min(hash_is)
+
+
+# ---------------------------------------------------------------------------
+# r5c wave: text3 + knn plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_lm_oov_join_runs_on_distinct_vocab(spark):
+    """The train side must reduce to a DISTINCT (lang,w1,w2) aggregate
+    BEFORE the join (vocab²-bounded build side), the bigram explode is
+    a map-side Generate (no self-join), and nothing degenerates to a
+    cartesian product."""
+    df = QUERIES["lm_oov_rate"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "Generate" in n) >= 2  # explode per split
+    join_is = [i for i, n in enumerate(nodes) if "Join" in n]
+    agg_is = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
+    assert join_is and agg_is and min(agg_is) < min(join_is), (
+        f"train DISTINCT must pre-aggregate below the join: {nodes}"
+    )
+
+
+def test_decontaminate_substring_broadcasts_probes(spark):
+    """Substring containment has no equi-key: the plan must be a
+    BroadcastNestedLoopJoin with the (tiny, eval-bounded) probe side
+    broadcast — the corpus side streams with zero shuffle before the
+    output sort."""
+    df = QUERIES["decontaminate_substring"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    nodes = plan_nodes(df)
+    assert shuffle_count(nodes) <= 1, f"corpus must not shuffle: {nodes}"
+
+
+def test_dedup_doc_prefix_single_scan_partial_agg(spark):
+    """Prefix dedup is ONE scan + one hash shuffle on the 32-hex key;
+    text never crosses the exchange (only the md5 key does)."""
+    df = QUERIES["dedup_doc_prefix"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    plan = plan_of(df)
+    exchanges = [s for s in plan.split("\n\n") if s.startswith("(") and "Exchange" in s.splitlines()[0]]
+    for ex in exchanges:
+        assert "text" not in ex, f"full text shuffled: {ex}"
+
+
+def test_shard_assign_is_single_scan_16_groups(spark):
+    df = QUERIES["dataset_shard_assign"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2  # partial + final
+
+
+def test_knn_graph_is_block_kernel_plus_bounded_window(spark):
+    """k-NN graph: one embeddings scan into the per-label Arrow kernel
+    (no join — the n² pair set never materializes as rows), then ONE
+    window over the K-bounded candidate relation."""
+    df = QUERIES["emb_knn_graph"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes), f"self-join crept in: {nodes}"
+    assert any("FlatMapGroupsInPandas" in n for n in nodes)
+    assert sum(1 for n in nodes if n == "Window") == 1
+    # Spark's rank-limit pushdown prunes to top-K per group BEFORE and
+    # AFTER the window exchange — keep that optimization pinned
+    assert any(n == "WindowGroupLimit" for n in nodes)
+    assert shuffle_count(nodes) <= 3, f"block + window + sort only: {nodes}"

@@ -229,3 +229,67 @@ def test_gram_matrix_pairs_equal_naive_set_loop(docs):
             if jac >= JACCARD_TAU:
                 want[(i, j)] = jac
     assert got_pairs == want
+
+
+from duckdb_sudan__spark.operators.similarity import KNN_K, _emb_block_knn  # noqa: E402
+
+
+def _guarded_fold_cos(a, b):
+    """Scalar left-fold cosine with the kernel's zero-norm guard
+    (cos = 0.0 when either norm is 0, never NaN)."""
+    import math
+
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom != 0.0 else 0.0
+
+
+@given(
+    st.integers(min_value=1, max_value=6).flatmap(
+        lambda dim: st.lists(
+            st.lists(
+                st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=0,
+            max_size=10,
+        )
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_emb_block_knn_selection_equals_full_rerank(vecs):
+    """Ranking the kernel's slack-band candidates (round→desc,
+    id-tiebreak→top-K) must select EXACTLY the same neighbor set, in
+    the same order, as ranking ALL pairs — i.e. the band never drops a
+    candidate the rounded ordering could promote — and every emitted
+    raw cosine must be bit-identical to the scalar fold."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": vecs}
+    )
+    out = _emb_block_knn(pdf)
+    got = {
+        (int(a), int(b)): c for a, b, c in out.itertuples(index=False, name=None)
+    }
+    for (i, j), c in got.items():
+        ref = _guarded_fold_cos(vecs[i], vecs[j])
+        assert np.float64(c) == np.float64(ref), ((i, j), c, ref)
+
+    def topk(cands):
+        ranked = sorted(cands, key=lambda jc: (-round(jc[1], 6), jc[0]))
+        return [j for j, _ in ranked[:KNN_K]]
+
+    for i in range(len(vecs)):
+        full = [(j, _guarded_fold_cos(vecs[i], vecs[j])) for j in range(len(vecs)) if j != i]
+        if not full:
+            continue
+        mine = [(j, c) for (a, j), c in got.items() if a == i]
+        assert topk(mine) == topk(full), (i, sorted(mine), sorted(full))
