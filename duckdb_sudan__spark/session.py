@@ -43,11 +43,19 @@ def get_spark(app_name: str = "duckdb_sudan__spark", shuffle_partitions: int | N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the 64 MB advisory size instead of keeping one
-        # partition per core — tiny shuffles collapse to few tasks
-        # (per-stage overhead), huge shuffles still split by size;
-        # this is the Spark-docs-recommended production setting
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-first coalescing (Spark's default, kept explicit
+        # after measurement): r2 set this to false so tiny shuffles
+        # collapse toward the 64 MB advisory, but that setting
+        # serializes MEDIUM shuffles — the sf1 bench's 1.5M-key q18
+        # aggregate writes a 24 MB shuffle that false+64m coalesced to
+        # ONE reducer (3.45 s final agg on one core; 0.57 s with
+        # parallelism-first — measured r5, and the full sf0.1 headline
+        # set is 10.4 s vs 13.7 s). With parallelism-first, AQE still
+        # merges sub-advisory partitions but never below default
+        # parallelism, so every core stays busy at bench scale AND at
+        # cluster scale; the advisory continues to bound partition
+        # size for genuinely large shuffles.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
