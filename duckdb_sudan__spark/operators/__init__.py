@@ -37,6 +37,7 @@ def load_all() -> None:
         olap4,
         olap5,
         olap6,
+        olap7,
         relational,
         similarity,
         sketches,

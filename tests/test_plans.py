@@ -800,3 +800,41 @@ def test_knn_graph_is_block_kernel_plus_bounded_window(spark):
     # AFTER the window exchange — keep that optimization pinned
     assert any(n == "WindowGroupLimit" for n in nodes)
     assert shuffle_count(nodes) <= 3, f"block + window + sort only: {nodes}"
+
+
+# ---------------------------------------------------------------------------
+# r5c wave: olap7 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_ignore_nulls_windows_share_one_shuffle(spark):
+    """lag/lead IGNORE NULLS emulation: both frame windows partition on
+    user_id, so ONE window exchange serves both directions."""
+    df = QUERIES["win_ignore_nulls"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) <= 2, f"one user window + output sort only: {nodes}"
+
+
+def test_regex_extract_all_is_map_only(spark):
+    df = QUERIES["str_regex_extract_all"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) <= 1, f"output sort only: {nodes}"
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ... LIMIT 2 subquery must decorrelate into the
+    two-phase WindowGroupLimit top-k + ONE customer shuffle + a
+    broadcast nation join — never a per-outer-row re-execution or a
+    cartesian product."""
+    df = QUERIES["join_lateral_topn"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    nodes = plan_nodes(df)
+    wgl = [n for n in nodes if n == "WindowGroupLimit"]
+    assert len(wgl) >= 2, f"two-phase rank-limit pushdown missing: {nodes}"
+    assert shuffle_count(nodes) <= 2, f"customer shuffle + output sort only: {nodes}"
