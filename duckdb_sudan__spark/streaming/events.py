@@ -130,6 +130,12 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
             out, mode = funnel_tws_stream(events), "append"
+        elif which == "sessionize_tws":  # transformWithStateInPandas tier
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+            out, mode = sessionize_tws_stream(events), "append"
         elif which == "attribution":  # stream-stream interval self-join
             out, mode = attribution_join_stream(events), "append"
         else:  # dedup — watermarked drop-duplicates
@@ -350,6 +356,117 @@ def funnel_tws_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
         .transformWithStateInPandas(
             statefulProcessor=_make_funnel_processor(),
             outputStructType=FUNNEL_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: gap-based sessionization via
+# transformWithStateInPandas — exercises the typed-state tier on a
+# DIFFERENT state shape than the funnel (an open-session accumulator
+# that both emits and carries across batches). Emission contract:
+# a session is emitted when the event that CLOSES it (same user,
+# gap exceeded) is observed in-stream; each user's final open session
+# stays in state — in production the event-time timer flushes it when
+# the watermark passes session_end + gap, but a bounded replay's
+# watermark never passes the tail, so the batch-equivalence test
+# compares against batch sessions that HAVE a successor (the exact
+# same contract, spelled in tests/test_sources_streaming.py).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        # Σ round(value·1e6) per event — an integer accumulator, so the
+        # sum is identical in ANY accumulation order (a raw double sum
+        # would differ from the batch plan's at the last ulp)
+        T.StructField("value_micros", T.LongType()),
+    ]
+)
+
+SESSION_TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_micros", T.LongType()),
+    ]
+)
+
+
+def _make_session_processor():
+    """Lazy import, same pattern as _make_funnel_processor."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("open_session", SESSION_TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            open_s = self._state.get() if self._state.exists() else None
+            chunks = [c for c in rows if len(c)]
+            if not chunks:
+                if open_s is not None:
+                    self._state.update(tuple(open_s))
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            # (ts, event_id) = the batch plan's total order, so gap
+            # decisions are identical event-for-event
+            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+            us = (
+                pdf["ts"].astype("int64") // 1000
+                if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+                else pdf["ts"].astype("int64")
+            )
+            vmic = pdf["value"].to_numpy() * 1e6
+            out = []
+            for t_us, vm in zip(us, vmic.round().astype("int64")):
+                t_us = int(t_us)
+                if open_s is None:
+                    open_s = [t_us, t_us, 1, int(vm)]
+                elif t_us - open_s[1] > SESSION_GAP_US:  # gap exceeded → close
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "session_start": pd.Timestamp(open_s[0], unit="us"),
+                            "session_end": pd.Timestamp(open_s[1], unit="us"),
+                            "n_events": open_s[2],
+                            "value_micros": open_s[3],
+                        }
+                    )
+                    open_s = [t_us, t_us, 1, int(vm)]
+                else:
+                    open_s[1] = t_us
+                    open_s[2] += 1
+                    open_s[3] += int(vm)
+            self._state.update(tuple(open_s))
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def sessionize_tws_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """transformWithStateInPandas sessionizer — the typed-state twin of
+    session_window sessionization, with the emit-on-close contract
+    documented above."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_session_processor(),
+            outputStructType=SESSION_TWS_OUT_SCHEMA,
             outputMode="append",
             timeMode="none",
         )

@@ -66,6 +66,10 @@ def _register_tws_tier() -> bool:
     def stream_funnel_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_stream_to_memory(spark, sf_dir, "funnel_tws")
 
+    @register("stream_sessionize_tws")  # rows-only: typed-state sessionizer
+    def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_stream_to_memory(spark, sf_dir, "sessionize_tws")
+
     return True
 
 

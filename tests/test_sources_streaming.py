@@ -411,3 +411,65 @@ def test_stream_time_bucket_matches_batch_exactly(spark):
     )
     batch_rows = sorted(map(tuple, QUERIES["ts_time_bucket"](spark, SF_DIR).collect()))
     assert stream_rows == batch_rows
+
+
+def test_sessionize_tws_matches_batch_closed_sessions(spark):
+    """The transformWithStateInPandas sessionizer must emit EXACTLY the
+    batch gap-sessions that are closed by a later event of the same
+    user (the emit-on-close contract: each user's final open session
+    stays in state awaiting a watermark flush a bounded replay never
+    reaches). Expected sessions are computed by an independent pandas
+    reference — same (ts, event_id) order, same strict > gap rule, same
+    integer-micros value accumulator — with each user's LAST session
+    dropped."""
+    import pandas as pd
+    import pytest
+
+    from duckdb_sudan__spark.vendor import ensure_protobuf_path
+
+    if not ensure_protobuf_path():
+        pytest.skip("no google.protobuf runtime and no vendored shim")
+
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.events import SESSION_GAP_US
+
+    got = {
+        tuple(r)
+        for r in run_stream_to_memory(spark, SF_DIR, "sessionize_tws").collect()
+    }
+
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="stable")
+    )
+    expect = set()
+    for user_id, g in e.groupby("user_id"):
+        us = g["ts"].astype("int64")
+        us = us // 1000 if g["ts"].dtype.kind == "M" and g["ts"].dt.unit == "ns" else us
+        vm = (g["value"].to_numpy() * 1e6).round().astype("int64")
+        sessions = []
+        cur = None
+        for t_us, v in zip(us, vm):
+            t_us = int(t_us)
+            if cur is None:
+                cur = [t_us, t_us, 1, int(v)]
+            elif t_us - cur[1] > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = [t_us, t_us, 1, int(v)]
+            else:
+                cur[1], cur[2], cur[3] = t_us, cur[2] + 1, cur[3] + int(v)
+        # the open tail session is NOT emitted by the stream
+        for s in sessions:
+            expect.add(
+                (
+                    int(user_id),
+                    pd.Timestamp(s[0], unit="us").to_pydatetime(),
+                    pd.Timestamp(s[1], unit="us").to_pydatetime(),
+                    s[2],
+                    s[3],
+                )
+            )
+    assert got == expect
+    assert len(got) > 0
