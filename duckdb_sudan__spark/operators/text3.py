@@ -102,12 +102,19 @@ def lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_PROBE_MOD = 53
 SUBSTR_PROBE_START = 16
 SUBSTR_PROBE_LEN = 16
+# The eval set is a FIXED corpus slice (ids below this bound), not a
+# sample that grows with the corpus: at 100 TB the contamination scan
+# is |corpus| × |eval| with |eval| constant — without the bound, the
+# 16× scaling experiment measured 116× wall (both sides growing), the
+# wrong contract.
+EVAL_MAX_DOC_ID = 5000
 
 DECON_SUBSTR_ORACLE = f"""
 WITH probes AS (
   SELECT doc_id AS probe_doc_id, substring(text, {SUBSTR_PROBE_START}, {SUBSTR_PROBE_LEN}) AS probe
   FROM documents
-  WHERE doc_id % {SUBSTR_PROBE_MOD} = 0 AND length(text) >= {SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1}
+  WHERE doc_id % {SUBSTR_PROBE_MOD} = 0 AND doc_id < {EVAL_MAX_DOC_ID}
+    AND length(text) >= {SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1}
 )
 SELECT p.probe_doc_id, d.doc_id, CAST(strpos(d.text, p.probe) AS INTEGER) AS pos
 FROM documents d, probes p
@@ -123,7 +130,10 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-level tier): flag every corpus document that contains an
     eval probe VERBATIM, with its 1-based match position (instr ≡
     strpos on both engines). Probes are fixed character windows of the
-    deterministic doc_id % 53 eval set.
+    deterministic doc_id % 53 eval slice, bounded by EVAL_MAX_DOC_ID
+    so the eval set stays CONSTANT as the corpus grows (SCALING.md
+    measured the unbounded version at 116× wall for 16× data — eval
+    sets don't scale with training corpora).
 
     Plan: the probe set is eval-set-sized (tiny by construction), so
     it BROADCASTS and the corpus streams through a
@@ -136,6 +146,7 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         d.where(
             (F.col("doc_id") % SUBSTR_PROBE_MOD == 0)
+            & (F.col("doc_id") < EVAL_MAX_DOC_ID)
             & (F.length("text") >= SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1)
         )
         .select(
