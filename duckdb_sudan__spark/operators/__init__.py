@@ -38,6 +38,7 @@ def load_all() -> None:
         olap5,
         olap6,
         olap7,
+        olap8,
         relational,
         similarity,
         sketches,

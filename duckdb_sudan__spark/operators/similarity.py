@@ -661,3 +661,60 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .orderBy("id_a", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_outlier_centroid — farthest-from-centroid outliers per label cell
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP = 3
+
+
+def _emb_block_outliers(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per label cell: cosine similarity of every vector to the cell
+    MEAN vector, emitting the OUTLIER_TOP least-similar (mislabeled /
+    corrupted-embedding candidates — the screening step before
+    training on clustered data). Ties break on vec_id ascending.
+    numpy float64 end-to-end; module-level for the equivalence test
+    (rows-only entry: a cross-engine oracle would need the mean vector
+    reproduced in SQL per dimension — the numpy reference test in
+    tests/test_llm_ops.py is the contract instead)."""
+    empty = pd.DataFrame(
+        {"vec_id": np.array([], dtype=np.int64),
+         "label": np.array([], dtype=np.int32),
+         "cos_to_centroid": np.array([], dtype=np.float64)}
+    )
+    if not len(pdf):
+        return empty
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    c = X.mean(axis=0)
+    denom = np.sqrt(_fold_sq_norm(X)) * np.sqrt(_fold_sq_norm(c[None, :])[0])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0.0, 0.0, _foldmul_acc(X, c[None, :])[:, 0] / np.where(denom == 0.0, 1.0, denom))
+    order = np.lexsort((ids, cos))  # ascending cos, then vec_id
+    keep = order[:OUTLIER_TOP]
+    return pd.DataFrame(
+        {"vec_id": ids[keep].astype(np.int64),
+         "label": pdf["label"].to_numpy()[keep],
+         "cos_to_centroid": cos[keep]}
+    )
+
+
+@register("emb_outlier_centroid")  # rows-only: ≡ numpy reference, tested
+def emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers: ONE shuffle on the label
+    key, then the mean + similarity + top-k all happen inside the
+    Arrow kernel — O(cell) memory, no pair matrix at all (unlike the
+    knn/dedup kernels this one is linear in the cell size). At 100 TB
+    with cells too big for one task, the same statistic decomposes
+    into the emb_centroids partial-agg mean followed by a broadcast
+    map — this kernel is the single-pass form for partition-sized
+    cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_emb_block_outliers, "vec_id long, label int, cos_to_centroid double")
+        .orderBy("label", "cos_to_centroid", "vec_id")
+    )

@@ -48,3 +48,111 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_heavy_hitters — Misra-Gries candidates + exact verify pass
+# ---------------------------------------------------------------------------
+
+MG_SLOTS = 50          # per-partition summary size k
+HH_FRACTION = 0.02     # report tokens with freq > 2% of their language
+
+def _mg_add(s: dict, t: str, k: int) -> None:
+    """One Misra-Gries update: increment if tracked, claim a free slot,
+    else decrement-all (dropping zeroed slots). Module-level so the
+    frequency guarantee is hypothesis-testable without Spark."""
+    if t in s:
+        s[t] += 1
+    elif len(s) < k:
+        s[t] = 1
+    else:
+        dead = []
+        for key in s:
+            s[key] -= 1
+            if s[key] == 0:
+                dead.append(key)
+        for key in dead:
+            del s[key]
+
+
+def _misra_gries(tokens, k: int) -> dict:
+    s: dict = {}
+    for t in tokens:
+        _mg_add(s, t, k)
+    return s
+
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), totals AS (
+  SELECT lang, COUNT(*) AS n_lang FROM tok GROUP BY lang
+)
+SELECT t.lang, t.tok, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tt.n_lang) AS DOUBLE) AS freq
+FROM tok t JOIN totals tt ON t.lang = tt.lang
+GROUP BY t.lang, t.tok
+HAVING COUNT(*) > {HH_FRACTION} * MAX(tt.n_lang)
+ORDER BY t.lang, n DESC, t.tok
+"""
+
+
+@register("sketch_heavy_hitters", HEAVY_HITTERS_ORACLE)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token heavy hitters via the production two-pass shape:
+    a Misra-Gries summary (k=50 slots) per input partition generates
+    CANDIDATES, then one exact recount of the candidate set yields the
+    final answer. The MG guarantee makes the output exact-deterministic
+    despite the sketch: every token with true frequency > n_p/(k+1) in
+    a partition survives that partition's summary, so any token with
+    GLOBAL freq > n/(k+1) ≈ 2% is guaranteed a candidate — the final
+    `freq > 2%` filter then returns exactly the true heavy hitters
+    (extra low-count candidates are recounted exactly and filtered),
+    which is why this sketch entry CAN carry a SQL oracle while
+    HLL/GK cannot. The completeness arithmetic: per (partition, lang)
+    stream MG undercounts any token by ≤ n_p/(k+1), so summed over
+    partitions a token missed by EVERY summary has global count
+    ≤ n_lang/(k+1) = n_lang·0.0196 < the 0.02·n_lang report bar —
+    HH_FRACTION > 1/(MG_SLOTS+1) is the load-bearing inequality
+    (hypothesis-tested on `_misra_gries` in tests/test_properties.py).
+    Scale: the full token stream is only ever scanned (twice,
+    map-side); the only shuffled relations are the ≤ k·P candidate
+    rows and the per-candidate exact counts — never the whole
+    vocabulary."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+
+    def mg_partial(batches):
+        # one Misra-Gries summary per (partition, lang)
+        summaries: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for lang, t in zip(pdf["lang"], pdf["tok"]):
+                _mg_add(summaries.setdefault(lang, {}), t, MG_SLOTS)
+        rows = [
+            {"lang": lang, "tok": t}
+            for lang, s in summaries.items()
+            for t in s
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    candidates = tok.mapInPandas(mg_partial, "lang string, tok string").distinct()
+    # exact verify pass: recount ONLY the candidates (broadcast — the
+    # candidate set is ≤ k · P rows by construction)
+    totals = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    exact = (
+        tok.join(F.broadcast(candidates), ["lang", "tok"], "leftsemi")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.join(F.broadcast(totals), "lang")
+        .where(F.col("n") > HH_FRACTION * F.col("n_lang"))
+        .select(
+            "lang", "tok", "n",
+            (F.col("n").cast("double") / F.col("n_lang").cast("double")).alias("freq"),
+        )
+        .orderBy("lang", F.desc("n"), "tok")
+    )

@@ -381,3 +381,38 @@ def test_gini_matches_pure_python_reference(spark):
         gini = 1.0 - sum((c / total) ** 2 for c in counts.values())
         assert got[lang]["n_sources"] == len(counts)
         assert abs(got[lang]["gini"] - gini) < 1e-12
+
+
+def test_emb_outlier_centroid_matches_numpy_reference(spark):
+    """The per-cell outlier kernel must agree with an independent
+    numpy computation: per label, the OUTLIER_TOP vectors with the
+    smallest cosine to the label mean, ties on vec_id."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.similarity import OUTLIER_TOP
+    from duckdb_sudan__spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    got = [
+        (r.label, r.vec_id, r.cos_to_centroid)
+        for r in QUERIES["emb_outlier_centroid"](spark, SF_DIR).collect()
+    ]
+    rows = load_table(spark, SF_DIR, "embeddings").select("vec_id", "label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append((r.vec_id, np.asarray(r.embedding, dtype=np.float64)))
+    expect = []
+    for label in sorted(by_label):
+        vecs = sorted(by_label[label])
+        X = np.stack([v for _, v in vecs])
+        ids = np.array([i for i, _ in vecs])
+        c = X.mean(axis=0)
+        cos = (X @ c) / (np.linalg.norm(X, axis=1) * np.linalg.norm(c))
+        order = np.lexsort((ids, cos))[:OUTLIER_TOP]
+        expect.extend((label, int(ids[k]), cos[k]) for k in order)
+    expect.sort(key=lambda t: (t[0], t[2], t[1]))
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[0] == e[0] and g[1] == e[1], (g, e)
+        assert abs(g[2] - e[2]) < 1e-9, (g, e)

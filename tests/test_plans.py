@@ -838,3 +838,56 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
     wgl = [n for n in nodes if n == "WindowGroupLimit"]
     assert len(wgl) >= 2, f"two-phase rank-limit pushdown missing: {nodes}"
     assert shuffle_count(nodes) <= 2, f"customer shuffle + output sort only: {nodes}"
+
+
+# ---------------------------------------------------------------------------
+# r5c wave: olap8 + sketch/outlier plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_exclude_current_single_window_pushed_filter(spark):
+    """EXCLUDE CURRENT ROW emulation: one scan with the month range
+    pushed, ONE window (sum and count share the frame), no join."""
+    df = QUERIES["win_exclude_current"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Aggregate" in n) for n in nodes)
+    assert sum(1 for n in nodes if n == "Window") == 1
+    assert shuffle_count(nodes) <= 2, f"window + output sort only: {nodes}"
+
+
+def test_asof_nearest_is_union_two_windows_one_exchange(spark):
+    """Nearest as-of: union-marker plan with BOTH direction windows on
+    the same user_id partitioning — one data exchange (+ output sort),
+    no join, so the oracle's per-user quadratic never appears."""
+    df = QUERIES["ev_asof_nearest"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any(n == "Union" for n in nodes)
+    assert not any("Join" in n for n in nodes), f"correlated join crept in: {nodes}"
+    assert sum(1 for n in nodes if n == "Window") == 2
+    assert shuffle_count(nodes) <= 2, f"one user exchange + output sort: {nodes}"
+
+
+def test_heavy_hitters_never_shuffles_vocabulary(spark):
+    """The MG candidate set and per-candidate counts are the ONLY
+    shuffled relations: the candidate join must be a broadcast
+    (LeftSemi), and no aggregation over the raw token stream may
+    precede it except the per-lang totals (a ≤|langs|-row agg)."""
+    df = QUERIES["sketch_heavy_hitters"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    nodes = plan_nodes(df)
+    assert any("MapInPandas" in n for n in nodes), "MG sketch stage missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_outlier_centroid_is_single_block_kernel(spark):
+    df = QUERIES["emb_outlier_centroid"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) for n in nodes)
+    assert any("FlatMapGroupsInPandas" in n for n in nodes)
+    assert shuffle_count(nodes) <= 2, f"block shuffle + output sort only: {nodes}"

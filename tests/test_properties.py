@@ -293,3 +293,26 @@ def test_emb_block_knn_selection_equals_full_rerank(vecs):
             continue
         mine = [(j, c) for (a, j), c in got.items() if a == i]
         assert topk(mine) == topk(full), (i, sorted(mine), sorted(full))
+
+
+from collections import Counter  # noqa: E402
+
+from duckdb_sudan__spark.operators.sketches import _misra_gries  # noqa: E402
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30).map(str), min_size=0, max_size=400),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_keeps_every_heavy_hitter(tokens, k):
+    """The MG frequency guarantee sketch_heavy_hitters' exactness rests
+    on: every token with count > n/(k+1) survives the k-slot summary —
+    the merged candidate set can therefore never miss a true heavy
+    hitter, only carry extras (which the exact recount filters)."""
+    summary = _misra_gries(tokens, k)
+    n = len(tokens)
+    for tok, cnt in Counter(tokens).items():
+        if cnt > n / (k + 1):
+            assert tok in summary, (tok, cnt, n, k, summary)
+    assert len(summary) <= k
