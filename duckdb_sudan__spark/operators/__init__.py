@@ -39,6 +39,7 @@ def load_all() -> None:
         olap6,
         olap7,
         olap8,
+        olap9,
         relational,
         similarity,
         sketches,

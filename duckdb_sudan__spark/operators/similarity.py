@@ -718,3 +718,62 @@ def emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_emb_block_outliers, "vec_id long, label int, cos_to_centroid double")
         .orderBy("label", "cos_to_centroid", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_quantize_int8 — symmetric int8 quantization + reconstruction error
+# ---------------------------------------------------------------------------
+
+QUANT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), scaled AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM base
+)
+SELECT vec_id, scale,
+       CAST(CASE WHEN scale = 0 THEN 0 ELSE
+         list_reduce(list_transform(e, x -> round(x / scale)), (a, b) -> a + b)
+       END AS BIGINT) AS qsum,
+       CASE WHEN scale = 0 THEN 0.0 ELSE
+         list_reduce(list_transform(e, x -> abs(x - round(x / scale) * scale)), (a, b) -> a + b)
+       END AS err_l1
+FROM scaled
+ORDER BY vec_id
+"""
+
+
+@register("emb_quantize_int8", QUANT_ORACLE)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step every embedding corpus goes through before ANN at
+    scale: scale = max|x|/127, q = round(x/scale) (|q| ≤ 127 by
+    construction, no clipping branch needed), plus the L1
+    reconstruction error Σ|x − q·scale|. Bit-stability: round() is
+    half-away-from-zero on DOUBLE in both engines (probed), x/scale
+    and q·scale are single correctly-rounded IEEE ops on identical
+    inputs, and both error folds are sequential left folds (Spark
+    `aggregate`, DuckDB `list_reduce`) — so qsum is integer-exact and
+    err_l1 is bit-identical. Pure map stage, zero shuffles before the
+    output sort; the quantized form is 4× smaller than float32 on the
+    wire, which is the point at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.selectExpr(
+            "vec_id",
+            "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), 0D, (a, v) -> greatest(a, v)) / 127.0D AS scale",
+            "embedding",
+        )
+        .selectExpr(
+            "vec_id",
+            "scale",
+            """CAST(CASE WHEN scale = 0D THEN 0D ELSE
+                 aggregate(transform(embedding, x -> round(CAST(x AS DOUBLE) / scale)), 0D, (a, v) -> a + v)
+               END AS BIGINT) AS qsum""",
+            """CASE WHEN scale = 0D THEN 0D ELSE
+                 aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)), 0D, (a, v) -> a + v)
+               END AS err_l1""",
+        )
+        .orderBy("vec_id")
+    )

@@ -891,3 +891,55 @@ def test_outlier_centroid_is_single_block_kernel(spark):
     assert not any(("Join" in n) or ("Window" in n) for n in nodes)
     assert any("FlatMapGroupsInPandas" in n for n in nodes)
     assert shuffle_count(nodes) <= 2, f"block shuffle + output sort only: {nodes}"
+
+
+# ---------------------------------------------------------------------------
+# r5c wave: olap9 + quantize plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_regression_all_sums_share_one_window(spark):
+    """All five frame sums (n, sx, sy, sxx, sxy) plus the row_number
+    must compile into window operators over ONE global sort — never a
+    self-join or per-sum re-sorts."""
+    df = QUERIES["win_rolling_regression"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Aggregate" in n) for n in nodes)
+    assert sum(1 for n in nodes if n == "Window") <= 2  # row_number + frame sums
+    plan = plan_of(df)
+    assert "event_type" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_scd2_windows_share_user_partitioning(spark):
+    """Change detection and interval close both partition on user_id:
+    ONE data shuffle (+ output sort); the lead() runs on the pruned
+    change relation above the filter."""
+    df = QUERIES["ev_scd2_intervals"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Aggregate" in n) for n in nodes)
+    assert sum(1 for n in nodes if n == "Window") == 2
+    assert shuffle_count(nodes) <= 2, f"user shuffle + output sort only: {nodes}"
+
+
+def test_rfm_windows_run_on_per_user_aggregate(spark):
+    """The three ntile windows must sit ABOVE the per-user aggregate
+    (leaf-first order) — quartiles are computed over |users| rows,
+    never over the raw event stream — and the 1-row anchor joins as a
+    broadcast nested loop, not a shuffle."""
+    df = QUERIES["ev_rfm_scores"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    nodes = plan_nodes(df)
+    first_agg = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
+    assert all(i > first_agg for i, n in enumerate(nodes) if n == "Window")
+
+
+def test_quantize_int8_is_map_only(spark):
+    df = QUERIES["emb_quantize_int8"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
+    assert shuffle_count(nodes) <= 1, f"output sort only: {nodes}"
