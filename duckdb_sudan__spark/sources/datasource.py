@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 from duckdb_sudan__spark.providers import http, samples
@@ -210,6 +211,56 @@ class SudanReader(DataSourceReader):
         yield from rows
 
 
+class SudanStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the provider table function:
+    `spark.readStream.format("sudan")` emits provider rows
+    incrementally BY YEAR — the natural refresh unit for indicator
+    APIs (a production deployment polls for newly published years; the
+    offline form replays the embedded sample's year sequence
+    deterministically, which is what the rows-only driver entry and
+    the batch-equivalence test pin).
+
+    Offset = {"y": <index into the sorted year list>} — a restart from
+    a checkpoint resumes at the first unemitted year. `read(start)`
+    returns ALL pending years by default so `trigger(availableNow)`
+    drains the source in one batch (the Simple reader contract treats
+    one read() as one batch); `years_per_batch` trickles N years per
+    micro-batch for incremental-mode tests and demos. Bind-phase
+    validation is the same SudanReader path, so
+    `readStream.format("sudan").option("provider", "nope")` raises the
+    reference's Bind error at plan time."""
+
+    def __init__(self, options: dict):
+        # reuse the batch reader's bind validation + sample assembly
+        self._bound = SudanReader(dict(options))
+        self._per_batch = int(options.get("years_per_batch", 0) or 0)
+        build, year_idx = _PROVIDER_META[self._bound.provider]
+        rows = []
+        for iso3 in self._bound.countries:
+            rows.extend(build(self._bound.options, [iso3]))
+        if self._bound.year_filter.active:
+            rows = [r for r in rows if self._bound.year_filter.contains(r[year_idx])]
+        self._year_idx = year_idx
+        self._years = sorted({r[year_idx] for r in rows})
+        self._by_year = {y: [r for r in rows if r[year_idx] == y] for y in self._years}
+
+    def initialOffset(self) -> dict:
+        return {"y": 0}
+
+    def read(self, start: dict):
+        i = start["y"]
+        if i >= len(self._years):
+            return iter([]), {"y": i}
+        end = len(self._years) if self._per_batch <= 0 else min(i + self._per_batch, len(self._years))
+        out = []
+        for y in self._years[i:end]:
+            out.extend(self._by_year[y])
+        return iter(out), {"y": end}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SudanDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -225,6 +276,9 @@ class SudanDataSource(DataSource):
 
     def reader(self, schema) -> SudanReader:
         return SudanReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SudanStreamReader:
+        return SudanStreamReader(self.options)
 
 
 def register_sudan_datasource(spark) -> None:

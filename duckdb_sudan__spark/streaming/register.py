@@ -39,6 +39,34 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "attribution")
 
 
+@register("stream_sudan_worldbank")  # rows-only: streaming Python DataSource
+def stream_sudan_worldbank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The provider table function as a STREAMING source:
+    `spark.readStream.format("sudan")` via SudanStreamReader (year-
+    indexed offsets, checkpoint-resumable). availableNow drains the
+    offline sample deterministically; equality with the batch
+    `sudan_worldbank` entry is asserted in
+    tests/test_sources_streaming.py."""
+    from duckdb_sudan__spark.sources.datasource import register_sudan_datasource
+
+    register_sudan_datasource(spark)
+    q = (
+        spark.readStream.format("sudan")
+        .option("provider", "worldbank")
+        .option("indicator", "SP.POP.TOTL")
+        .option("countries", "SDN,EGY,ETH")
+        .load()
+        .writeStream.format("memory")
+        .queryName("stream_sudan_wb_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table("stream_sudan_wb_result")
+
+
 def _tws_available() -> bool:
     """transformWithStateInPandas talks to the JVM over a protobuf
     channel: real google.protobuf if installed, else the in-repo

@@ -473,3 +473,70 @@ def test_sessionize_tws_matches_batch_closed_sessions(spark):
             )
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_sudan_source_equals_batch(spark):
+    """readStream.format("sudan") drained with availableNow must yield
+    EXACTLY the batch table function's rows."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    got = sorted(tuple(r) for r in QUERIES["stream_sudan_worldbank"](spark, SF_DIR).collect())
+    want = sorted(
+        tuple(r) for r in api.sudan_worldbank(spark, "SP.POP.TOTL", ["SDN", "EGY", "ETH"]).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_sudan_reader_incremental_offsets():
+    """The year-indexed offset contract, unit-level: years_per_batch=1
+    trickles one year per read(), offsets advance monotonically, the
+    concatenation of every batch equals the full sample, and reads at
+    the end return empty without moving the offset."""
+    from duckdb_sudan__spark.sources.datasource import SudanStreamReader
+
+    r = SudanStreamReader(
+        {"provider": "worldbank", "indicator": "SP.POP.TOTL",
+         "countries": "SDN,EGY", "years_per_batch": "1"}
+    )
+    full = SudanStreamReader(
+        {"provider": "worldbank", "indicator": "SP.POP.TOTL", "countries": "SDN,EGY"}
+    )
+    all_rows, end = full.read(full.initialOffset())
+    all_rows = sorted(all_rows)
+    off = r.initialOffset()
+    seen = []
+    for _ in range(1000):
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            assert nxt == off
+            break
+        years = {row[4] for row in rows}
+        assert len(years) == 1, "years_per_batch=1 must emit one year per batch"
+        assert nxt["y"] == off["y"] + 1
+        seen.extend(rows)
+        off = nxt
+    assert sorted(seen) == all_rows
+
+
+def test_stream_sudan_bind_error_at_plan_time(spark):
+    """A bad provider must raise the reference's Bind error when the
+    stream is planned — not as an executor-side failure."""
+    import pytest
+
+    register_sudan_datasource(spark)
+    with pytest.raises(Exception, match="SUDAN"):
+        q = (
+            spark.readStream.format("sudan")
+            .option("provider", "nope")
+            .load()
+            .writeStream.format("memory")
+            .queryName("bad_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(30)
+        q.stop()
