@@ -1,0 +1,91 @@
+"""Point-in-state spatial join — the geo-analytics operator users run
+ON TOP of the reference's boundary functions (the extension ships
+`SUDAN_Boundaries` / `SUDAN_States` geometry but no spatial predicate;
+assigning point data — incident reports, sensor readings, settlements —
+to admin areas is the first thing every consumer does with it).
+
+Spark-first shape: the polygon side is tiny (18 state rings — a few KB;
+real GADM level-1 is still ≤ a few MB) so it rides to every executor
+inside the UDF closure, and the POINT side streams through a map-only
+Arrow-batched ray cast — the canonical broadcast spatial join. No
+shuffle at any scale; 100 TB of points is one scan.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_sudan__spark.geo import states as geo_states
+from duckdb_sudan__spark.operators import register
+
+
+def state_rings() -> list[tuple[str, np.ndarray]]:
+    """(iso_code, closed ring (n,2) float64) per state, parsed from the
+    SAME geojson `SUDAN_Boundaries('state')` serves — so point
+    assignment and the boundary table can never disagree."""
+    out = []
+    for i, (iso, _name, _name_ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = json.loads(geo_states.state_boundary_geojson(i))
+        ring = np.asarray(doc["coordinates"][0][0], dtype=np.float64)
+        out.append((iso, ring))
+    return out
+
+
+def _ray_cast(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd rule, vectorized points × edges. Boundary points follow
+    the half-open edge convention (consistent, not symmetric — fine
+    for assignment)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    lat_c = lats[:, None]
+    lon_c = lons[:, None]
+    crosses = (y0[None, :] > lat_c) != (y1[None, :] > lat_c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[None, :] + (lat_c - y0[None, :]) * (x1 - x0)[None, :] / (y1 - y0)[None, :]
+    hits = crosses & (lon_c < xint)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def assign_points_to_states(points: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Append `iso_code` (first containing state in SUDAN_STATES order,
+    NULL when outside every ring) to a point DataFrame. Map-only."""
+    rings = state_rings()
+
+    @F.pandas_udf(T.StringType())
+    def which_state(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lons = lon.to_numpy(dtype=np.float64)
+        lats = lat.to_numpy(dtype=np.float64)
+        out = np.full(len(lons), None, dtype=object)
+        unassigned = np.ones(len(lons), dtype=bool)
+        for iso, ring in rings:
+            if not unassigned.any():
+                break
+            idx = np.nonzero(unassigned)[0]
+            inside = _ray_cast(lons[idx], lats[idx], ring)
+            hit = idx[inside]
+            out[hit] = iso
+            unassigned[hit] = False
+        return pd.Series(out)
+
+    return points.withColumn("iso_code", which_state(F.col(lon_col), F.col(lat_col)))
+
+
+@register("sudan_point_in_state")  # rows-only: ray casting isn't SQL-expressible
+def sudan_point_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probe grid through the spatial join: every state
+    centroid (must land in its own ring), a ring-radius-scaled offset
+    point per state, and far-outside points (→ NULL). The contract is
+    pinned in tests/test_geo.py."""
+    probes = []
+    for iso, name, _ar, lon, lat in geo_states.SUDAN_STATES:
+        probes.append((f"centroid:{iso}", lon, lat))
+        probes.append((f"offset:{iso}", lon + 0.2, lat + 0.1))
+    probes += [("outside:atlantic", -30.0, 0.0), ("outside:pole", 30.0, 89.0)]
+    df = spark.createDataFrame(probes, "probe string, lon double, lat double")
+    return assign_points_to_states(df).orderBy("probe")

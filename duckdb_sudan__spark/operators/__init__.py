@@ -49,5 +49,6 @@ def load_all() -> None:
         text3,
         timeseries,
     )
+    from duckdb_sudan__spark.geo import spatial as geo_spatial  # noqa: F401
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401
     from duckdb_sudan__spark.streaming import sinks as streaming_sinks  # noqa: F401

@@ -179,3 +179,45 @@ def test_gadm_state_live_fetch_matches_names_and_varnames(spark, monkeypatch):
     assert rows["SD-RS"].geojson is None  # absent from the fixture → no fake shape
     assert rows["SD-KH"].state_name == "Khartoum"
     assert rows["SD-GZ"].state_name_ar == "الجزيرة"
+
+
+def test_point_in_state_centroids_and_outside(spark):
+    """Every state centroid must be assigned to its OWN state, the
+    small offset probes must land in SOME state (the rings are ≥0.9°
+    radius), and far-outside points must be NULL."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    rows = {r.probe: r.iso_code for r in QUERIES["sudan_point_in_state"](spark, None).collect()}
+    from duckdb_sudan__spark.geo.states import SUDAN_STATES
+
+    for iso, *_ in SUDAN_STATES:
+        assert rows[f"centroid:{iso}"] == iso, (iso, rows[f"centroid:{iso}"])
+    assert rows["outside:atlantic"] is None
+    assert rows["outside:pole"] is None
+
+
+def test_ray_cast_agrees_with_shapely_free_reference():
+    """The vectorized ray cast must agree with a scalar even-odd
+    implementation on a probe grid over every state ring."""
+    import numpy as np
+
+    from duckdb_sudan__spark.geo.spatial import _ray_cast, state_rings
+
+    def scalar_inside(lon, lat, ring):
+        inside = False
+        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+            if (y0 > lat) != (y1 > lat):
+                xint = x0 + (lat - y0) * (x1 - x0) / (y1 - y0)
+                if lon < xint:
+                    inside = not inside
+        return inside
+
+    rng = np.random.default_rng(7)
+    for iso, ring in state_rings():
+        lons = rng.uniform(ring[:, 0].min() - 1, ring[:, 0].max() + 1, 200)
+        lats = rng.uniform(ring[:, 1].min() - 1, ring[:, 1].max() + 1, 200)
+        got = _ray_cast(lons, lats, ring)
+        want = np.array([scalar_inside(x, y, ring) for x, y in zip(lons, lats)])
+        assert (got == want).all(), iso
