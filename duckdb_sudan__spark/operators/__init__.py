@@ -40,6 +40,7 @@ def load_all() -> None:
         olap7,
         olap8,
         olap9,
+        olap10,
         relational,
         similarity,
         sketches,

@@ -943,3 +943,34 @@ def test_quantize_int8_is_map_only(spark):
     assert sum(1 for n in nodes if n == "Scan parquet") == 1
     assert not any(("Join" in n) or ("Window" in n) or ("Aggregate" in n) for n in nodes)
     assert shuffle_count(nodes) <= 1, f"output sort only: {nodes}"
+
+
+# ---------------------------------------------------------------------------
+# r5c wave: olap10 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_positional_join_runs_on_preaggregates(spark):
+    """The positional zip joins two per-day AGGREGATES on the dense
+    position key — both fact scans carry their pushed date filters and
+    the join input is day-bounded, never fact-sized."""
+    df = QUERIES["join_positional"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    pushed = [s.splitlines()[0] for s in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("l_shipdate" in p for p in pushed)
+    nodes = plan_nodes(df)
+    join_is = [i for i, n in enumerate(nodes) if "Join" in n]
+    agg_is = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
+    assert join_is and agg_is and min(agg_is) < min(join_is), (
+        f"join must sit above the per-day aggregates: {nodes}"
+    )
+
+
+def test_union_by_name_pads_and_preaggregates(spark):
+    df = QUERIES["setops_by_name"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any(n == "Union" for n in nodes)
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 4  # partial+final per side
+    assert not any("Join" in n for n in nodes)
