@@ -65,6 +65,7 @@ N_RUNS = 3
 # (order/cust keys +10M·i, supp/part keys +1M·i on both fact and dim
 # sides); nation/region stay the real tiny dims.
 SF1_QUERIES = [
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q9_product_profit",

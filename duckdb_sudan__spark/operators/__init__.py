@@ -51,5 +51,6 @@ def load_all() -> None:
         timeseries,
     )
     from duckdb_sudan__spark.geo import spatial as geo_spatial  # noqa: F401
+    from duckdb_sudan__spark.sources import files as sources_files  # noqa: F401
     from duckdb_sudan__spark.streaming import register as streaming_register  # noqa: F401
     from duckdb_sudan__spark.streaming import sinks as streaming_sinks  # noqa: F401

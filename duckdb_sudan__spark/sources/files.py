@@ -61,3 +61,98 @@ def write_bucketed_table(
     """Persist bucketed by the join key: later joins on bucket_col with
     an equally-bucketed table skip the shuffle entirely."""
     df.write.mode(mode).bucketBy(n_buckets, bucket_col).sortBy(bucket_col).saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Round-trip entries: Spark-written CSV / JSONL read back by BOTH
+# engines — source/sink parity proven through the correctness gate
+# (DuckDB's read_csv / read_json consume the very files Spark wrote).
+#
+# Ordering contract: the oracle reads files the QUERY writes, so the
+# Spark query must run before the oracle — which is how every harness
+# here executes (the driver, tools/correctness_report.py,
+# tools/check_keys.py and tests/test_entry.py all run the query first;
+# the write is overwrite-idempotent and deterministic, so repeated
+# runs converge).
+# ---------------------------------------------------------------------------
+
+_RT_ROOT = "/root/repo/tmp/roundtrip"
+
+CSV_ROUNDTRIP_ORACLE = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM read_csv('{_RT_ROOT}/csv/*.csv', header = true,
+              columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'}})
+GROUP BY lang ORDER BY lang
+"""
+
+JSONL_ROUNDTRIP_ORACLE = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM read_json('{_RT_ROOT}/jsonl/*.json',
+               columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'}})
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the (doc_id, lang, n_chars) projection of documents as
+    CSV/JSONL under tmp/roundtrip/<fmt>. Deterministic content (the
+    projection is integer/string only, so no float-formatting
+    divergence between writers/readers), single file per write so the
+    oracle's glob sees exactly one part. Overwrite-idempotent."""
+    import os
+
+    from duckdb_sudan__spark.session import load_table
+
+    path = os.path.join(_RT_ROOT, fmt if fmt != "json" else "jsonl")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").coalesce(1)
+    if fmt == "csv":
+        d.write.mode("overwrite").option("header", "true").csv(path)
+    else:
+        d.write.mode("overwrite").json(path)
+    return path
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _register_roundtrips() -> None:
+    from duckdb_sudan__spark.operators import register
+
+    @register("files_csv_roundtrip", CSV_ROUNDTRIP_ORACLE)
+    def files_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark writes header CSV, Spark AND DuckDB read the same
+        files back with an explicit schema (inference is off — at
+        100 TB schema inference is a full extra pass), and both
+        aggregate to identical integers. Exercises the csv sink+source
+        end to end through the hash gate."""
+        path = _roundtrip_write(spark, sf_dir, "csv")
+        back = read_csv(spark, path, header=True, schema="doc_id bigint, lang string, n_chars bigint")
+        return _roundtrip_agg(back)
+
+    @register("files_jsonl_roundtrip", JSONL_ROUNDTRIP_ORACLE)
+    def files_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same round trip through JSON-lines (Spark's json sink writes
+        one object per line — exactly DuckDB's read_json newline-
+        delimited format)."""
+        path = _roundtrip_write(spark, sf_dir, "json")
+        back = read_json(spark, path, schema="doc_id bigint, lang string, n_chars bigint")
+        return _roundtrip_agg(back)
+
+
+_register_roundtrips()
