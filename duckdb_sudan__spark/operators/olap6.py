@@ -343,3 +343,61 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_multi — discrete quantile vector (p25/p50/p75)
+# ---------------------------------------------------------------------------
+
+QUANTILE_MULTI_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, qty,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN cum * 4 >= n     THEN qty END) AS p25,
+       MIN(CASE WHEN cum * 2 >= n     THEN qty END) AS p50,
+       MIN(CASE WHEN cum * 4 >= n * 3 THEN qty END) AS p75
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("agg_quantile_multi", QUANTILE_MULTI_ORACLE)
+def agg_quantile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_disc([0.25, 0.5, 0.75]) parity — three discrete cut
+    points from ONE cumulative-count pass (each p-quantile is the
+    smallest value whose cumulative count reaches ⌈p·n⌉, spelled as
+    the integer inequality cum·(1/p-denominator) ≥ n·numerator so no
+    fp enters the selection at all). Same domain-bounded counts
+    relation as agg_mode_quantile: the fact table pays one partial-agg
+    shuffle, every window runs on ≤150 rows. Returning actual ELEMENTS
+    (never interpolations) is what makes the multi-quantile
+    hash-stable — quantile_cont's (1−d)·a + d·b interpolation orders
+    differently across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        l.groupBy("l_returnflag", F.col("l_quantity").cast("bigint").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    w_cum = w_all.orderBy("qty").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "l_returnflag", "qty",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("qty"))).alias("p25"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("qty"))).alias("p50"),
+            F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("qty"))).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )

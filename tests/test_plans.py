@@ -974,3 +974,14 @@ def test_union_by_name_pads_and_preaggregates(spark):
     assert any(n == "Union" for n in nodes)
     assert sum(1 for n in nodes if "HashAggregate" in n) >= 4  # partial+final per side
     assert not any("Join" in n for n in nodes)
+
+
+def test_quantile_multi_windows_run_on_counts(spark):
+    """Same shape contract as agg_mode_quantile: one fact scan, windows
+    above the first (domain-bounded) aggregate, no join."""
+    df = QUERIES["agg_quantile_multi"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+    first_agg = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
+    assert all(i > first_agg for i, n in enumerate(nodes) if n == "Window")
