@@ -131,14 +131,14 @@ def _sudan_oracles() -> dict[str, str]:
 # join_full_outer, agg_filter_clause, str_try_parse,
 # win_time_range_sliding, text_chunk_overlap, text_pii_scrub,
 # tfidf_topk, bm25_rank, ngram_lm_counts, pipeline_chunk_index,
-# sample_temperature_mix, hybrid_search_rrf) plus the 26 oracled r5c
+# sample_temperature_mix, hybrid_search_rrf) plus the 27 oracled r5c
 # additions
 # (olap6.py: agg_mode_quantile, agg_quantile_multi, win_running_distinct, join_semi_anti,
 # grouping_id_sets, ev_asof_forward, agg_histogram; olap7.py:
 # win_ignore_nulls, str_regex_extract_all, join_lateral_topn;
 # olap8.py: win_exclude_current, ev_asof_nearest; olap9.py:
 # win_rolling_regression, ev_scd2_intervals, ev_rfm_scores; olap10.py:
-# join_positional, setops_by_name; text3.py:
+# join_positional, setops_by_name, sudan_wb_pivot; text3.py:
 # lm_oov_rate, decontaminate_substring, dedup_doc_prefix,
 # dataset_shard_assign; similarity.py: emb_knn_graph; sketches.py:
 # sketch_heavy_hitters; emb_quantize_int8; sources/files.py:

@@ -109,3 +109,61 @@ def setops_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return o.unionByName(c, allowMissingColumns=True).orderBy("segment", "n")
+
+
+# ---------------------------------------------------------------------------
+# sudan_wb_pivot — reference provider data composed with the OLAP layer
+# ---------------------------------------------------------------------------
+
+
+def _wb_pivot_oracle() -> str:
+    from duckdb_sudan__spark.providers import api
+
+    inner = api.worldbank_oracle("SP.POP.TOTL", ["SDN", "EGY", "ETH"])
+    return f"""
+SELECT country_name,
+       MAX(CASE WHEN year = 2000 THEN CAST(value AS BIGINT) END) AS y2000,
+       MAX(CASE WHEN year = 2010 THEN CAST(value AS BIGINT) END) AS y2010,
+       MAX(CASE WHEN year = 2020 THEN CAST(value AS BIGINT) END) AS y2020,
+       MAX(CASE WHEN year = 2023 THEN CAST(value AS BIGINT) END) AS y2023,
+       CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS person_years,
+       CAST(COUNT(value) AS BIGINT) AS n_years
+FROM ({inner})
+GROUP BY country_name ORDER BY country_name
+"""
+
+
+def _register_wb_pivot() -> None:
+    @register("sudan_wb_pivot", _wb_pivot_oracle())
+    def sudan_wb_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference surface composed with the OLAP layer: the
+        SUDAN_WorldBank table function's output pivoted into a
+        per-country wide comparison (selected census years + total
+        person-years) — exactly the query shape extension users write
+        around the table functions, proving provider DataFrames drop
+        into groupBy/pivot like any other relation. Population values
+        are integral doubles, so the BIGINT casts are exact on both
+        engines (DuckDB rounds double→bigint, Spark truncates — only
+        integral values make the two agree, which the sample data
+        guarantees). The provider relation is tiny; at scale the same
+        pivot over a big fact table is the conditional-agg one-pass
+        pivot_status already pins."""
+        from duckdb_sudan__spark.providers import api
+
+        wb = api.sudan_worldbank(spark, "SP.POP.TOTL", ["SDN", "EGY", "ETH"])
+        v = F.col("value").cast("bigint")
+        return (
+            wb.groupBy("country_name")
+            .agg(
+                F.max(F.when(F.col("year") == 2000, v)).alias("y2000"),
+                F.max(F.when(F.col("year") == 2010, v)).alias("y2010"),
+                F.max(F.when(F.col("year") == 2020, v)).alias("y2020"),
+                F.max(F.when(F.col("year") == 2023, v)).alias("y2023"),
+                F.sum(v).cast("bigint").alias("person_years"),
+                F.count("value").cast("bigint").alias("n_years"),
+            )
+            .orderBy("country_name")
+        )
+
+
+_register_wb_pivot()
