@@ -540,3 +540,36 @@ def test_stream_sudan_bind_error_at_plan_time(spark):
         )
         q.awaitTermination(30)
         q.stop()
+
+
+def test_stream_sudan_checkpoint_resume(spark, tmp_path):
+    """Checkpoint resumability of the streaming DataSource: three
+    sequential availableNow runs against ONE checkpoint, one year per
+    batch, must append years 1, 2, 3 of the sample in order with no
+    duplicates — i.e. the committed offset survives query restarts."""
+    register_sudan_datasource(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    seen = []
+    for _ in range(3):
+        q = (
+            spark.readStream.format("sudan")
+            .option("provider", "worldbank")
+            .option("indicator", "SP.POP.TOTL")
+            .option("countries", "SDN")
+            .option("years_per_batch", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        rows = spark.read.parquet(out).collect()
+        years = sorted(r.year for r in rows)
+        assert len(years) == len(set(years)), f"duplicate years after restart: {years}"
+        seen.append(years)
+    assert len(seen[0]) == 1 and len(seen[1]) == 2 and len(seen[2]) == 3
+    assert seen[2][:1] == seen[0] and seen[2][:2] == seen[1]
