@@ -305,3 +305,43 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= PHASH_HAMMING_MAX)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_manifest_stats — byte-level manifest of the media payload column
+# ---------------------------------------------------------------------------
+
+MM_MANIFEST_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("mm_manifest_stats", MM_MANIFEST_ORACLE)
+def mm_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level stats over the binary payload column — the
+    storage-planning query (shard sizing, decode budgeting) every
+    multimodal corpus job starts with, and the one mm operation that
+    IS SQL-expressible (octet_length over the encoded payload, before
+    any decode): the mm family's oracled anchor, proving the binary
+    column plumbing itself — encode → BINARY → byte aggregates — is
+    cross-engine exact. Map-side combine into |langs| groups; payload
+    bytes never cross the shuffle (only per-group integer sums do)."""
+    d = load_table(spark, sf_dir, "documents")
+    nbytes = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    return (
+        d.select("lang", nbytes.alias("nb"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.min("nb").cast("bigint").alias("min_bytes"),
+            F.max("nb").cast("bigint").alias("max_bytes"),
+        )
+        .orderBy("lang")
+    )
