@@ -520,3 +520,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), "comp").select(
         "doc_id", F.col("comp").alias("component")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_est_calibration — MinHash estimates audited against exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_est_calibration")  # rows-only: the estimate side is not SQL
+def dedup_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-calibration audit — the QA op a production dedup
+    pipeline runs before trusting the approximate tier: join the
+    MinHash-LSH pair set against the exact ngram-Jaccard pair set and
+    report, per language, how the two agree (pairs found by each tier,
+    overlap, and the mean |est − exact| gap on the overlap). SCALING.md
+    carries the candidate-count falsifiability; this carries the VALUE
+    falsifiability, as a first-class relation instead of a doc table —
+    a banding or signature regression surfaces as recall or gap
+    drifting in the output of a scheduled job. Both inputs are the
+    REAL production relations (same functions the headline queries
+    run), joined on the pair key; everything after them is tiny.
+    Thresholds note: the exact tier pairs within (lang, len_bucket)
+    blocks while LSH pairs globally, so est-only pairs include
+    cross-block finds — recall is measured on exact-tier pairs only
+    (the direction the MG-style guarantee must hold:
+    test_llm_ops pins recall ≥ 0.9 and mean gap ≤ 0.05)."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b", "jac")
+    est = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = exact.join(est, ["id_a", "id_b"], "full_outer")
+    with_lang = joined.join(
+        d, joined.id_a == d.doc_id, "left"
+    ).select("lang", "jac", "est_jaccard")
+    return (
+        with_lang.groupBy("lang")
+        .agg(
+            F.count("jac").alias("n_exact"),
+            F.count("est_jaccard").alias("n_est"),
+            F.count(F.when(F.col("jac").isNotNull() & F.col("est_jaccard").isNotNull(), 1)).alias("n_both"),
+            F.round(F.avg(F.abs(F.col("jac") - F.col("est_jaccard"))), 4).alias("mean_abs_gap"),
+        )
+        .orderBy("lang")
+    )

@@ -416,3 +416,22 @@ def test_emb_outlier_centroid_matches_numpy_reference(spark):
     for g, e in zip(got, expect):
         assert g[0] == e[0] and g[1] == e[1], (g, e)
         assert abs(g[2] - e[2]) < 1e-9, (g, e)
+
+
+def test_est_calibration_recall_and_gap(spark):
+    """The calibration audit's own quality bars: every exact-tier
+    near-dup pair must also be found by the LSH tier (recall 1.0 at
+    τ=0.8 — the s-curve puts est≈0.9+ pairs in some band with
+    near-certainty), and on the overlap the MinHash estimate must sit
+    within 0.05 of the exact Jaccard on average."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["dedup_est_calibration"](spark, SF_DIR).collect()
+    assert sum(r.n_exact for r in rows) > 0, "no exact pairs — the audit is vacuous"
+    for r in rows:
+        assert r.n_both == r.n_exact, (
+            f"{r.lang}: LSH missed {r.n_exact - r.n_both} exact-tier pairs"
+        )
+        if r.n_both:
+            assert r.mean_abs_gap <= 0.05, (r.lang, r.mean_abs_gap)
