@@ -562,3 +562,114 @@ def dedup_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_cascade — the production dedup waterfall, as one relation
+# ---------------------------------------------------------------------------
+
+_CASCADE_PREFIX_TOKENS = 8
+
+DEDUP_CASCADE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text, {SQL_BOW_FP} AS fp FROM documents
+), t1_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY fp
+), s1 AS (
+  SELECT b.* FROM base b SEMI JOIN t1_keep k ON b.doc_id = k.doc_id
+), pfx AS (
+  SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:{_CASCADE_PREFIX_TOKENS}], ' ')) AS pk
+  FROM s1
+), t2_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM pfx GROUP BY pk
+), s2 AS (
+  SELECT s.* FROM s1 s SEMI JOIN t2_keep k ON s.doc_id = k.doc_id
+), shingled AS (
+  SELECT doc_id, lang, n_chars // {LEN_BUCKET} AS len_bucket,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                      i -> substr(text, CAST(i AS INTEGER), 3))) AS shingles
+  FROM s2
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shingled a
+  JOIN shingled b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+        >= {JACCARD_TAU}
+), t3_removed AS (
+  SELECT DISTINCT id_b FROM pairs
+)
+SELECT * FROM (
+  SELECT '1_exact' AS tier,
+         (SELECT COUNT(*) FROM base) AS n_in,
+         (SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM s1) AS n_removed,
+         (SELECT COUNT(*) FROM s1) AS n_out
+  UNION ALL
+  SELECT '2_prefix',
+         (SELECT COUNT(*) FROM s1),
+         (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2),
+         (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT '3_ngram',
+         (SELECT COUNT(*) FROM s2),
+         (SELECT COUNT(*) FROM t3_removed),
+         (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM t3_removed)
+)
+ORDER BY tier
+"""
+
+
+@register("pipeline_dedup_cascade", DEDUP_CASCADE_ORACLE)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup WATERFALL as one declarative relation:
+    tier 1 removes exact duplicates (bag-of-words fingerprint, keep
+    MIN doc_id), tier 2 removes boilerplate-prefix duplicates among
+    the survivors, tier 3 removes exact-ngram near-duplicates among
+    THOSE survivors (remove every id_b of a ≥τ pair — the greedy
+    keep-lowest convention, conservative on chains) — emitting the
+    per-tier funnel (n_in / n_removed / n_out) a pipeline dashboard
+    tracks. Cheap tiers run first so each stage sees fewer documents —
+    the ordering that makes the quadratic tier affordable at scale.
+    All three tier counts are 1-row aggregates crossJoined into the
+    output (never collected to the driver); the tier-3 pair relation
+    is the SAME blocked Arrow kernel as dedup_ngram_jaccard, applied
+    to the survivor set."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "n_chars", "text", bow_fingerprint_expr().alias("fp"))
+    t1_keep = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s1 = base.join(t1_keep, "doc_id", "leftsemi")
+    pk = F.md5(F.array_join(F.slice(F.split("text", " "), 1, _CASCADE_PREFIX_TOKENS), " "))
+    t2_keep = (
+        s1.select("doc_id", pk.alias("pk"))
+        .groupBy("pk").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    s2 = s1.join(t2_keep, "doc_id", "leftsemi")
+    blocked = s2.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / LEN_BUCKET).cast("long").alias("len_bucket"),
+        "text",
+    )
+    pairs = (
+        blocked.groupBy("lang", "len_bucket")
+        .applyInPandas(_jaccard_block_pairs, "id_a long, id_b long, jac double")
+    )
+    t3_removed = pairs.select("id_b").distinct()
+
+    n_base = base.agg(F.count(F.lit(1)).alias("c0"))
+    n_s1 = s1.agg(F.count(F.lit(1)).alias("c1"))
+    n_s2 = s2.agg(F.count(F.lit(1)).alias("c2"))
+    n_rm3 = t3_removed.agg(F.count(F.lit(1)).alias("c3"))
+    counts = n_base.crossJoin(n_s1).crossJoin(n_s2).crossJoin(n_rm3)
+    tier1 = counts.select(
+        F.lit("1_exact").alias("tier"), F.col("c0").alias("n_in"),
+        (F.col("c0") - F.col("c1")).alias("n_removed"), F.col("c1").alias("n_out"),
+    )
+    tier2 = counts.select(
+        F.lit("2_prefix").alias("tier"), F.col("c1").alias("n_in"),
+        (F.col("c1") - F.col("c2")).alias("n_removed"), F.col("c2").alias("n_out"),
+    )
+    tier3 = counts.select(
+        F.lit("3_ngram").alias("tier"), F.col("c2").alias("n_in"),
+        F.col("c3").alias("n_removed"), (F.col("c2") - F.col("c3")).alias("n_out"),
+    )
+    return tier1.unionByName(tier2).unionByName(tier3).orderBy("tier")

@@ -274,3 +274,70 @@ def dataset_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-document novel-shingle fraction
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 5  # token 5-gram shingles
+
+NOVELTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(toks[s:s+{NOVELTY_K - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, length(toks) - {NOVELTY_K - 1})) AS s FROM tok)
+), firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("text_ngram_novelty", NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — per document (in doc_id ingestion order),
+    the fraction of its token 5-gram shingles appearing for the FIRST
+    time: the curation metric that shows a crawl going stale (novelty
+    decays as a source repeats itself) and flags low-novelty documents
+    as near-copies of earlier material without any pairwise work.
+    "First" is attributed by MIN(doc_id) per shingle — an aggregate,
+    not an ordered scan, so the metric is order-parallel. Plan: one
+    map-side shingle explode, ONE shuffle keyed on the shingle (the
+    min-doc partial agg absorbs stopword-shingle skew map-side), and
+    the join back is shingle-keyed too; per-doc aggregation closes it.
+    novelty is one int/int double division (DETERMINISM.md rule 2a).
+    At 100 TB this is exactly the decontaminate/count-table shape —
+    linear, never pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (NOVELTY_K - 1))).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("toks"), F.col("s"), NOVELTY_K), " ").alias("shingle"),
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

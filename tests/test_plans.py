@@ -985,3 +985,30 @@ def test_quantile_multi_windows_run_on_counts(spark):
     assert not any("Join" in n for n in nodes)
     first_agg = min(i for i, n in enumerate(nodes) if "HashAggregate" in n)
     assert all(i > first_agg for i, n in enumerate(nodes) if n == "Window")
+
+
+def test_novelty_min_doc_agg_before_join(spark):
+    """The shingle→first-doc attribution must partial-aggregate before
+    the join back (the skew absorber), and nothing goes cartesian."""
+    df = QUERIES["text_ngram_novelty"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    nodes = plan_nodes(df)
+    join_is = [i for i, n in enumerate(nodes) if "Join" in n]
+    agg_is = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
+    assert join_is and agg_is and min(agg_is) < min(join_is), (
+        f"min-doc agg must pre-aggregate below the join: {nodes}"
+    )
+
+
+def test_dedup_cascade_is_semi_joins_plus_kernel(spark):
+    """The waterfall: tiers prune via LeftSemi joins (never
+    row-multiplying joins + dedup), the tier-3 pairing is the Arrow
+    block kernel (no pair join), and the only cross joins are the
+    1-row count combinations (BroadcastNestedLoop, sanctioned)."""
+    df = QUERIES["pipeline_dedup_cascade"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    nodes = plan_nodes(df)
+    assert any("FlatMapGroupsInPandas" in n for n in nodes)
