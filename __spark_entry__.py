@@ -131,7 +131,7 @@ def _sudan_oracles() -> dict[str, str]:
 # join_full_outer, agg_filter_clause, str_try_parse,
 # win_time_range_sliding, text_chunk_overlap, text_pii_scrub,
 # tfidf_topk, bm25_rank, ngram_lm_counts, pipeline_chunk_index,
-# sample_temperature_mix, hybrid_search_rrf) plus the 30 oracled r5c
+# sample_temperature_mix, hybrid_search_rrf) plus the 31 oracled r5c
 # additions
 # (olap6.py: agg_mode_quantile, agg_quantile_multi, win_running_distinct, join_semi_anti,
 # grouping_id_sets, ev_asof_forward, agg_histogram; olap7.py:
@@ -144,7 +144,8 @@ def _sudan_oracles() -> dict[str, str]:
 # sketch_heavy_hitters; emb_quantize_int8; sources/files.py:
 # files_csv_roundtrip, files_jsonl_roundtrip; multimodal.py:
 # mm_manifest_stats; dedup.py: pipeline_dedup_cascade;
-# text3.py also text_ngram_novelty) don't fit the
+# text3.py also text_ngram_novelty; timeseries.py: ev_funnel_windowed)
+# don't fit the
 # full window and are oracle-verified locally
 # this round (pytest + CORRECTNESS_LOCAL at sf0.01 AND sf0.1); they are
 # FIRST PRIORITY for the r6 window, then the 48 r4-green entries.

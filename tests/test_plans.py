@@ -1012,3 +1012,14 @@ def test_dedup_cascade_is_semi_joins_plus_kernel(spark):
     assert "LeftSemi" in plan
     nodes = plan_nodes(df)
     assert any("FlatMapGroupsInPandas" in n for n in nodes)
+
+
+def test_funnel_windowed_three_user_keyed_passes(spark):
+    """Same posture as ev_funnel: three agg+join passes keyed on
+    user_id, pushed event_type filters, no cartesian product — the
+    window predicate rides the joins as an early filter."""
+    df = QUERIES["ev_funnel_windowed"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    pushed = [s.splitlines()[0] for s in plan.split("PushedFilters:")[1:]]
+    assert sum("event_type" in p for p in pushed) >= 3
