@@ -124,6 +124,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = sessionize_stream(events), "complete"
         elif which == "funnel":  # stateful append-mode operator
             out, mode = funnel_stream(events), "append"
+        elif which == "funnel_windowed":  # attribution-window funnel
+            out, mode = funnel_windowed_stream(events), "append"
         elif which == "funnel_tws":  # transformWithStateInPandas tier
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass",
@@ -469,5 +471,80 @@ def sessionize_tws_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
             outputStructType=SESSION_TWS_OUT_SCHEMA,
             outputMode="append",
             timeMode="none",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #3: the ATTRIBUTION-WINDOW funnel — the
+# streaming twin of batch ev_funnel_windowed (every step within
+# FUNNEL_WINDOW_US of the anchoring first view). Unlike the unbounded
+# funnel, this one's state is watermark-expirable in production (a
+# user whose window passed can never convert — exactly what the batch
+# docstring means by "the bounded-state property").
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 72 * 3600 * 1_000_000  # keep ≡ timeseries.FUNNEL_WINDOW_HOURS
+
+
+def _funnel_windowed_fn(key, pdf_iter, state):
+    """Same state machine as _funnel_fn with the window constraint on
+    the click and purchase transitions. The anchor view is FIRST view
+    only — a dead window does not re-anchor, matching the batch
+    MIN(view) semantics."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    stage, view_us, click_us = state.get if state.exists else (0, 0, 0)
+    out = []
+    chunks = [c for c in pdf_iter if len(c)]
+    if stage < 3 and chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values("ts", kind="stable")
+        us = (
+            pdf["ts"].astype("int64") // 1000
+            if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+            else pdf["ts"].astype("int64")
+        )
+        for t_us, etype in zip(us, pdf["event_type"]):
+            t_us = int(t_us)
+            if stage == 0 and etype == "view":
+                view_us, stage = t_us, 1
+            elif (
+                stage == 1 and etype == "click"
+                and view_us < t_us <= view_us + FUNNEL_WINDOW_US
+            ):
+                click_us, stage = t_us, 2
+            elif (
+                stage == 2 and etype == "purchase"
+                and t_us > click_us and t_us <= view_us + FUNNEL_WINDOW_US
+            ):
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "view_ts": pd.Timestamp(view_us, unit="us"),
+                        "click_ts": pd.Timestamp(click_us, unit="us"),
+                        "purchase_ts": pd.Timestamp(t_us, unit="us"),
+                        "funnel_micros": t_us - view_us,
+                    }
+                )
+                stage = 3
+                break
+    state.update((stage, view_us, click_us))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def funnel_windowed_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_windowed_fn,
+            FUNNEL_OUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
         )
     )

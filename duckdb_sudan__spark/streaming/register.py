@@ -29,6 +29,11 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "funnel")
 
 
+@register("stream_funnel_windowed")  # rows-only: ≡ batch ev_funnel_windowed (tested)
+def stream_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir, "funnel_windowed")
+
+
 @register("stream_dedup")  # rows-only: streaming dedup sink
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "dedup")

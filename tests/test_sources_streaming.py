@@ -573,3 +573,24 @@ def test_stream_sudan_checkpoint_resume(spark, tmp_path):
         seen.append(years)
     assert len(seen[0]) == 1 and len(seen[1]) == 2 and len(seen[2]) == 3
     assert seen[2][:1] == seen[0] and seen[2][:2] == seen[1]
+
+
+def test_funnel_windowed_stream_matches_batch(spark):
+    """The attribution-window funnel's streaming tier must be
+    result-identical to the batch ev_funnel_windowed operator — same
+    anchor-at-first-view window semantics, two execution strategies."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    stream = {
+        tuple(r) for r in run_stream_to_memory(spark, SF_DIR, "funnel_windowed").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in QUERIES["ev_funnel_windowed"](spark, SF_DIR)
+        .select("user_id", "view_ts", "click_ts", "purchase_ts", "funnel_micros")
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
