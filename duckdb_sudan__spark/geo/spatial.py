@@ -25,24 +25,46 @@ from duckdb_sudan__spark.geo import states as geo_states
 from duckdb_sudan__spark.operators import register
 
 
+def _geometry_edges(doc: dict) -> np.ndarray:
+    """Flatten a GeoJSON Polygon/MultiPolygon into one (m, 4) edge array
+    (x0, y0, x1, y1) spanning EVERY ring of EVERY part — outer rings
+    AND holes. The even-odd rule over the union of all rings is exactly
+    point-in-MultiPolygon-with-holes (a point inside a hole crosses the
+    outer ring once and the hole ring once → even → outside), so one
+    stacked edge array per state handles real GADM multi-part geometry
+    (islands/exclaves) that the previous outer-ring-of-first-part
+    extraction silently dropped."""
+    if doc["type"] == "Polygon":
+        polys = [doc["coordinates"]]
+    elif doc["type"] == "MultiPolygon":
+        polys = doc["coordinates"]
+    else:  # pragma: no cover - boundary functions only emit these two
+        raise ValueError(f"unsupported geometry type {doc['type']!r}")
+    chunks = []
+    for poly in polys:
+        for ring in poly:  # ring 0 = outer, 1.. = holes; even-odd treats alike
+            r = np.asarray(ring, dtype=np.float64)
+            chunks.append(np.hstack([r[:-1], r[1:]]))
+    return np.vstack(chunks)
+
+
 def state_rings() -> list[tuple[str, np.ndarray]]:
-    """(iso_code, closed ring (n,2) float64) per state, parsed from the
-    SAME geojson `SUDAN_Boundaries('state')` serves — so point
-    assignment and the boundary table can never disagree."""
+    """(iso_code, (m, 4) edge array) per state, parsed from the SAME
+    geojson `SUDAN_Boundaries('state')` serves — so point assignment
+    and the boundary table can never disagree. All parts and holes of
+    each state's geometry are included (see _geometry_edges)."""
     out = []
     for i, (iso, _name, _name_ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
         doc = json.loads(geo_states.state_boundary_geojson(i))
-        ring = np.asarray(doc["coordinates"][0][0], dtype=np.float64)
-        out.append((iso, ring))
+        out.append((iso, _geometry_edges(doc)))
     return out
 
 
-def _ray_cast(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
+def _ray_cast(lons: np.ndarray, lats: np.ndarray, edges: np.ndarray) -> np.ndarray:
     """Even-odd rule, vectorized points × edges. Boundary points follow
     the half-open edge convention (consistent, not symmetric — fine
     for assignment)."""
-    x0, y0 = ring[:-1, 0], ring[:-1, 1]
-    x1, y1 = ring[1:, 0], ring[1:, 1]
+    x0, y0, x1, y1 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
     lat_c = lats[:, None]
     lon_c = lons[:, None]
     crosses = (y0[None, :] > lat_c) != (y1[None, :] > lat_c)
@@ -63,11 +85,11 @@ def assign_points_to_states(points: DataFrame, lon_col: str = "lon", lat_col: st
         lats = lat.to_numpy(dtype=np.float64)
         out = np.full(len(lons), None, dtype=object)
         unassigned = np.ones(len(lons), dtype=bool)
-        for iso, ring in rings:
+        for iso, edges in rings:
             if not unassigned.any():
                 break
             idx = np.nonzero(unassigned)[0]
-            inside = _ray_cast(lons[idx], lats[idx], ring)
+            inside = _ray_cast(lons[idx], lats[idx], edges)
             hit = idx[inside]
             out[hit] = iso
             unassigned[hit] = False

@@ -544,7 +544,9 @@ def dedup_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks while LSH pairs globally, so est-only pairs include
     cross-block finds — recall is measured on exact-tier pairs only
     (the direction the MG-style guarantee must hold:
-    test_llm_ops pins recall ≥ 0.9 and mean gap ≤ 0.05)."""
+    test_llm_ops pins recall EXACTLY 1.0 on this corpus — n_both ==
+    n_exact, i.e. LSH finds every exact-tier pair — and mean gap
+    ≤ 0.05; a sub-1.0 recall is a banding regression and FAILS)."""
     exact = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b", "jac")
     est = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")

@@ -79,8 +79,12 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wf).cast(dec).alias("n"),
         F.sum("x").over(wf).cast(dec).alias("sx"),
         F.sum("yi").over(wf).cast(dec).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(wf).cast(dec).alias("sxx"),
-        F.sum(F.col("x") * F.col("yi")).over(wf).cast(dec).alias("sxy"),
+        # Products are cast to DECIMAL(38,0) BEFORE the frame SUM: a
+        # plain bigint sum of x·yi wraps silently past ~sf5 where the
+        # oracle's SUM promotes to HUGEINT — the decimal accumulator
+        # matches the oracle at any SF (overflow would raise, not wrap).
+        F.sum((F.col("x") * F.col("x")).cast(dec)).over(wf).alias("sxx"),
+        F.sum((F.col("x") * F.col("yi")).cast(dec)).over(wf).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -65,7 +65,15 @@ def lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov_rate is one int/int double division — exactly rounded, so the
     hash is bit-stable (DETERMINISM.md rule 2a)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    # size >= 2 guard: a 1-token doc would make sequence(1, 0) step
+    # DOWNWARD (start > stop => step -1) and element_at(toks, 0) raise,
+    # where the oracle's generate_series(1, 0) is simply empty. The
+    # filter reproduces the oracle's no-bigram-rows semantics exactly
+    # (same guard family as dedup.py's greatest() bound).
+    toks = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
     bg = toks.select(
         "doc_id", "lang",
         F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("s"), "toks"
@@ -317,7 +325,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is exactly the decontaminate/count-table shape —
     linear, never pairwise."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # size >= NOVELTY_K guard: shorter docs would flip sequence() into a
+    # descending range (slice(toks, 0, 5) errors) where the oracle's
+    # generate_series is empty — filter to match the oracle's
+    # no-shingle-rows semantics (see lm_oov_rate).
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= NOVELTY_K)
+    )
     sh = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("toks") - (NOVELTY_K - 1))).alias("s"),

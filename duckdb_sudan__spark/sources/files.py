@@ -74,6 +74,16 @@ def write_bucketed_table(
 # tools/check_keys.py and tests/test_entry.py all run the query first;
 # the write is overwrite-idempotent and deterministic, so repeated
 # runs converge).
+#
+# Concurrency contract (r6): each scale factor writes into its OWN
+# directory (tmp/roundtrip/<sf-basename>/<fmt>) so interleaved sf0.01
+# and sf0.1 harnesses can't clobber each other's files. The oracle SQL
+# is a STATIC string (the driver contract), so it cannot embed the sf
+# path — instead every written row carries `corpus_n` (the total
+# corpus row count, distinct per sf by construction: 50/500/5000) and
+# the oracle globs ALL sf dirs but keeps only rows whose corpus_n
+# equals COUNT(*) of the documents view it was handed — an exact
+# discriminator for "the files this sf's query wrote".
 # ---------------------------------------------------------------------------
 
 _RT_ROOT = "/root/repo/tmp/roundtrip"
@@ -82,8 +92,9 @@ CSV_ROUNDTRIP_ORACLE = f"""
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-FROM read_csv('{_RT_ROOT}/csv/*.csv', header = true,
-              columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'}})
+FROM read_csv('{_RT_ROOT}/*/csv/*.csv', header = true,
+              columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT', 'corpus_n': 'BIGINT'}})
+WHERE corpus_n = (SELECT COUNT(*) FROM documents)
 GROUP BY lang ORDER BY lang
 """
 
@@ -91,24 +102,33 @@ JSONL_ROUNDTRIP_ORACLE = f"""
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-FROM read_json('{_RT_ROOT}/jsonl/*.json',
-               columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT'}})
+FROM read_json('{_RT_ROOT}/*/jsonl/*.json',
+               columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'n_chars': 'BIGINT', 'corpus_n': 'BIGINT'}})
+WHERE corpus_n = (SELECT COUNT(*) FROM documents)
 GROUP BY lang ORDER BY lang
 """
 
 
 def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Write the (doc_id, lang, n_chars) projection of documents as
-    CSV/JSONL under tmp/roundtrip/<fmt>. Deterministic content (the
-    projection is integer/string only, so no float-formatting
+    """Write the (doc_id, lang, n_chars, corpus_n) projection of
+    documents as CSV/JSONL under tmp/roundtrip/<sf-basename>/<fmt>.
+    Deterministic content (integer/string only, so no float-formatting
     divergence between writers/readers), single file per write so the
-    oracle's glob sees exactly one part. Overwrite-idempotent."""
+    oracle's glob sees exactly one part per sf. Overwrite-idempotent;
+    corpus_n is the per-row sf discriminator the static oracle keys on
+    (see the concurrency contract above) — computed as a 1-row
+    broadcast crossJoin, not a window (no shuffle of the data side)."""
     import os
+
+    from pyspark.sql import functions as F
 
     from duckdb_sudan__spark.session import load_table
 
-    path = os.path.join(_RT_ROOT, fmt if fmt != "json" else "jsonl")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").coalesce(1)
+    path = os.path.join(_RT_ROOT, os.path.basename(os.path.normpath(sf_dir)),
+                        fmt if fmt != "json" else "jsonl")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+    d = d.crossJoin(F.broadcast(n)).coalesce(1)
     if fmt == "csv":
         d.write.mode("overwrite").option("header", "true").csv(path)
     else:
@@ -142,7 +162,10 @@ def _register_roundtrips() -> None:
         aggregate to identical integers. Exercises the csv sink+source
         end to end through the hash gate."""
         path = _roundtrip_write(spark, sf_dir, "csv")
-        back = read_csv(spark, path, header=True, schema="doc_id bigint, lang string, n_chars bigint")
+        back = read_csv(
+            spark, path, header=True,
+            schema="doc_id bigint, lang string, n_chars bigint, corpus_n bigint",
+        )
         return _roundtrip_agg(back)
 
     @register("files_jsonl_roundtrip", JSONL_ROUNDTRIP_ORACLE)
@@ -151,7 +174,10 @@ def _register_roundtrips() -> None:
         one object per line — exactly DuckDB's read_json newline-
         delimited format)."""
         path = _roundtrip_write(spark, sf_dir, "json")
-        back = read_json(spark, path, schema="doc_id bigint, lang string, n_chars bigint")
+        back = read_json(
+            spark, path,
+            schema="doc_id bigint, lang string, n_chars bigint, corpus_n bigint",
+        )
         return _roundtrip_agg(back)
 
 

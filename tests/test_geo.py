@@ -198,26 +198,56 @@ def test_point_in_state_centroids_and_outside(spark):
     assert rows["outside:pole"] is None
 
 
+def _scalar_inside(lon, lat, edges):
+    inside = False
+    for x0, y0, x1, y1 in edges:
+        if (y0 > lat) != (y1 > lat):
+            xint = x0 + (lat - y0) * (x1 - x0) / (y1 - y0)
+            if lon < xint:
+                inside = not inside
+    return inside
+
+
 def test_ray_cast_agrees_with_shapely_free_reference():
     """The vectorized ray cast must agree with a scalar even-odd
-    implementation on a probe grid over every state ring."""
+    implementation on a probe grid over every state's edge set."""
     import numpy as np
 
     from duckdb_sudan__spark.geo.spatial import _ray_cast, state_rings
 
-    def scalar_inside(lon, lat, ring):
-        inside = False
-        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
-            if (y0 > lat) != (y1 > lat):
-                xint = x0 + (lat - y0) * (x1 - x0) / (y1 - y0)
-                if lon < xint:
-                    inside = not inside
-        return inside
-
     rng = np.random.default_rng(7)
-    for iso, ring in state_rings():
-        lons = rng.uniform(ring[:, 0].min() - 1, ring[:, 0].max() + 1, 200)
-        lats = rng.uniform(ring[:, 1].min() - 1, ring[:, 1].max() + 1, 200)
-        got = _ray_cast(lons, lats, ring)
-        want = np.array([scalar_inside(x, y, ring) for x, y in zip(lons, lats)])
+    for iso, edges in state_rings():
+        lons = rng.uniform(edges[:, 0].min() - 1, edges[:, 0].max() + 1, 200)
+        lats = rng.uniform(edges[:, 1].min() - 1, edges[:, 1].max() + 1, 200)
+        got = _ray_cast(lons, lats, edges)
+        want = np.array([_scalar_inside(x, y, edges) for x, y in zip(lons, lats)])
         assert (got == want).all(), iso
+
+
+def test_geometry_edges_multipolygon_with_holes():
+    """Multi-part geometry + holes (the live-GADM shape): a point in a
+    secondary part is INSIDE, a point in a hole of the first part is
+    OUTSIDE — the cases the old first-outer-ring-only extraction
+    silently mis-assigned."""
+    import numpy as np
+
+    from duckdb_sudan__spark.geo.spatial import _geometry_edges, _ray_cast
+
+    doc = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [  # part 1: unit square with a central hole
+                [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+            ],
+            [  # part 2: island square well away from part 1
+                [[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]],
+            ],
+        ],
+    }
+    edges = _geometry_edges(doc)
+    lons = np.array([0.5, 2.0, 11.0, 7.0])
+    lats = np.array([0.5, 2.0, 11.0, 7.0])
+    got = _ray_cast(lons, lats, edges)
+    # in part-1 shell: True; in the hole: False; in the island: True; between: False
+    assert got.tolist() == [True, False, True, False]

@@ -435,3 +435,33 @@ def test_est_calibration_recall_and_gap(spark):
         )
         if r.n_both:
             assert r.mean_abs_gap <= 0.05, (r.lang, r.mean_abs_gap)
+
+
+def test_short_doc_sequence_guard(spark, tmp_path):
+    """Regression for the r5 advice item: documents shorter than the
+    n-gram width must yield NO rows (matching the oracle's empty
+    generate_series) instead of a descending-sequence runtime error in
+    lm_oov_rate / text_ngram_novelty."""
+    import duckdb
+
+    from duckdb_sudan__spark.operators import ORACLES, QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    docs = [
+        (0, "one", "en", "syn", 3),                     # 1 token: below bigram width
+        (10, "a b", "en", "syn", 3),                    # 2 tokens: bigram ok, below 5-gram
+        (20, "a b c d e f g", "en", "syn", 13),         # held-out (doc_id%10==0)
+        (3, "a b c d e f g h", "en", "syn", 15),        # train
+        (7, "w x", "en", "syn", 3),                     # train, 1 bigram
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'")
+    for key in ("lm_oov_rate", "text_ngram_novelty"):
+        df = QUERIES[key](spark, sf_dir)
+        assert_matches_oracle(df, con, ORACLES[key])
+    con.close()
