@@ -265,6 +265,74 @@ def minhash_from_text(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# ---------------------------------------------------------------------------
+# Degenerate-bucket guard — shared by every banded candidate self-join
+# (minhash bands, simhash chunks, phash chunks).
+#
+# A banded candidate join is quadratic WITHIN a bucket: on crawl-scale
+# data one degenerate bucket (boilerplate pages, empty documents — all
+# sharing a signature band) turns the whole stage into that bucket's
+# |m|² pair explosion. The guard sub-salts oversized buckets into
+# groups of ≤ BUCKET_CAP members, bounding the bucket's pair count at
+# ~m·CAP/2 (linear in m) and each TASK's work at C(CAP,2).
+#
+# Recall trade (documented, not silent): pairs are only generated
+# inside a sub-group, so two members of a hot bucket in different
+# sub-groups don't pair IN THAT BAND. The sub-group assignment is
+# ordered by xxhash64(doc_id, band) — a DIFFERENT permutation per band
+# — so across the 16 bands a genuine duplicate cluster stays one
+# connected component w.h.p. (each band contributes cliques of CAP
+# under an independent partition; dedup_components downstream merges
+# them). Component-level recall is what a dedup pipeline needs; the
+# adversarial 1k-identical-docs test pins both the candidate bound and
+# the single-component property, and minhash_candidate_counts exposes
+# the number of capped buckets so truncation is never silent.
+# ---------------------------------------------------------------------------
+
+BUCKET_CAP = 128
+
+
+def subsalt_oversized_buckets(banded: DataFrame, bucket_keys: list[str], cap: int | None = None) -> DataFrame:
+    """Append a `sub` column splitting each oversized (bucket_keys)
+    group into ceil(m/cap) hash-mod sub-groups; `sub` is 0 everywhere
+    for buckets under the cap, so the normal-corpus path is
+    behaviorally unchanged. Implementation avoids a per-bucket window
+    sort (A/B at sf0.1: rank-window +0.8 s on dedup_minhash_lsh):
+    bucket sizes come from ONE partial aggregate, only groups ABOVE
+    the cap survive the filter (zero rows on a healthy corpus — by
+    definition hot buckets are rare, which also keeps the join-back
+    AQE-broadcastable), and the sub id is a map-side
+    pmod(xxhash64(doc_id, band), n_sub). Hash-mod makes the ≤cap
+    bound expected rather than hard (multinomial spread), which is the
+    right trade for a skew guard; the band term in the hash gives each
+    band an independent partition of the hot bucket (the connectivity
+    argument above)."""
+    if cap is None:
+        cap = BUCKET_CAP
+    oversized = (
+        banded.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > cap)
+        .select(*bucket_keys, F.ceil(F.col("bucket_n") / cap).cast("int").alias("n_sub"))
+    )
+    # broadcast is FORCED (not AQE-decided): AQE's SMJ initial plan
+    # would shuffle the full banded relation before demoting, while the
+    # oversized relation is hot-buckets-only — empty on a healthy
+    # corpus, and at crawl scale bounded by the count of degenerate
+    # boilerplate clusters (the thing this guard exists to contain),
+    # orders of magnitude below the doc count.
+    return (
+        banded.join(F.broadcast(oversized), list(bucket_keys), "left")
+        .withColumn(
+            "sub",
+            F.when(F.col("n_sub").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col("doc_id"), F.col(bucket_keys[0])), F.col("n_sub"))
+            ).cast("int"),
+        )
+        .drop("n_sub")
+    )
+
+
 def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     """Shared head of the MinHash-LSH pipeline: cached signatures and
     the distinct banded candidate-pair relation. Factored out so
@@ -294,15 +362,16 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
         F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64({slot_args}) AS bucket))")
     )
     banded = sig.select("doc_id", band_cols.alias("bb")).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    banded = subsalt_oversized_buckets(banded, ["band", "bucket"])
+    left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
+    right = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket", "sub")
     candidates = (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band", "bucket", "sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return sig, candidates
+    return sig, banded, candidates
 
 
 def minhash_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
@@ -310,12 +379,20 @@ def minhash_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]
     |distinct candidate pairs| after banding, and |emitted pairs|
     (est ≥ τ). If banding ever degenerated (bad shingle size, band
     collisions), candidate growth would outrun the true-pair structure
-    here — the number, not a narrative, is what SCALING.md reports."""
-    sig, candidates = _minhash_sig_and_candidates(spark, sf_dir)
+    here — the number, not a narrative, is what SCALING.md reports.
+    `capped_buckets` counts (band, bucket) groups above BUCKET_CAP —
+    the buckets whose pair generation the sub-salt guard truncated
+    (0 on a healthy corpus; nonzero means the recall trade documented
+    at subsalt_oversized_buckets is active)."""
+    sig, banded, candidates = _minhash_sig_and_candidates(spark, sf_dir)
     return {
         "docs": sig.count(),
         "candidate_pairs": candidates.count(),
         "emitted_pairs": dedup_minhash_lsh(spark, sf_dir).count(),
+        "capped_buckets": (
+            banded.groupBy("band", "bucket")
+            .count().where(F.col("count") > BUCKET_CAP).count()
+        ),
     }
 
 
@@ -324,8 +401,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: signature → 16 bands → bucket equi-join →
     signature-agreement ≥ EST_TAU. Plan shape at scale: one Arrow map
     stage (signatures), one explode (16×docs rows), one shuffle on
-    (band, band_hash), one distinct. No O(n²) anywhere."""
-    sig, candidates = _minhash_sig_and_candidates(spark, sf_dir)
+    (band, band_hash) with the degenerate-bucket sub-salt guard
+    (subsalt_oversized_buckets — bounds any hot bucket's pair blowup),
+    one distinct. No O(n²) anywhere, not even per-bucket."""
+    sig, _banded, candidates = _minhash_sig_and_candidates(spark, sf_dir)
     # verification joins are plain shuffle equi-joins against the cached
     # sig relation: the candidate-pair count is data-dependent (a
     # dup-heavy crawl yields O(n) pairs, and each carries a 128-slot
@@ -405,10 +484,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b * 16) & 65535 AS chunk))")
     )
     banded = sh.select("doc_id", "sim", chunks.alias("c")).select("doc_id", "sim", "c.band", "c.chunk")
-    left = banded.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band", "chunk")
-    right = banded.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band", "chunk")
+    banded = subsalt_oversized_buckets(banded, ["band", "chunk"])
+    left = banded.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band", "chunk", "sub")
+    right = banded.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band", "chunk", "sub")
     return (
-        left.join(right, ["band", "chunk"])
+        left.join(right, ["band", "chunk", "sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .distinct()

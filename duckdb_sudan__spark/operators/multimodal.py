@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.operators.dedup import subsalt_oversized_buckets
 from duckdb_sudan__spark.session import load_table
 
 MM_SCHEMA = T.StructType(
@@ -295,10 +296,13 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = hashed.select("doc_id", "phash", chunks.alias("c")).select(
         "doc_id", "phash", "c.band", "c.chunk"
     )
-    left = banded.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "chunk")
-    right = banded.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "chunk")
+    # same degenerate-bucket guard as the text tiers: a hot phash chunk
+    # (e.g. monochrome thumbnails all hashing alike) stays ≤ CAP²/task
+    banded = subsalt_oversized_buckets(banded, ["band", "chunk"])
+    left = banded.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "chunk", "sub")
+    right = banded.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "chunk", "sub")
     return (
-        left.join(right, ["band", "chunk"])
+        left.join(right, ["band", "chunk", "sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"))
         .distinct()

@@ -465,3 +465,46 @@ def test_short_doc_sequence_guard(spark, tmp_path):
         df = QUERIES[key](spark, sf_dir)
         assert_matches_oracle(df, con, ORACLES[key])
     con.close()
+
+
+def test_minhash_degenerate_bucket_guard(spark, tmp_path, monkeypatch):
+    """Adversarial corpus for the r5 verdict item: 1000 IDENTICAL
+    documents put every doc into one (band, bucket) per band. Without
+    the sub-salt guard the candidate join is C(1000,2) ≈ 500k pairs;
+    with it each hot bucket is tiled into ≤CAP sub-groups, bounding
+    candidates at ~bands·(n/CAP)·C(CAP,2) — while the emitted pairs
+    must STILL connect all 1000 docs into one component (the band-
+    varying sub-group permutations guarantee connectivity w.h.p.)."""
+    from duckdb_sudan__spark.operators import dedup
+
+    n = 1000
+    text = "the same boilerplate document body repeated verbatim across the crawl " * 3
+    rows = [(i, text, "en", "syn", len(text)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(4).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    monkeypatch.setattr(dedup, "BUCKET_CAP", 8)
+    counts = dedup.minhash_candidate_counts(spark, str(tmp_path))
+    assert counts["docs"] == n
+    assert counts["capped_buckets"] == 16, counts  # one hot bucket per band
+    # hash-mod sub-groups of expected size 8: expected pairs/band is
+    # C(n,2)/n_sub ≈ 4k, so 16 bands ≈ 64k — assert well under the
+    # unguarded C(1000,2) = 499500 (3× headroom over the expectation)
+    assert counts["candidate_pairs"] < n * (n - 1) // 2 // 3, counts
+
+    pairs = dedup.dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(int(r.id_a)), find(int(r.id_b))
+        if a != b:
+            parent[a] = b
+    assert len({find(i) for i in range(n)}) == 1, "cluster split by the cap"
