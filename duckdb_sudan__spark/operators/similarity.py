@@ -636,6 +636,60 @@ def _emb_block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True) if frames else empty
 
 
+CELL_CAP = 2048  # max vectors one k-NN task handles on either Gram axis
+
+
+def _unpack_tile(payload) -> tuple[np.ndarray, np.ndarray]:
+    rows = list(payload)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, X
+
+
+def _knn_tile_kernel(batches):
+    """Tile×tile k-NN candidate kernel for OVERSIZED label cells: each
+    input row carries one (row-tile, col-tile) pair of ≤CELL_CAP
+    vectors; the task computes the tile-local Gram and emits the
+    per-row top-K(+slack) against THIS col-tile only. Correctness of
+    the downstream merge: for any a-row, every member of its global
+    top-K lives in some col-tile and is inside that tile's top-K for
+    a (at most K global winners fall in one tile, each ≥ every
+    non-winner there), and the slack-band algebra carries over —
+    tile_kth ≥ global_kth, so a pair needed under the global band
+    (cos ≥ global_kth − 2e-6) always satisfies the tile band too. The
+    JVM round + window then ranks the union exactly as in the
+    single-task path. Same `_foldmul_acc` per-pair fp fold, so the
+    doubles are bit-identical regardless of which path emitted them."""
+    for pdf in batches:
+        frames = []
+        for row in pdf.itertuples(index=False):
+            ids_a, X_a = _unpack_tile(row.pa)
+            ids_b, X_b = _unpack_tile(row.pb)
+            norms_a = np.sqrt(_fold_sq_norm(X_a))
+            norms_b = np.sqrt(_fold_sq_norm(X_b))
+            dots = _foldmul_acc(X_a, X_b)
+            denom = norms_a[:, None] * norms_b[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
+            same = ids_a[:, None] == ids_b[None, :]
+            cos[same] = -np.inf
+            nb = len(ids_b)
+            n_valid = nb - 1 if row.ta == row.tb else nb
+            if n_valid <= 0:
+                continue
+            k = min(KNN_K, n_valid)
+            kth = np.partition(cos, nb - k, axis=1)[:, nb - k]
+            keep = cos >= (kth - 2e-6)[:, None]
+            ii, jj = np.nonzero(keep)
+            frames.append(pd.DataFrame(
+                {"id_a": ids_a[ii].astype(np.int64),
+                 "id_b": ids_b[jj].astype(np.int64),
+                 "cos": cos[ii, jj]}
+            ))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
 @register("emb_knn_graph", KNN_GRAPH_ORACLE)
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph construction — the neighborhood structure that feeds
@@ -649,13 +703,52 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel per cell emitting only top-K(+slack) candidates (~K rows
     per vector, not n²), then the exact JVM round + per-vector window
     re-ranks candidates into the final top-K. The window input is
-    K-bounded per vector, so its shuffle moves ~K·n tiny rows."""
-    e = load_table(spark, sf_dir, "embeddings")
+    K-bounded per vector, so its shuffle moves ~K·n tiny rows.
+
+    Skew guard (r6): a label cell larger than CELL_CAP would make ONE
+    task do |cell|² work — the per-label count feeds a broadcast of
+    ONLY the oversized labels (empty on a balanced corpus, so the
+    healthy path is unchanged modulo the marker join), and hot labels
+    are hash-tiled into ceil(m/CAP) tiles whose T² (row-tile,
+    col-tile) pairs each run as an independent bounded task
+    (_knn_tile_kernel); the same JVM window merges candidates from
+    either path, so the result is oracle-exact in both."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # persisted: referenced by both branches and by both sides of the
+    # tile join — hot-labels-only, so the cache is empty on a balanced
+    # corpus and bounded by the skew mass otherwise (without it the
+    # plan re-scans embeddings 6×)
+    oversized = (
+        e.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n"))
+        .where(F.col("cell_n") > CELL_CAP)
+        .select("label", F.ceil(F.col("cell_n") / CELL_CAP).cast("int").alias("n_tiles"))
+        .persist()
+    )
+    marked = e.join(F.broadcast(oversized), "label", "left")
+    healthy = marked.where(F.col("n_tiles").isNull()).drop("n_tiles")
+    hot = marked.where(F.col("n_tiles").isNotNull())
+
+    cand_healthy = (
+        healthy.groupBy("label")
+        .applyInPandas(_emb_block_knn, "id_a long, id_b long, cos double")
+    )
+    tiles = (
+        hot.withColumn("tile", F.pmod(F.xxhash64("vec_id"), F.col("n_tiles")).cast("int"))
+        .groupBy("label", "tile")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("payload"))
+        .persist()
+    )
+    ta = tiles.select("label", F.col("tile").alias("ta"), F.col("payload").alias("pa"))
+    tb = tiles.select("label", F.col("tile").alias("tb"), F.col("payload").alias("pb"))
+    cand_hot = (
+        ta.join(tb, "label")
+        .select("ta", "pa", "tb", "pb")
+        .mapInPandas(_knn_tile_kernel, "id_a long, id_b long, cos double")
+    )
+
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), "id_b")
     return (
-        e.select("vec_id", "label", "embedding")
-        .groupBy("label")
-        .applyInPandas(_emb_block_knn, "id_a long, id_b long, cos double")
+        cand_healthy.unionByName(cand_hot)
         .withColumn("cos", F.round(F.col("cos"), 6))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= KNN_K)

@@ -508,3 +508,33 @@ def test_minhash_degenerate_bucket_guard(spark, tmp_path, monkeypatch):
         if a != b:
             parent[a] = b
     assert len({find(i) for i in range(n)}) == 1, "cluster split by the cap"
+
+
+def test_knn_graph_tiled_path_oracle_exact_on_skewed_cells(spark, tmp_path, monkeypatch):
+    """Skewed fixture for the r6 cell-tiling guard: one label holds
+    most of the corpus, CELL_CAP is patched tiny so that label runs
+    through the tile×tile kernel while small labels keep the
+    single-task path — and the merged result must STILL be exactly the
+    DuckDB oracle (same rounded ranks, same doubles)."""
+    import duckdb
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import similarity
+    from duckdb_sudan__spark.operators import ORACLES, QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for vid in range(300):
+        label = 0 if vid < 260 else (1 + vid % 3)  # label 0 is the skew cell
+        rows.append((vid, [float(x) for x in rng.standard_normal(16).astype(np.float32)], label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    monkeypatch.setattr(similarity, "CELL_CAP", 32)  # 260-vector cell → 9 tiles
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'")
+    df = QUERIES["emb_knn_graph"](spark, str(tmp_path))
+    assert_matches_oracle(df, con, ORACLES["emb_knn_graph"])
+    con.close()

@@ -787,19 +787,27 @@ def test_shard_assign_is_single_scan_16_groups(spark):
 
 
 def test_knn_graph_is_block_kernel_plus_bounded_window(spark):
-    """k-NN graph: one embeddings scan into the per-label Arrow kernel
-    (no join — the n² pair set never materializes as rows), then ONE
-    window over the K-bounded candidate relation."""
+    """k-NN graph (r6 skew-guarded shape): per-label Arrow kernel for
+    healthy cells + tile×tile kernel for oversized cells. The n² pair
+    set still never materializes as JOIN ROWS — the only joins are the
+    broadcast oversized-label marker and the label-keyed TILE join
+    (T rows per hot label, payloads collected); then ONE window over
+    the K-bounded candidate union."""
     df = QUERIES["emb_knn_graph"](spark, SF_DIR)
     nodes = plan_nodes(df)
-    assert sum(1 for n in nodes if n == "Scan parquet") == 1
-    assert not any("Join" in n for n in nodes), f"self-join crept in: {nodes}"
-    assert any("FlatMapGroupsInPandas" in n for n in nodes)
+    # marker join duplicated into both branches → embeddings scanned ≤4×
+    assert 1 <= sum(1 for n in nodes if n == "Scan parquet") <= 4
+    # NO row-level pair join: every join is either the broadcast marker
+    # or the collected-tile join; a pair-materializing self-join would
+    # show as a join BELOW a pandas node with per-vector rows on both
+    # sides — cheapest robust pin: no cartesian/BNLJ anywhere
+    assert not any("CartesianProduct" in n or "BroadcastNestedLoop" in n for n in nodes), nodes
+    assert any("FlatMapGroupsInPandas" in n for n in nodes)  # healthy kernel
+    assert any("MapInPandas" in n for n in nodes)  # tile kernel branch
     assert sum(1 for n in nodes if n == "Window") == 1
     # Spark's rank-limit pushdown prunes to top-K per group BEFORE and
     # AFTER the window exchange — keep that optimization pinned
     assert any(n == "WindowGroupLimit" for n in nodes)
-    assert shuffle_count(nodes) <= 3, f"block + window + sort only: {nodes}"
 
 
 # ---------------------------------------------------------------------------
