@@ -10,14 +10,21 @@ Boundary geometry: the reference embeds GADM v4.1 polygons simplified
 to 3 decimals (sudan_boundaries_data.hpp). GADM data is not available
 offline here and must not be copied from the reference, so OFFLINE
 mode (the default, and what the correctness oracle runs) emits
-deterministic simplified placeholder MultiPolygons (16-gon rings around
-each state centroid, 3-decimal coords) that satisfy the reference's
-documented invariants: type MultiPolygon, substantial (>100 chars),
-one ring per state. `sudan_boundaries(..., offline=False)` performs
-the live GADM v4.1 fetch for ALL levels (0 country / 1 state /
-2 locality) and returns GENUINE geometry, mapped back to the
-reference's canonical names — so any user with network access gets
-real shapes; only the no-network path sees placeholders.
+deterministic synthetic placeholder MultiPolygons. Since r6 these are
+a VORONOI PARTITION of a synthetic country envelope seeded by the 18
+TRUE state centroids (perpendicular-bisector halfplane clipping,
+Sutherland–Hodgman): still synthetic — no GADM copying, no network —
+but topologically correct like real admin geometry: cells never
+overlap, leave no interior gaps, and each contains its own centroid,
+so the point-in-state spatial join (geo/spatial.py) behaves like it
+would on real boundaries (every interior point belongs to exactly one
+state — the nearest centroid's). The reference's documented invariants
+hold: type MultiPolygon, substantial (>100 chars), one ring per state.
+`sudan_boundaries(..., offline=False)` performs the live GADM v4.1
+fetch for ALL levels (0 country / 1 state / 2 locality) and returns
+GENUINE geometry, mapped back to the reference's canonical names — so
+any user with network access gets real shapes; only the no-network
+path sees placeholders.
 
 SUDAN_GeoCode is a pure JVM-side map lookup (no Python UDF): a
 MapType literal over lower(name)/Arabic-name keys — whole-stage
@@ -62,14 +69,74 @@ COUNTRY_NAME_AR = "السودان"
 COUNTRY_ISO = "SDN"
 
 
-def _ring(lon: float, lat: float, radius: float, n: int = 16) -> list[list[float]]:
-    """Deterministic n-gon ring (closed, 3-decimal coords) around a centroid."""
-    pts = []
-    for i in range(n):
-        a = 2.0 * math.pi * i / n
-        pts.append([round(lon + radius * math.cos(a), 3), round(lat + 0.8 * radius * math.sin(a), 3)])
-    pts.append(pts[0])
-    return pts
+# Synthetic country envelope: a 32-gon ellipse sized so every true
+# state centroid lies strictly inside (Red Sea at (37.22, 19.62) is
+# the binding constraint). Sudan's real bbox is roughly lon 21.8-38.6,
+# lat 8.7-22.2 — public fact, not GADM geometry.
+COUNTRY_CENTER = (30.2, 15.5)
+COUNTRY_RX, COUNTRY_RY = 9.0, 7.4
+
+
+def _country_ring_open(n: int = 32) -> list[tuple[float, float]]:
+    """Country envelope as an OPEN ring (unrounded — the Voronoi
+    clipping works on full-precision vertices; rounding happens once at
+    serialization so shared cell edges stay consistent)."""
+    return [
+        (
+            COUNTRY_CENTER[0] + COUNTRY_RX * math.cos(2.0 * math.pi * i / n),
+            COUNTRY_CENTER[1] + COUNTRY_RY * math.sin(2.0 * math.pi * i / n),
+        )
+        for i in range(n)
+    ]
+
+
+def _halfplane_clip(
+    poly: list[tuple[float, float]], ci: tuple[float, float], cj: tuple[float, float]
+) -> list[tuple[float, float]]:
+    """Sutherland–Hodgman clip of an open convex ring against the
+    halfplane of points no farther from ci than from cj (the
+    perpendicular bisector, normal pointing toward ci)."""
+    mx, my = (ci[0] + cj[0]) / 2.0, (ci[1] + cj[1]) / 2.0
+    nx, ny = ci[0] - cj[0], ci[1] - cj[1]
+
+    def side(p: tuple[float, float]) -> float:
+        return (p[0] - mx) * nx + (p[1] - my) * ny
+
+    out: list[tuple[float, float]] = []
+    for k in range(len(poly)):
+        a, b = poly[k], poly[(k + 1) % len(poly)]
+        sa, sb = side(a), side(b)
+        if sa >= 0.0:
+            out.append(a)
+            if sb < 0.0:
+                t = sa / (sa - sb)
+                out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+        elif sb >= 0.0:
+            t = sa / (sa - sb)
+            out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    return out
+
+
+_VORONOI_CACHE: list[list[tuple[float, float]]] | None = None
+
+
+def _voronoi_cells() -> list[list[tuple[float, float]]]:
+    """One convex cell per state: country envelope ∩ the Voronoi cell
+    of the state's centroid w.r.t. all 18 centroids. Deterministic
+    pure-Python construction (18 × 17 halfplane clips of ≤ ~40-vertex
+    rings — microseconds, computed once per process)."""
+    global _VORONOI_CACHE
+    if _VORONOI_CACHE is None:
+        cents = [(lon, lat) for _, _, _, lon, lat in SUDAN_STATES]
+        cells = []
+        for i, ci in enumerate(cents):
+            poly = _country_ring_open()
+            for j, cj in enumerate(cents):
+                if j != i:
+                    poly = _halfplane_clip(poly, ci, cj)
+            cells.append(poly)
+        _VORONOI_CACHE = cells
+    return _VORONOI_CACHE
 
 
 def _multipolygon(rings: list[list[list[float]]]) -> str:
@@ -80,14 +147,21 @@ def _multipolygon(rings: list[list[list[float]]]) -> str:
     return '{"type":"MultiPolygon","coordinates":[' + body + "]}"
 
 
+def _closed_rounded(ring: list[tuple[float, float]]) -> list[list[float]]:
+    pts = [[round(x, 6), round(y, 6)] for x, y in ring]
+    pts.append(pts[0])
+    return pts
+
+
 def state_boundary_geojson(idx: int) -> str:
-    iso, _, _, lon, lat = SUDAN_STATES[idx]
-    radius = 0.9 + 0.05 * (idx % 7)
-    return _multipolygon([_ring(lon, lat, radius)])
+    """PLACEHOLDER geometry (offline mode): the state's Voronoi cell —
+    synthetic but partition-correct (no overlaps, no gaps; contains the
+    true centroid). Live mode replaces this with real GADM shapes."""
+    return _multipolygon([_closed_rounded(_voronoi_cells()[idx])])
 
 
 def country_boundary_geojson() -> str:
-    return _multipolygon([_ring(30.0, 15.5, 8.0, n=32)])
+    return _multipolygon([_closed_rounded(_country_ring_open())])
 
 
 # -- row builders (shared by DataFrame + oracle paths) -----------------------
@@ -244,10 +318,12 @@ def sudan_boundaries(spark: SparkSession, level: str, offline: bool = True) -> D
 
     Geometry provenance, by mode:
     - ``offline=True`` (default): deterministic synthetic placeholder
-      polygons (16-gon rings around true centroids — see the module
-      docstring). Real GADM data is unavailable offline and must not
-      be copied from the reference. This is the mode the driver's
-      correctness oracle runs.
+      polygons (Voronoi cells of the true centroids within a synthetic
+      country envelope — see the module docstring; gap-free and
+      overlap-free, so spatial joins behave like real admin geometry).
+      Real GADM data is unavailable offline and must not be copied
+      from the reference. This is the mode the driver's correctness
+      oracle runs.
     - ``offline=False``: the on-demand GADM v4.1 fetch — level 0
       (country), 1 (state), or 2 (locality) — yields GENUINE
       MultiPolygon geometry, matched back to the reference's canonical
