@@ -140,6 +140,9 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = sessionize_tws_stream(events), "append"
         elif which == "attribution":  # stream-stream interval self-join
             out, mode = attribution_join_stream(events), "append"
+        elif which == "attribution_outer":  # left-outer interval join
+            _write_attribution_sentinels(spark, src)
+            out, mode = attribution_outer_join_stream(events), "append"
         else:  # dedup — watermarked drop-duplicates
             out, mode = dedup_stream(events), "append"
         name = f"stream_{which}_result"
@@ -279,6 +282,92 @@ def attribution_join_stream(events: DataFrame, watermark: str = "1 hour") -> Dat
             (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
         )
     )
+
+
+def attribution_outer_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the production
+    attribution shape: every view either pairs with the same user's
+    clicks in the following ATTRIBUTION_LAG_MIN minutes, or is emitted
+    UNMATCHED (NULL click) once the watermark proves no click can still
+    arrive. Harder state-expiry semantics than the inner
+    attribution_join_stream: the engine must hold each view until
+    global watermark > v_ts + interval, then emit the null row exactly
+    once — the state-expiry contract a funnel-drop-off dashboard relies
+    on. State on both sides stays watermark + interval bounded."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return (
+        views.join(
+            clicks,
+            F.expr(
+                f"c_user = v_user AND c_ts >= v_ts "
+                f"AND c_ts < v_ts + INTERVAL {ATTRIBUTION_LAG_MIN} MINUTES"
+            ),
+            "leftOuter",
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
+            F.col("click_id").isNotNull().alias("matched"),
+        )
+    )
+
+
+def _write_attribution_sentinels(spark: SparkSession, src_dir: str) -> None:
+    """Append one far-future view and one even-farther click (user -1)
+    as a SECOND parquet file, so the availableNow drain gets a later
+    micro-batch whose watermark passes every real view's no-match
+    horizon — without it, append-mode outer-join nulls for the final
+    batch would stay in state when the file stream ends (watermarks
+    only advance on data). The sentinels themselves can never match
+    real rows (nonexistent user, out-of-window timestamps) and sit
+    ABOVE the final watermark, so they are never emitted; tests assert
+    their absence."""
+    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orig = spark.read.parquet(files[0])
+    ts_type = orig.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # raw nanos
+
+        def shifted(hours: int):
+            return (F.col("max_ts") + F.lit(hours * 3600 * 10**9)).alias("ts")
+    else:
+
+        def shifted(hours: int):
+            return (F.col("max_ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts")
+
+    base = orig.agg(F.max("ts").alias("max_ts"))
+    parts = [
+        base.select(
+            F.lit(eid).cast("long").alias("event_id"),
+            shifted(hours),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        for eid, etype, hours in ((-1, "view", 100), (-2, "click", 200))
+    ]
+    sent = parts[0].unionByName(parts[1]).select([f.name for f in orig.schema.fields])
+    sent.coalesce(1).write.mode("append").parquet(src_dir)
 
 
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -44,6 +44,16 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "attribution")
 
 
+@register("stream_attribution_outer")  # rows-only: ≡ batch left-outer join (tested)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: unmatched views emit (NULL click)
+    after watermark close — the state-expiry semantics the inner
+    attribution twin never exercises. Equivalence with the batch
+    left-outer join on the drained stream is asserted in
+    tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "attribution_outer")
+
+
 @register("stream_sudan_worldbank")  # rows-only: streaming Python DataSource
 def stream_sudan_worldbank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The provider table function as a STREAMING source:

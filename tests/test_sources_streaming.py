@@ -594,3 +594,47 @@ def test_funnel_windowed_stream_matches_batch(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_stream_attribution_outer_matches_batch_left_outer(spark):
+    """r6 verdict item 6: the LEFT-OUTER interval join drained over the
+    static file must equal the batch left-outer join — including every
+    unmatched view emitted exactly once with NULL click after the
+    (sentinel-advanced) watermark passes its no-match horizon. The
+    sentinels themselves must never appear."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.events import ATTRIBUTION_LAG_MIN
+    from pyspark.sql import functions as F
+
+    operators.load_all()
+    srows = {tuple(r) for r in QUERIES["stream_attribution_outer"](spark, SF_DIR).collect()}
+    assert not any(r[0] == -1 for r in srows), "sentinel leaked into output"
+
+    e = load_table(spark, SF_DIR, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    batch = (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") < F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_LAG_MIN} MINUTES")),
+            "left",
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
+            F.col("click_id").isNotNull().alias("matched"),
+        )
+    )
+    brows = {tuple(r) for r in batch.collect()}
+    assert any(not r[4] for r in brows), "fixture should contain unmatched views"
+    assert srows == brows
