@@ -333,6 +333,21 @@ def subsalt_oversized_buckets(banded: DataFrame, bucket_keys: list[str], cap: in
     )
 
 
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, sig) relation. Band
+    bucket = xxhash64 over the band's 8 signature slots passed as 8
+    bigint arguments — no concat_ws/slice string materialization (the
+    r1 profile showed the per-band string build dominating). Shared by
+    the full-corpus pipeline and the incremental index path so banding
+    can never drift between them."""
+    r = N_PERM // N_BANDS
+    slot_args = ", ".join(f"element_at(sig, b * {r} + {i + 1})" for i in range(r))
+    band_cols = F.explode(
+        F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64({slot_args}) AS bucket))")
+    )
+    return sig.select("doc_id", band_cols.alias("bb")).select("doc_id", "bb.band", "bb.bucket")
+
+
 def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     """Shared head of the MinHash-LSH pipeline: cached signatures and
     the distinct banded candidate-pair relation. Factored out so
@@ -353,16 +368,7 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
     )
     sig.cache()
 
-    # band bucket = xxhash64 over the band's 8 signature slots passed as
-    # 8 bigint arguments — no concat_ws/slice string materialization
-    # (the r1 profile showed the per-band string build dominating)
-    r = N_PERM // N_BANDS
-    slot_args = ", ".join(f"element_at(sig, b * {r} + {i + 1})" for i in range(r))
-    band_cols = F.explode(
-        F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b AS band, xxhash64({slot_args}) AS bucket))")
-    )
-    banded = sig.select("doc_id", band_cols.alias("bb")).select("doc_id", "bb.band", "bb.bucket")
-    banded = subsalt_oversized_buckets(banded, ["band", "bucket"])
+    banded = subsalt_oversized_buckets(_band_buckets(sig), ["band", "bucket"])
     left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
     right = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket", "sub")
     candidates = (
@@ -421,6 +427,115 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 128-element integer fold, because unlike the per-dimension
     # cosine case the fold here is short, integer-only, and the pair
     # count (not the element count) is the scale axis.
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ).cast("double") / F.lit(float(N_PERM))
+    pairs = sa.join(candidates, "id_a")
+    return (
+        sb.join(pairs, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= EST_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — new-shard dedup against a PERSISTED MinHash index
+#
+# The production ingestion pattern: the corpus MinHash index (signatures
+# + band buckets) is built once and saved; each arriving shard computes
+# signatures for ITS documents only and joins its band buckets against
+# the saved relation — corpus signatures are read, never recomputed.
+# At 100 TB this is the difference between an O(shard) ingest step and
+# an O(corpus) full-pipeline rerun per shard.
+# ---------------------------------------------------------------------------
+
+INCR_SHARD_MOD = 10  # doc_id % 10 == 0 → the "new shard" (10% increment)
+_INDEX_ROOT = "/root/repo/tmp/minhash_index"
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """Build (or reuse, mtime-cached) the persisted MinHash index of
+    the CORPUS split (everything outside the new shard): sigs.parquet
+    (doc_id, 128-slot signature) and banded.parquet (doc_id, band,
+    bucket via the shared _band_buckets — banding can't drift from the
+    full pipeline). In production this is the standing index a
+    scheduled job maintains; here it stages under tmp/ per sf."""
+    import os
+
+    out_dir = out_dir or os.path.join(_INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(out_dir, "_built")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return out_dir
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % INCR_SHARD_MOD != 0)
+    par = spark.sparkContext.defaultParallelism
+    sig = (
+        d.select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
+    )
+    sig.write.mode("overwrite").parquet(os.path.join(out_dir, "sigs.parquet"))
+    # derive band buckets from the WRITTEN signatures (one signature
+    # computation total, and the banded relation provably agrees with
+    # the stored sigs)
+    stored = spark.read.parquet(os.path.join(out_dir, "sigs.parquet"))
+    _band_buckets(stored).write.mode("overwrite").parquet(os.path.join(out_dir, "banded.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+@register("dedup_incremental")  # rows-only: permutation hashing isn't SQL-expressible
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the NEW shard (doc_id % 10 == 0) against the corpus via
+    the persisted index: shard signatures are the only Arrow kernel in
+    the plan (ONE ArrowEvalPython — pinned by a plan test); the corpus
+    side is two parquet scans of the saved index. Candidates =
+    shard-banded ⋈ index-banded on (band, bucket) PLUS the guarded
+    shard self-join (a shard must also dedup against itself);
+    verification joins look signatures up from index ∪ shard. Output
+    convention matches dedup_minhash_lsh (id_a < id_b, est ≥ τ), and
+    equals the full-corpus run restricted to pairs touching the shard
+    (asserted in tests). Per-bucket cost of the cross join is
+    |corpus bucket| × |shard bucket| — shard-bounded by construction,
+    which is why the corpus side needs no sub-salt here."""
+    import os
+
+    idx = build_minhash_index(spark, sf_dir)
+    corpus_sigs = spark.read.parquet(os.path.join(idx, "sigs.parquet"))
+    corpus_banded = spark.read.parquet(os.path.join(idx, "banded.parquet"))
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % INCR_SHARD_MOD == 0)
+    par = spark.sparkContext.defaultParallelism
+    shard_sig = (
+        d.select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
+        .cache()
+    )
+    shard_banded = _band_buckets(shard_sig)
+
+    new_vs_corpus = (
+        shard_banded.select(F.col("doc_id").alias("id_n"), "band", "bucket")
+        .join(corpus_banded.select(F.col("doc_id").alias("id_c"), "band", "bucket"), ["band", "bucket"])
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+        )
+    )
+    guarded = subsalt_oversized_buckets(shard_banded, ["band", "bucket"])
+    new_vs_new = (
+        guarded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
+        .join(guarded.select(F.col("doc_id").alias("id_b"), "band", "bucket", "sub"), ["band", "bucket", "sub"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    candidates = new_vs_corpus.unionByName(new_vs_new).distinct()
+
+    sigs = corpus_sigs.unionByName(shard_sig)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ).cast("double") / F.lit(float(N_PERM))

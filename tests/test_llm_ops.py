@@ -538,3 +538,19 @@ def test_knn_graph_tiled_path_oracle_exact_on_skewed_cells(spark, tmp_path, monk
     df = QUERIES["emb_knn_graph"](spark, str(tmp_path))
     assert_matches_oracle(df, con, ORACLES["emb_knn_graph"])
     con.close()
+
+
+def test_dedup_incremental_equals_full_run_on_shard_pairs(spark):
+    """The incremental-shard dedup (persisted index + shard-only
+    signatures) must emit exactly the full-corpus run's pairs that
+    touch the new shard — same ids, same estimates."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.dedup import INCR_SHARD_MOD
+
+    inc = {(r.id_a, r.id_b, r.est_jaccard)
+           for r in QUERIES["dedup_incremental"](spark, SF_DIR).collect()}
+    full = QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    want = {(r.id_a, r.id_b, r.est_jaccard) for r in full
+            if r.id_a % INCR_SHARD_MOD == 0 or r.id_b % INCR_SHARD_MOD == 0}
+    assert want, "fixture should contain shard-touching near-dup pairs"
+    assert inc == want
