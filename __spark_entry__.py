@@ -129,9 +129,11 @@ def _sudan_oracles() -> dict[str, str]:
 # join_full_outer — which stay locally verified (pytest re-runs the
 # driver comparison for every oracled entry on each run, and
 # CORRECTNESS_LOCAL sweeps sf0.01+sf0.1 in both fetch modes) and go
-# FIRST into the r7 window together with the 48 r4-green entries
+# FIRST into the r7 window together with every oracled entry ADDED in
+# r6 (groupby_all_sales, select_exclude_replace, … — dual-SF dual-mode
+# verified locally on registration) and then the 48 r4-green entries
 # (oldest driver rows after this round). After r6, r6∪r5∪r4 covers all
-# 150 oracled entries with nothing older than two rounds.
+# 150 pre-r6 oracled entries with nothing older than two rounds.
 #   1-14  OLAP window/aggregate entries (olap5/olap6/olap8/olap9)
 #   15-24 join / setop / grouping / string entries (olap5-olap10)
 #   25-31 timeseries + event entries (olap5/olap9/timeseries)

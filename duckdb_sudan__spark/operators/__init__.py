@@ -41,6 +41,7 @@ def load_all() -> None:
         olap8,
         olap9,
         olap10,
+        olap11,
         relational,
         similarity,
         sketches,

@@ -1047,3 +1047,34 @@ def test_dedup_incremental_reads_index_not_recompute(spark):
     assert txt.count("documents.parquet") == 1, "corpus rescanned"
     assert "minhash_index" in txt, "persisted index not in the plan"
     assert "ArrowEvalPython" in txt  # the shard signature kernel
+
+
+# ---------------------------------------------------------------------------
+# r6 wave: DuckDB-ism parity plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_groupby_all_is_plain_partial_agg(spark):
+    """GROUP BY ALL is sugar — Catalyst must plan it exactly like the
+    explicit grouped agg: one pruned scan, partial+final HashAggregate,
+    no join, no window."""
+    df = QUERIES["groupby_all_sales"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2
+    assert not any("Join" in n or "Window" in n for n in nodes)
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderpriority" not in read_schema  # projection pruned
+
+
+def test_select_exclude_replace_is_map_only(spark):
+    """Star EXCLUDE/REPLACE parity: pure projection — a single scan
+    whose ReadSchema drops the excluded column, no shuffle except the
+    output sort."""
+    df = QUERIES["select_exclude_replace"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n or "HashAggregate" in n for n in nodes)
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "c_name" not in read_schema, "excluded column still read"
+    assert shuffle_count(nodes) <= 1  # the ORDER BY range exchange only
