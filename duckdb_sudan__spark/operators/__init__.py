@@ -49,6 +49,7 @@ def load_all() -> None:
         text,
         text2,
         text3,
+        text4,
         timeseries,
     )
     from duckdb_sudan__spark.geo import spatial as geo_spatial  # noqa: F401

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.session import load_table
 
@@ -87,4 +89,158 @@ def select_exclude_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_acctbal", F.round(F.col("c_acctbal").cast("decimal(18,2)"), 0).cast("bigint"))
         .withColumn("c_mktsegment", F.upper("c_mktsegment"))
         .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mad_robust — median + median-absolute-deviation per group
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(median(value) AS DOUBLE) AS med,
+       CAST(mad(value) AS DOUBLE) AS mad
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_mad_robust", MAD_ORACLE)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event_type: median + MAD (the
+    outlier-resistant stddev replacement every data-quality monitor
+    uses — one corrupt 1e12 value moves mean/stddev arbitrarily, moves
+    median/MAD not at all). DuckDB ships mad() natively; Spark composes
+    it as percentile(.,0.5) → join the group median back → percentile
+    of |x − med|. Determinism: both engines define the even-count
+    median as the mean of the two middle values — one rounded add +
+    one rounded halving on identical doubles — and |x − med| is a
+    single rounded subtract, so the hashed doubles are bit-identical
+    (DETERMINISM.md rule 2). Plan: two exact-percentile aggregations
+    (sort-based within group) + one BROADCAST join of the tiny
+    per-group medians — the fact table shuffles on event_type twice,
+    never more; at 100 TB exact percentiles per group are the honest
+    cost (approx_percentile is the cheap tier, sketch_quantiles)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5D)").alias("med"),
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_asof_tolerance — LEFT as-of join with a max-gap tolerance
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_MIN = 30  # minutes
+
+ASOF_TOL_ORACLE = f"""
+SELECT click_id, user_id, click_ts,
+       CASE WHEN gap_micros <= {ASOF_TOL_MIN} * 60 * 1000000 THEN view_ts END AS view_ts,
+       CASE WHEN gap_micros <= {ASOF_TOL_MIN} * 60 * 1000000 THEN gap_micros END AS gap_micros
+FROM (
+  SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts,
+         CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_micros
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+ORDER BY click_id
+"""
+
+
+@register("ev_asof_tolerance", ASOF_TOL_ORACLE)
+def ev_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join with tolerance — pandas merge_asof's
+    `tolerance=` / QuestDB's bounded ASOF: every click keeps its row;
+    the matched prior view is NULLed when it's farther than 30 minutes
+    back. Key property making this a post-filter instead of a
+    different join: the as-of match is the LATEST prior view, so if IT
+    is outside the tolerance, every other prior view is too — bounded
+    as-of ≡ plain as-of + gap CASE. Same union-marker single-shuffle
+    plan as ev_asof_join (one window over (user, ts, kind)), LEFT
+    semantics by keeping unmatched probe rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    tagged = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "view_ts", F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("view_ts")
+    within = gap <= ASOF_TOL_MIN * 60 * 1_000_000
+    return (
+        matched.where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.when(F.col("view_ts").isNotNull() & within, F.col("view_ts")).alias("view_ts"),
+            F.when(F.col("view_ts").isNotNull() & within, gap).alias("gap_micros"),
+        )
+        .orderBy("click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot_multi_agg — PIVOT with multiple aggregates per pivot value
+# ---------------------------------------------------------------------------
+
+PIVOT_MULTI_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_total,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_total,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_total
+FROM orders
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+@register("pivot_multi_agg", PIVOT_MULTI_ORACLE)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per pivot value (count + revenue
+    per order status) — the form pivot_status doesn't cover: Spark's
+    native `pivot(col, values).agg(a1, a2)` emits `{value}_{alias}`
+    columns, which the oracle reproduces as FILTERed aggregates with
+    the same names. The explicit values list matters at 100 TB:
+    omitting it makes Spark run a distinct-values job before planning
+    — an extra full scan. Decimal accumulator → double presentation,
+    bit-identical (DETERMINISM.md). Plan: ONE scan, one partial-agg
+    shuffle on yr; the pivot is just 6 conditional aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(27,6)").alias("price"),
+        )
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("double").alias("total"),
+        )
+        .orderBy("yr")
     )

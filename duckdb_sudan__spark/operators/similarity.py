@@ -271,6 +271,132 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+# ---------------------------------------------------------------------------
+# ann_mips_dot — maximum-inner-product search (recommendation-retrieval
+# scoring: unnormalized embeddings where magnitude carries signal, so
+# cosine is the wrong metric)
+# ---------------------------------------------------------------------------
+
+_MIPS_DOT = (
+    "round(list_inner_product(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+ANN_MIPS_ORACLE = f"""
+SELECT query_id, neighbor_id, dot
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_MIPS_DOT} AS dot,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {_MIPS_DOT} DESC, c.vec_id) AS rn
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+WHERE rn <= {TOP_K}
+ORDER BY query_id, dot DESC, neighbor_id
+"""
+
+
+@register("ann_mips_dot", ANN_MIPS_ORACLE)
+def ann_mips_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force MIPS top-k — the ann_topk_cosine scorer minus the
+    normalization: raw inner products via the same `_foldmul_acc`
+    per-dim fold (bit-identical to DuckDB's sequential
+    list_inner_product accumulation), zero-shuffle corpus streaming,
+    one k·|Q|-row top-k window. At 100 TB the LSH/IVF bucketing of the
+    cosine family doesn't transfer directly to MIPS (magnitude breaks
+    the triangle bounds); the standard reduction appends a
+    sqrt(M²−‖x‖²) dimension and reuses cosine ANN — this entry is the
+    exact tier those approximations are audited against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, dot double")
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            dots = _foldmul_acc(X, Q)
+            n, m = dots.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "dot": dots.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(score, "query_id long, neighbor_id long, dot double")
+        .withColumn("dot", F.round(F.col("dot"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "dot")
+        .orderBy("query_id", F.desc("dot"), "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_truncate — MRL-style prefix truncation audit
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 8
+
+MRL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), folded AS (
+  SELECT vec_id,
+         list_reduce(list_transform(e[1:{MRL_DIM}], x -> x * x), (a, b) -> a + b) AS pref_sq,
+         list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) AS full_sq
+  FROM base
+)
+SELECT vec_id,
+       sqrt(pref_sq) AS prefix_l2,
+       sqrt(full_sq) AS full_l2,
+       pref_sq / full_sq AS energy_ratio
+FROM folded
+ORDER BY vec_id
+"""
+
+
+@register("emb_matryoshka_truncate", MRL_ORACLE)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: how much of each vector's energy
+    the first MRL_DIM dimensions retain (prefix-truncated serving is
+    the standard cheap-tier for MRL-trained embeddings; energy_ratio
+    is cos²(full, zero-padded prefix), the quantity that decides
+    whether the cheap tier is usable). Bit-stability: both engines run
+    the same sequential square-sum fold (Spark `aggregate`, DuckDB
+    `list_reduce`), then one sqrt / one division — exactly rounded on
+    identical inputs (DETERMINISM.md rule 2). Pure map stage, zero
+    shuffles before the output sort; the prefix slice never copies the
+    tail at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_fold = "aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)"
+    return (
+        e.selectExpr(
+            "vec_id",
+            sq_fold.format(v=f"slice(embedding, 1, {MRL_DIM})") + " AS pref_sq",
+            sq_fold.format(v="embedding") + " AS full_sq",
+        )
+        .select(
+            "vec_id",
+            F.sqrt("pref_sq").alias("prefix_l2"),
+            F.sqrt("full_sq").alias("full_l2"),
+            (F.col("pref_sq") / F.col("full_sq")).alias("energy_ratio"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 N_PLANES = 12
 
 

@@ -1078,3 +1078,70 @@ def test_select_exclude_replace_is_map_only(spark):
     read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
     assert "c_name" not in read_schema, "excluded column still read"
     assert shuffle_count(nodes) <= 1  # the ORDER BY range exchange only
+
+
+def test_mad_robust_broadcasts_group_medians(spark):
+    """MAD: the per-group median relation (5 rows) must broadcast back
+    to the fact side — the events table never shuffles for the join."""
+    df = QUERIES["agg_mad_robust"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n for n in nodes)
+
+
+def test_asof_tolerance_is_single_window_no_join(spark):
+    """Bounded as-of reduces to the union-marker window + gap CASE —
+    no self-join, one shuffle for the window."""
+    df = QUERIES["ev_asof_tolerance"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 1
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+
+
+def test_pivot_multi_agg_is_one_scan_conditional_aggs(spark):
+    """Explicit pivot values → no distinct-values pre-job: one scan,
+    partial+final agg, no join/window/expand."""
+    df = QUERIES["pivot_multi_agg"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2
+    assert not any("Join" in n or "Window" in n or "Expand" in n for n in nodes)
+
+
+def test_bpe_pair_counts_two_phase_topk(spark):
+    """Tokenizer pair counts: count shuffle on (lang, pair) with partial
+    agg, then the rank-limit-pruned window (WindowGroupLimit)."""
+    df = QUERIES["bpe_pair_counts"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2
+    assert any(n == "WindowGroupLimit" for n in nodes)
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" not in read_schema and "source" not in read_schema
+
+
+def test_dup_rate_by_source_prunes_and_partial_aggs(spark):
+    df = QUERIES["corpus_dedup_rate_by_source"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "n_chars" not in read_schema and "doc_id" not in read_schema
+
+
+def test_mips_is_zero_shuffle_scorer_plus_topk(spark):
+    """MIPS: corpus streams through the Arrow scorer with no join; the
+    only shuffles serve the k-bounded top-k window and output sort."""
+    df = QUERIES["ann_mips_dot"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert any("MapInPandas" in n for n in nodes)
+    assert any(n == "WindowGroupLimit" for n in nodes)
+
+
+def test_matryoshka_is_map_only(spark):
+    df = QUERIES["emb_matryoshka_truncate"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n or "HashAggregate" in n or "Window" in n for n in nodes)
+    assert shuffle_count(nodes) <= 1  # output sort only
