@@ -244,3 +244,157 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_anomaly_zscore — per-group z-score outliers from exact moments
+# ---------------------------------------------------------------------------
+
+Z_CUT = 3.0
+
+ZSCORE_ORACLE = f"""
+WITH m AS (
+  SELECT event_id, event_type, CAST(round(value * 1000000) AS BIGINT) AS um FROM events
+), stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(um AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(um AS DECIMAL(38,0)) * CAST(um AS DECIMAL(38,0))) AS s2
+  FROM m GROUP BY event_type
+), z AS (
+  SELECT m.event_id, m.event_type, m.um,
+         CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean_um,
+         sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) / CAST(s.n AS DOUBLE)) AS std_um
+  FROM m JOIN stats s ON m.event_type = s.event_type
+)
+SELECT event_id, event_type,
+       CAST(um AS DOUBLE) / 1000000.0 AS value,
+       (CAST(um AS DOUBLE) - mean_um) / std_um AS zscore
+FROM z
+WHERE std_um > 0 AND abs((CAST(um AS DOUBLE) - mean_um) / std_um) >= {Z_CUT}
+ORDER BY event_id
+"""
+
+
+@register("ev_anomaly_zscore", ZSCORE_ORACLE)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flags — the parametric companion to
+    agg_mad_robust: events whose value sits ≥ 3σ from their type's
+    mean. Bit-stability is the whole design: value is integer-scaled
+    ONCE (round(v·1e6), exact for identical doubles), mean and
+    variance come from exact DECIMAL(38,0) moment sums with the
+    n·s2 − s1² cancellation done in decimal (the stats_moments /
+    agg_regression pattern — bigint would wrap at this SF), and the
+    z-score is a FIXED sequence of exactly-rounded double ops repeated
+    verbatim in the oracle. Plan: one partial-agg shuffle for the
+    5-row stats relation, broadcast back, map-side z + filter — the
+    anomaly scan itself never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("um"),
+    )
+    dec = "decimal(38,0)"
+    stats = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("um").cast(dec)).alias("s1"),
+        F.sum(F.col("um").cast(dec) * F.col("um").cast(dec)).alias("s2"),
+    )
+    joined = m.join(F.broadcast(stats), "event_type")
+    mean_um = F.col("s1").cast("double") / F.col("n").cast("double")
+    std_um = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / F.col("n").cast("double")
+        / F.col("n").cast("double")
+    )
+    z = (F.col("um").cast("double") - mean_um) / std_um
+    return (
+        joined.where((std_um > 0) & (F.abs(z) >= Z_CUT))
+        .select(
+            "event_id", "event_type",
+            (F.col("um").cast("double") / F.lit(1_000_000.0)).alias("value"),
+            z.alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_share_of_parent — hierarchy shares (nation-of-region,
+# region-of-total) from one base aggregate
+# ---------------------------------------------------------------------------
+
+SHARE_ORACLE = """
+WITH base AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+), region_t AS (
+  SELECT region, SUM(rev_cents) AS rev_cents FROM base GROUP BY region
+), grand AS (
+  SELECT SUM(rev_cents) AS rev_cents FROM region_t
+)
+SELECT * FROM (
+  SELECT 'nation' AS level, b.region, b.nation,
+         CAST(b.rev_cents AS BIGINT) AS rev_cents,
+         CAST(b.rev_cents AS DOUBLE) / CAST(rt.rev_cents AS DOUBLE) AS share_of_parent
+  FROM base b JOIN region_t rt ON b.region = rt.region
+  UNION ALL
+  SELECT 'region', rt.region, NULL,
+         CAST(rt.rev_cents AS BIGINT),
+         CAST(rt.rev_cents AS DOUBLE) / CAST(g.rev_cents AS DOUBLE)
+  FROM region_t rt, grand g
+)
+ORDER BY level, region, nation
+"""
+
+
+@register("rollup_share_of_parent", SHARE_ORACLE)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy contribution analysis — every nation's share of its
+    region and every region's share of the total, the drill-down
+    normalization ROLLUP alone can't produce (GROUPING SETS gives the
+    levels; the SHARE needs each level joined to its parent). Revenue
+    is integer cents end-to-end (round(price·100), exact on identical
+    doubles); each share is one int/int double division. Plan: ONE
+    fact aggregation at the finest level (nation), then the parent
+    levels re-aggregate the TINY base relation (≤ |nations| rows) —
+    the fact table is scanned and shuffled exactly once, parents are
+    broadcast joins; the 1-row grand total crossJoins broadcast-style
+    (never a cartesian)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        o.select("o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").alias("rev_cents"))
+        .persist()  # parent levels re-aggregate this tiny relation
+    )
+    region_t = base.groupBy("region").agg(F.sum("rev_cents").alias("r_rev"))
+    grand = region_t.agg(F.sum("r_rev").alias("g_rev"))
+    nation_rows = (
+        base.join(F.broadcast(region_t), "region")
+        .select(
+            F.lit("nation").alias("level"), "region", "nation",
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            (F.col("rev_cents").cast("double") / F.col("r_rev").cast("double")).alias("share_of_parent"),
+        )
+    )
+    region_rows = (
+        region_t.crossJoin(F.broadcast(grand))
+        .select(
+            F.lit("region").alias("level"), "region", F.lit(None).cast("string").alias("nation"),
+            F.col("r_rev").cast("bigint").alias("rev_cents"),
+            (F.col("r_rev").cast("double") / F.col("g_rev").cast("double")).alias("share_of_parent"),
+        )
+    )
+    return nation_rows.unionByName(region_rows).orderBy("level", "region", "nation")

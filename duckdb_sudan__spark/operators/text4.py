@@ -125,3 +125,86 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_filters — composite Gopher-style document quality screen
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_UNIQUE, GOPHER_MAX_TOP = 0.20, 0.20
+
+GOPHER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), per_word AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+), per_doc AS (
+  SELECT doc_id,
+         SUM(c) AS n_words,
+         SUM(length(w) * c) AS n_chars_in_words,
+         COUNT(*) AS n_unique,
+         MAX(c) AS top_count
+  FROM per_word GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) AS unique_ratio,
+       CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+                BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+         AND (CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) >= {GOPHER_MIN_UNIQUE})
+         AND (CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_TOP})
+         AS passes
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register("text_gopher_filters", GOPHER_ORACLE)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style composite quality screen (the public
+    Rae et al. 2021 heuristics, token-variant for this corpus): word
+    count bounds, mean word length bounds, unique-word ratio floor and
+    top-word dominance cap — the multi-rule gate production pipelines
+    run before any model-based filtering. All four statistics derive
+    from ONE (doc_id, word) count relation: integer sums + one double
+    division each (DETERMINISM.md rule 2a), and the pass flag is pure
+    comparisons on those exact doubles. Plan: token explode → one
+    (doc, word) partial-agg shuffle → one per-doc agg; linear, the
+    same two-shuffle shape as text_vocab_topk."""
+    d = load_table(spark, sf_dir, "documents")
+    per_word = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.length("w") * F.col("c")).alias("n_chars_in_words"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("c").alias("top_count"),
+    )
+    nw = F.col("n_words").cast("double")
+    mwl = F.col("n_chars_in_words").cast("double") / nw
+    uniq = F.col("n_unique").cast("double") / nw
+    top = F.col("top_count").cast("double") / nw
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            mwl.alias("mean_word_len"),
+            uniq.alias("unique_ratio"),
+            top.alias("top_word_ratio"),
+            (
+                F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+                & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+                & (uniq >= GOPHER_MIN_UNIQUE)
+                & (top <= GOPHER_MAX_TOP)
+            ).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )

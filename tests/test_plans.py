@@ -1145,3 +1145,32 @@ def test_matryoshka_is_map_only(spark):
     assert sum(1 for n in nodes if n == "Scan parquet") == 1
     assert not any("Join" in n or "HashAggregate" in n or "Window" in n for n in nodes)
     assert shuffle_count(nodes) <= 1  # output sort only
+
+
+def test_gopher_filters_two_shuffles_linear(spark):
+    df = QUERIES["text_gopher_filters"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n or "Window" in n for n in nodes)
+    assert shuffle_count(nodes) <= 3  # (doc,word) agg + per-doc agg + sort
+
+
+def test_zscore_broadcasts_stats_and_never_shuffles_scan(spark):
+    """The 5-row moment relation broadcasts back; the anomaly scan side
+    is map-only (no exchange between its scan and the join)."""
+    df = QUERIES["ev_anomaly_zscore"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes)
+    assert not any("SortMergeJoin" in n for n in nodes)
+
+
+def test_rollup_share_aggregates_fact_once(spark):
+    """Both hierarchy levels derive from ONE fact aggregation: orders
+    appears in the plan exactly once (base is persisted), parents are
+    broadcast joins, and the grand total crossJoin is a broadcast
+    nested loop of one row — not a cartesian."""
+    df = QUERIES["rollup_share_of_parent"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("orders.parquet") <= 1
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes)
