@@ -349,3 +349,65 @@ def mm_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_video_scene_cuts — frame-difference scene-cut detection over the
+# fake-decoded frame stream (the shot-boundary step of a video
+# curation pipeline; a real impl swaps byte-slicing for pyav decode)
+# ---------------------------------------------------------------------------
+
+# mean-abs-diff cut threshold: ~p95 of the fake-decode diff
+# distribution (range 14.5-38.7 on this corpus), so both flags occur;
+# a real pipeline calibrates this against labeled shot boundaries
+SCENE_CUT_TAU = 33.0
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("diff_mean", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def _frame_diffs(payload: bytes) -> list[tuple[int, float, bool]]:
+    """Per-consecutive-frame mean absolute pixel difference + cut flag.
+    Module-level so the equivalence test can recompute it locally."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n_frames = max(len(arr) // FRAME_BYTES, 1)
+    if n_frames < 2:
+        return []
+    frames = arr[: n_frames * FRAME_BYTES].reshape(n_frames, -1).astype(np.float64)
+    diffs = np.abs(frames[1:] - frames[:-1]).mean(axis=1)
+    return [
+        (idx + 1, float(np.round(d, 6)), bool(d >= SCENE_CUT_TAU))
+        for idx, d in enumerate(diffs)
+    ]
+
+
+@register("mm_video_scene_cuts")  # rows-only: decode is library-dependent
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut (shot-boundary) detection: mean absolute pixel
+    difference between consecutive frames, flagged when it exceeds
+    SCENE_CUT_TAU — the pre-processing step that decides where a video
+    gets split into training clips. The per-doc frame stream never
+    leaves its task (diffs are frame-local), so the operator is a pure
+    mapInPandas fan-out like mm_frame_sample: one scan, zero shuffles
+    before the output sort, and the frame tensor exists only inside
+    the Arrow batch. Decode is the container-honest fake; the diff
+    math is exactly what a real pipeline runs on decoded luma planes."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                for idx, diff, flag in _frame_diffs(bytes(payload)):
+                    rows.append(
+                        {"doc_id": doc_id, "frame_idx": idx, "diff_mean": diff, "is_cut": flag}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in SCENE_SCHEMA.fields])
+
+    return attach_media(d).mapInPandas(cuts, SCENE_SCHEMA).orderBy("doc_id", "frame_idx")

@@ -398,3 +398,174 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return nation_rows.unionByName(region_rows).orderBy("level", "region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# win_gaps_islands — consecutive-day activity islands per user
+# ---------------------------------------------------------------------------
+
+GAPS_ISLANDS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+  FROM events WHERE user_id < 100
+), anchored AS (
+  SELECT user_id, day,
+         day - to_days(CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)) AS anchor
+  FROM days
+)
+SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM anchored
+GROUP BY user_id, anchor
+ORDER BY user_id, island_start
+"""
+
+
+@register("win_gaps_islands", GAPS_ISLANDS_ORACLE)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — maximal runs of CONSECUTIVE active days per
+    user (streak analytics: retention teams live on this shape). The
+    classic row_number anchor trick: day − row_number() is constant
+    exactly within a consecutive run, so one window + one groupBy
+    finds all islands without self-joins or iteration. Days are
+    emitted as TIMESTAMP (DETERMINISM.md: DATE diverges between fetch
+    modes). Plan: distinct (user, day) partial-agg shuffle, ONE
+    user-partitioned window, one island groupBy — linear, and the
+    window key matches the groupBy key so AQE reuses the
+    partitioning."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    days = e.select("user_id", F.date_trunc("DAY", "ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.expr("day - make_interval(0, 0, 0, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))")
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("anchor")
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_concurrency_curve — open-session concurrency over time
+# ---------------------------------------------------------------------------
+
+CONCURRENCY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         ts
+  FROM flagged
+), intervals AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM sessions GROUP BY user_id, session_id
+), points AS (
+  SELECT user_id, CAST(session_id AS INTEGER) AS session_id, s AS ts, 1 AS delta FROM intervals
+  UNION ALL
+  SELECT user_id, CAST(session_id AS INTEGER), e, -1 FROM intervals
+)
+SELECT ts, delta, user_id, session_id,
+       CAST(SUM(delta) OVER (ORDER BY ts, delta, user_id, session_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+FROM points
+ORDER BY ts, delta, user_id, session_id
+"""
+
+
+@register("ev_concurrency_curve", CONCURRENCY_ORACLE)
+def ev_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-session concurrency curve — how many gap-based sessions
+    (the ev_sessionize intervals) are simultaneously open at every
+    change point: the capacity-planning statistic behind "peak
+    concurrent users". Interval stabbing without a join: each session
+    emits (+1 at start, −1 at end) and one running sum over the
+    deterministic global order (ts, delta, user, session — ends sort
+    before starts at the same instant, a defined convention) yields
+    the concurrency level. The global-order window is inherently
+    serial but runs over 2·|sessions| tiny rows, not events — the
+    same honest cost as win_rolling_regression; per-key variants
+    would partition the window."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_prev = e.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))
+    new_session = F.when(
+        F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    sessions = with_prev.withColumn("session_id", F.sum(new_session).over(wrun).cast("int"))
+    intervals = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    points = intervals.select(
+        "user_id", "session_id", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select("user_id", "session_id", F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    wg = Window.orderBy("ts", "delta", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        points.select(
+            "ts", "delta", "user_id", "session_id",
+            F.sum("delta").over(wg).cast("bigint").alias("concurrency"),
+        )
+        .orderBy("ts", "delta", "user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# str_format_parity — printf / padding / repetition scalar surface
+# ---------------------------------------------------------------------------
+
+FORMAT_ORACLE = """
+SELECT c_custkey,
+       printf('%s-%05d', c_mktsegment, c_custkey) AS tag,
+       printf('%x', c_custkey * 2654435761 % 4294967296) AS hex_bucket,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_pad,
+       rpad(c_mktsegment, 12, '.') AS seg_pad,
+       repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars,
+       reverse(c_mktsegment) AS seg_rev,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_xlat
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("str_format_parity", FORMAT_ORACLE)
+def str_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style formatting parity: DuckDB printf ⇄ Spark format_string
+    (both %s/%05d/%x), plus lpad/rpad/repeat/reverse/translate — the
+    scalar string surface report builders depend on. All-integer /
+    pure-ASCII inputs, so formatting is deterministic; map-only with
+    projection pruning to the 3 touched columns."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.format_string("%s-%05d", F.col("c_mktsegment"), F.col("c_custkey")).alias("tag"),
+            F.format_string(
+                "%x", (F.col("c_custkey") * F.lit(2654435761) % F.lit(4294967296)).cast("bigint")
+            ).alias("hex_bucket"),
+            F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_pad"),
+            F.rpad("c_mktsegment", 12, ".").alias("seg_pad"),
+            F.repeat(F.lit("*"), (F.col("c_custkey") % 5).cast("int")).alias("stars"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_xlat"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -208,3 +208,64 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_rate — per-document coverage under a fixed top-K vocab
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+  ) QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("vocab_coverage_rate", VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage under a FIXED top-K global vocabulary —
+    the tokenizer-sizing statistic: how much of each document a
+    K-entry word vocab explains (low-coverage docs are what drive
+    vocab growth or get byte-fallback treatment). Vocabulary = global
+    top-K tokens by count, ties broken on the token string — both
+    engines derive it from the same count relation, so the vocab sets
+    are identical. Plan: one token explode feeding BOTH the global
+    count (partial-agg shuffle) and the per-doc join; the K-row vocab
+    BROADCASTS back (at 100 TB a 50k-entry vocab is still KBs — the
+    join never shuffles the token stream); coverage is one int/int
+    double division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    w_top = Window.orderBy(F.desc("c"), "w")
+    vocab = (
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= VOCAB_K)
+        .select(F.col("w").alias("vw"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), tok.w == F.col("vw"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("vw").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_covered"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_tokens").cast("double")).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )

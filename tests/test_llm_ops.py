@@ -554,3 +554,25 @@ def test_dedup_incremental_equals_full_run_on_shard_pairs(spark):
             if r.id_a % INCR_SHARD_MOD == 0 or r.id_b % INCR_SHARD_MOD == 0}
     assert want, "fixture should contain shard-touching near-dup pairs"
     assert inc == want
+
+
+def test_mm_scene_cuts_match_local_reference(spark):
+    """Scene-cut rows must equal a local recompute over the same fake
+    decode (per-doc frame diffs are task-local, so stream == local),
+    and the corpus must exercise both cut and non-cut flags."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.multimodal import _frame_diffs
+    from duckdb_sudan__spark.session import load_table
+
+    got = [
+        (r.doc_id, r.frame_idx, r.diff_mean, r.is_cut)
+        for r in QUERIES["mm_video_scene_cuts"](spark, SF_DIR).collect()
+    ]
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    want = []
+    for r in sorted(docs, key=lambda x: x.doc_id):
+        for idx, diff, flag in _frame_diffs((r.text or "").encode("utf-8")):
+            want.append((r.doc_id, idx, diff, flag))
+    assert got == sorted(want)
+    flags = {f for *_, f in got}
+    assert flags == {True, False}, f"degenerate threshold: {flags}"

@@ -1174,3 +1174,39 @@ def test_rollup_share_aggregates_fact_once(spark):
     assert plan.count("orders.parquet") <= 1
     nodes = plan_nodes(df)
     assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_gaps_islands_window_key_matches_group_key(spark):
+    df = QUERIES["win_gaps_islands"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+    assert sum(1 for n in nodes if n == "Window") == 1
+
+
+def test_concurrency_curve_global_window_over_session_points(spark):
+    """The global running sum runs over 2·|sessions| points, never raw
+    events: the plan has the per-user session window + one global
+    window, no join."""
+    df = QUERIES["ev_concurrency_curve"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes)
+    assert sum(1 for n in nodes if n == "Window") >= 2
+
+
+def test_format_parity_is_map_only(spark):
+    df = QUERIES["str_format_parity"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n or "HashAggregate" in n or "Window" in n for n in nodes)
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "c_acctbal" not in read_schema
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The K-row vocabulary must broadcast back to the token stream —
+    the exploded tokens never shuffle for the coverage join."""
+    df = QUERIES["vocab_coverage_rate"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n for n in nodes)
