@@ -269,3 +269,54 @@ def vocab_coverage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_epoch_interleave — reproducible multi-epoch training order
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 2
+
+EPOCH_INTERLEAVE_ORACLE = f"""
+WITH expanded AS (
+  SELECT doc_id, e.epoch,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)) AS shuffle_key
+  FROM documents, (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch) e
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_epoch
+FROM expanded
+ORDER BY epoch, pos_in_epoch
+"""
+
+
+@register("dataset_epoch_interleave", EPOCH_INTERLEAVE_ORACLE)
+def dataset_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible multi-epoch data ordering: every document gets a
+    per-epoch position from a DETERMINISTIC shuffle key
+    md5(doc_id ':' epoch) — each epoch is an independent permutation,
+    identical across engines, cluster sizes and reruns (seeded RNG
+    shuffles are engine-private; the hash route is the cross-engine /
+    resume-safe contract, same family as sample_hash_stratified). A
+    trainer resuming epoch 1 at position k re-derives the exact order
+    from the relation. Plan: map-side epoch explode + key, one
+    per-epoch window for positions — at 100 TB the window partitions
+    by epoch; production would additionally bucket positions into
+    shard files via dataset_shard_assign."""
+    d = load_table(spark, sf_dir, "documents")
+    expanded = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        "doc_id", "epoch",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        expanded.select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("pos_in_epoch"),
+        )
+        .orderBy("epoch", "pos_in_epoch")
+    )

@@ -151,8 +151,51 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
     )
 
 
+PARQUET_ROUNDTRIP_ORACLE = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM read_parquet('{_RT_ROOT}/*/parquet/*/*.parquet', hive_partitioning = 1)
+WHERE corpus_n = (SELECT COUNT(*) FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _register_roundtrips() -> None:
     from duckdb_sudan__spark.operators import register
+
+    @register("files_parquet_roundtrip", PARQUET_ROUNDTRIP_ORACLE)
+    def files_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The PARTITIONED parquet round trip — the lakehouse layout
+        itself: Spark writes `partitionBy(lang)` (hive-style lang=xx
+        directories), then Spark reads the partitioned tree back and
+        DuckDB consumes the SAME files via read_parquet(...,
+        hive_partitioning=1) — directory-encoded partition columns
+        must round-trip identically through both engines' readers.
+        Same per-sf path + corpus_n discriminator contract as the
+        csv/jsonl twins. Partitioning by the low-cardinality lang key
+        is the write pattern §D prescribes (never high-cardinality
+        ids)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from duckdb_sudan__spark.session import load_table
+
+        path = os.path.join(
+            _RT_ROOT, os.path.basename(os.path.normpath(sf_dir)), "parquet"
+        )
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        n = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+        (
+            d.crossJoin(F.broadcast(n))
+            .repartition("lang")  # one file per partition dir, not one per task
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        return _roundtrip_agg(back)
 
     @register("files_csv_roundtrip", CSV_ROUNDTRIP_ORACLE)
     def files_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

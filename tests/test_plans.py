@@ -1210,3 +1210,35 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     nodes = plan_nodes(df)
     assert any("BroadcastHashJoin" in n for n in nodes), nodes
     assert not any("SortMergeJoin" in n for n in nodes)
+
+
+def test_scd2_lookup_is_window_not_range_join(spark):
+    """Point-in-time lookup resolves via the union-marker window — no
+    interval join anywhere in the plan."""
+    df = QUERIES["join_scd2_lookup"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert any(n == "Window" for n in nodes)
+
+
+def test_epoch_interleave_partitions_by_epoch(spark):
+    df = QUERIES["dataset_epoch_interleave"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema  # only doc_id scanned
+
+
+def test_parquet_roundtrip_writes_hive_partitions(spark, tmp_path):
+    """The partitioned write must produce lang=<value> directories —
+    the hive layout both engines then read back identically."""
+    import glob
+    import os
+
+    from duckdb_sudan__spark.sources.files import _RT_ROOT
+
+    QUERIES["files_parquet_roundtrip"](spark, SF_DIR).collect()
+    base = os.path.join(_RT_ROOT, "sf0.01", "parquet")
+    dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(base, "lang=*")))
+    assert dirs and all(d.startswith("lang=") for d in dirs)
