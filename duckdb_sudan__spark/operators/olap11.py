@@ -649,3 +649,223 @@ def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_matrix — pairwise Pearson correlations from exact moments
+# ---------------------------------------------------------------------------
+
+CORR_ORACLE = """
+WITH m AS (
+  SELECT CAST(round(l_quantity * 1000000) AS HUGEINT) AS q,
+         CAST(round(l_extendedprice * 1000000) AS HUGEINT) AS p,
+         CAST(round(l_discount * 1000000) AS HUGEINT) AS d
+  FROM lineitem
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd,
+         SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd
+  FROM m
+)
+SELECT * FROM (
+  SELECT 'quantity' AS var1, 'extendedprice' AS var2, CAST(n AS BIGINT) AS n,
+         CAST(n * sqp - sq * sp AS DOUBLE)
+           / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr
+  FROM s
+  UNION ALL
+  SELECT 'quantity', 'discount', CAST(n AS BIGINT),
+         CAST(n * sqd - sq * sd AS DOUBLE)
+           / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+  FROM s
+  UNION ALL
+  SELECT 'extendedprice', 'discount', CAST(n AS BIGINT),
+         CAST(n * spd - sp * sd AS DOUBLE)
+           / (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+  FROM s
+)
+ORDER BY var1, var2
+"""
+
+
+@register("agg_corr_matrix", CORR_ORACLE)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem measures
+    — the profiling step before feature selection / drift monitoring.
+    Built-in corr() accumulates doubles in engine-private order (not
+    cross-engine reproducible), so all ten moments come from ONE pass
+    of integer-scaled DECIMAL(38,0) sums (the stats_moments pattern:
+    micros products reach ~3e24 at sf0.1, decimal never wraps), and
+    each correlation is the n·sxy − sx·sy cancellation in decimal with
+    a FIXED double op sequence mirrored by the oracle. Plan: one scan,
+    one 1-row partial agg, three projections of that row unioned —
+    nothing shuffles but 10 numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    m = li.select(
+        F.round(F.col("l_quantity") * 1_000_000).cast(dec).alias("q"),
+        F.round(F.col("l_extendedprice") * 1_000_000).cast(dec).alias("p"),
+        F.round(F.col("l_discount") * 1_000_000).cast(dec).alias("d"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"), F.sum("p").alias("sp"), F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    ).persist()
+
+    def corr_row(name1, name2, sxy, sx, sy, sxx, syy):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        den = F.sqrt((F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")) * F.sqrt(
+            (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        )
+        return s.select(
+            F.lit(name1).alias("var1"), F.lit(name2).alias("var2"),
+            F.col("n").cast("bigint").alias("n"),
+            (num / den).alias("corr"),
+        )
+
+    return (
+        corr_row("quantity", "extendedprice", "sqp", "sq", "sp", "sqq", "spp")
+        .unionByName(corr_row("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionByName(corr_row("extendedprice", "discount", "spd", "sp", "sd", "spp", "sdd"))
+        .orderBy("var1", "var2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_pareto_abc — cumulative-share ABC classification
+# ---------------------------------------------------------------------------
+
+ABC_A, ABC_B = 0.5, 0.8
+
+PARETO_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         SUM(cents) OVER () AS total_cents
+  FROM rev
+)
+SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
+       CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) <= {ABC_A} THEN 'A'
+            WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) <= {ABC_B} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY cents DESC, l_partkey
+"""
+
+
+@register("win_pareto_abc", PARETO_ORACLE)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: parts ranked by revenue with cumulative
+    share and A/B/C class (top-50%-of-revenue parts are 'A', …) — the
+    80/20 inventory-analytics staple. Revenue is exact integer cents;
+    cum_share is one int/int double division per row, and the class
+    thresholds compare those exact doubles. Plan: one fact aggregation
+    to per-part cents, then ONE global-order running sum (the honest
+    serial step — it runs over |parts| rows, not lineitem; per-category
+    variants would partition it) sharing its sort with the total
+    window and the output order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select("l_partkey", F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_run = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    share = F.col("cum_cents").cast("double") / F.col("total_cents").cast("double")
+    return (
+        rev.select(
+            "l_partkey",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.sum("cents").over(w_run).alias("cum_cents"),
+            F.sum("cents").over(w_all).alias("total_cents"),
+        )
+        .select(
+            "l_partkey", "cents",
+            share.alias("cum_share"),
+            F.when(share <= ABC_A, "A").when(share <= ABC_B, "B").otherwise("C").alias("abc_class"),
+        )
+        .orderBy(F.desc("cents"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_funnel_rates — step-conversion summary of the view→click→purchase funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_RATES_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_users,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_users,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS click_to_purchase
+"""
+
+
+@register("ev_funnel_rates", FUNNEL_RATES_ORACLE)
+def ev_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel DASHBOARD number: how many users reached each step of
+    view → later click → later purchase, with step conversion rates —
+    the aggregate ev_funnel's per-user rows feed. Step timestamps use
+    the same first-completion semantics as ev_funnel (first view, first
+    click AFTER it, any purchase after THAT). Plan: three per-user
+    aggregations, each consuming the previous step's (user, min_ts)
+    relation via an equi-join on user_id (AQE broadcasts the shrinking
+    step relations), then three 1-row counts crossJoined — broadcast
+    1-row sides, never a cartesian. Rates are int/int double
+    divisions."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .select("user_id").distinct()
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_users"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_users"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view_users", "n_click_users", "n_purchase_users",
+            (F.col("n_click_users").cast("double") / F.col("n_view_users").cast("double")).alias("view_to_click"),
+            (F.col("n_purchase_users").cast("double") / F.col("n_click_users").cast("double")).alias("click_to_purchase"),
+        )
+    )

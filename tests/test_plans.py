@@ -1242,3 +1242,30 @@ def test_parquet_roundtrip_writes_hive_partitions(spark, tmp_path):
     base = os.path.join(_RT_ROOT, "sf0.01", "parquet")
     dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(base, "lang=*")))
     assert dirs and all(d.startswith("lang=") for d in dirs)
+
+
+def test_corr_matrix_is_one_pass_one_row(spark):
+    """All ten moments come from ONE lineitem aggregation: single scan,
+    partial+final agg, no join except the union of three 1-row
+    projections of the persisted moment row."""
+    df = QUERIES["agg_corr_matrix"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") <= 1
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_pareto_abc_windows_run_over_parts_not_lineitem(spark):
+    """The global running sum consumes the per-part aggregate (one fact
+    agg below the windows), and both windows share one sort."""
+    df = QUERIES["win_pareto_abc"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert sum(1 for n in nodes if "HashAggregate" in n) >= 2  # partial+final below windows
+    assert not any("Join" in n for n in nodes)
+
+
+def test_funnel_rates_no_cartesian(spark):
+    df = QUERIES["ev_funnel_rates"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes)
