@@ -140,6 +140,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = sessionize_tws_stream(events), "append"
         elif which == "attribution":  # stream-stream interval self-join
             out, mode = attribution_join_stream(events), "append"
+        elif which == "scd2":  # stateful SCD2 dimension build
+            out, mode = scd2_stream(events), "append"
         elif which == "attribution_outer":  # left-outer interval join
             _write_attribution_sentinels(spark, src)
             out, mode = attribution_outer_join_stream(events), "append"
@@ -633,6 +635,86 @@ def funnel_windowed_stream(events: DataFrame, watermark: str = "1 hour") -> Data
             _funnel_windowed_fn,
             FUNNEL_OUT_SCHEMA,
             FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 build: per-user current-version state, emit-on-close.
+# The streaming twin of operators/olap9.py ev_scd2_intervals — the
+# production "dimension maintenance from a CDC/event stream" pattern.
+# ---------------------------------------------------------------------------
+
+SCD2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+    ]
+)
+# (cur_type, valid_from_us); cur_type '' = no version open yet
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_type", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+    ]
+)
+
+
+def _scd2_fn(key, pdf_iter, state):
+    """Per-user SCD2 state machine: hold the OPEN version (type, start)
+    across micro-batches; every observed type change CLOSES the open
+    version (emit user, status, valid_from, valid_to=change ts) and
+    opens the new one. Emit-on-close contract (the open version is
+    state, not output — same convention as the tws gap-sessionizer),
+    which makes a drained stream equal the batch builder's CLOSED rows
+    exactly. Chunks are concatenated and sorted by (ts, event_id) once
+    — the same total order as the batch window."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    cur_type, valid_from_us = state.get if state.exists else ("", 0)
+    out = []
+    chunks = [c for c in pdf_iter if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        us = pdf["ts"].astype("int64") // 1000 if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns" else pdf["ts"].astype("int64")
+        for t_us, etype in zip(us, pdf["event_type"]):
+            if cur_type == "":
+                cur_type, valid_from_us = str(etype), int(t_us)
+            elif etype != cur_type:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "status": cur_type,
+                        "valid_from": pd.Timestamp(valid_from_us, unit="us"),
+                        "valid_to": pd.Timestamp(int(t_us), unit="us"),
+                    }
+                )
+                cur_type, valid_from_us = str(etype), int(t_us)
+    state.update((cur_type, valid_from_us))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def scd2_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """SCD2 dimension maintenance as a custom stateful operator: state
+    is 2 scalars per user (the open version), partitioned by user_id
+    across executors — the CDC-to-dimension pattern at 100 TB. Only
+    the user_id % 31 cohort flows through (the batch twin's slice)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.where(F.col("user_id") % 31 == 0)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_fn,
+            SCD2_OUT_SCHEMA,
+            SCD2_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )

@@ -117,3 +117,11 @@ def _register_tws_tier() -> bool:
 
 
 TWS_REGISTERED = _register_tws_tier()
+
+
+@register("stream_scd2")  # rows-only: ≡ batch ev_scd2_intervals closed rows (tested)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance (applyInPandasWithState,
+    emit-on-close): a drained stream equals the batch builder's CLOSED
+    versions exactly — asserted in tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "scd2")

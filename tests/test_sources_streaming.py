@@ -638,3 +638,22 @@ def test_stream_attribution_outer_matches_batch_left_outer(spark):
     brows = {tuple(r) for r in batch.collect()}
     assert any(not r[4] for r in brows), "fixture should contain unmatched views"
     assert srows == brows
+
+
+def test_stream_scd2_matches_batch_closed_versions(spark):
+    """The streaming SCD2 builder, drained over the static file, must
+    emit exactly the batch ev_scd2_intervals rows whose valid_to is
+    set (open versions live in state, not output)."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    srows = {tuple(r) for r in QUERIES["stream_scd2"](spark, SF_DIR).collect()}
+    batch = QUERIES["ev_scd2_intervals"](spark, SF_DIR)
+    brows = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to)
+        for r in batch.collect()
+        if r.valid_to is not None
+    }
+    assert brows, "fixture should contain closed versions"
+    assert srows == brows
