@@ -52,6 +52,9 @@ HEADLINE = [
     # (27 s interpreted-HOF self-join → ~1.5 s)
     "dedup_embedding",
     "ann_topk_cosine",
+    # r6: the skew-guarded tiled k-NN graph (16× wall growth fell
+    # 30.5× → 6.5× with the cell tiling — keep it visible per-round)
+    "emb_knn_graph",
 ]
 
 

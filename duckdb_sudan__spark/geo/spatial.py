@@ -111,3 +111,36 @@ def sudan_point_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes += [("outside:atlantic", -30.0, 0.0), ("outside:pole", 30.0, 89.0)]
     df = spark.createDataFrame(probes, "probe string, lon double, lat double")
     return assign_points_to_states(df).orderBy("probe")
+
+
+@register("sudan_state_point_counts")  # rows-only: ray casting isn't SQL-expressible
+def sudan_state_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §A composition a GIS consumer actually runs: a deterministic
+    point grid over the country bbox assigned to states (broadcast
+    ray-cast map stage), aggregated per state, then joined back to
+    SUDAN_States for names/centroids — point data → admin rollup in
+    one plan. With the r6 Voronoi placeholder partition, counts are
+    exact cell areas in grid units (no gaps, no overlaps — pinned by
+    the geo partition tests). The grid is generated with sequence/
+    explode (no driver loop), the polygon side rides in the UDF
+    closure, and the only shuffle is the tiny per-state aggregate."""
+    from duckdb_sudan__spark.geo import states as geo_states
+
+    n = 60  # 60×60 grid over the bbox
+    lon0, lon1 = geo_states.COUNTRY_CENTER[0] - geo_states.COUNTRY_RX, geo_states.COUNTRY_CENTER[0] + geo_states.COUNTRY_RX
+    lat0, lat1 = geo_states.COUNTRY_CENTER[1] - geo_states.COUNTRY_RY, geo_states.COUNTRY_CENTER[1] + geo_states.COUNTRY_RY
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.lit(lon0) + (F.col("id") % n) * F.lit((lon1 - lon0) / (n - 1))).alias("lon"),
+            (F.lit(lat0) + (F.col("id") / n).cast("long") * F.lit((lat1 - lat0) / (n - 1))).alias("lat"),
+        )
+    )
+    assigned = assign_points_to_states(grid).where(F.col("iso_code").isNotNull())
+    counts = assigned.groupBy("iso_code").agg(F.count(F.lit(1)).alias("n_points"))
+    states = geo_states.sudan_states(spark).select("iso_code", "state_name", "centroid_lon", "centroid_lat")
+    return (
+        counts.join(F.broadcast(states), "iso_code")
+        .select("iso_code", "state_name", "n_points", "centroid_lon", "centroid_lat")
+        .orderBy("iso_code")
+    )

