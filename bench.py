@@ -196,8 +196,7 @@ def spread(samples: list[float]) -> list[float]:
     the median (r5 verdict item 5) so a judge can tell load noise (wide
     spread) from a real regression (tight spread, higher median)
     without re-running the bench."""
-    s = sorted(samples)
-    return [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
+    return [round(min(samples), 3), round(median3(samples), 3), round(max(samples), 3)]
 
 
 def main() -> None:

@@ -466,8 +466,16 @@ def build_minhash_index(spark: SparkSession, sf_dir: str, out_dir: str | None = 
     out_dir = out_dir or os.path.join(_INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     src = os.path.join(sf_dir, "documents.parquet")
     marker = os.path.join(out_dir, "_built")
+    # the marker records the signature-defining parameters, not just
+    # "ok": a persisted index outlives code changes, and joining fresh
+    # shard sigs against stale corpus sigs (different N_PERM/banding/
+    # shingling) would NULL-propagate through zip_with silently rather
+    # than fail. Param drift ⇒ fingerprint mismatch ⇒ rebuild.
+    fingerprint = f"v1:{N_PERM}:{N_BANDS}:{SHINGLE_K}:{INCR_SHARD_MOD}"
     if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
-        return out_dir
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return out_dir
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % INCR_SHARD_MOD != 0)
     par = spark.sparkContext.defaultParallelism
     sig = (
@@ -482,7 +490,7 @@ def build_minhash_index(spark: SparkSession, sf_dir: str, out_dir: str | None = 
     stored = spark.read.parquet(os.path.join(out_dir, "sigs.parquet"))
     _band_buckets(stored).write.mode("overwrite").parquet(os.path.join(out_dir, "banded.parquet"))
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(fingerprint)
     return out_dir
 
 
@@ -495,11 +503,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-banded ⋈ index-banded on (band, bucket) PLUS the guarded
     shard self-join (a shard must also dedup against itself);
     verification joins look signatures up from index ∪ shard. Output
-    convention matches dedup_minhash_lsh (id_a < id_b, est ≥ τ), and
-    equals the full-corpus run restricted to pairs touching the shard
-    (asserted in tests). Per-bucket cost of the cross join is
-    |corpus bucket| × |shard bucket| — shard-bounded by construction,
-    which is why the corpus side needs no sub-salt here."""
+    convention matches dedup_minhash_lsh (id_a < id_b, est ≥ τ).
+    Equivalence contract, stated precisely: on a corpus where no
+    (band, bucket) exceeds BUCKET_CAP (the guard untriggered — the
+    normal regime, asserted on the real corpus in tests), the output
+    EQUALS the full-corpus run restricted to shard-touching pairs.
+    When hot buckets exist the two runs intentionally diverge: the
+    shard⋈corpus leg here is UNSALTED (per-bucket cost is
+    |corpus bucket| × |shard bucket|, shard-bounded by construction),
+    so incremental keeps EVERY corpus-facing candidate where the full
+    run's sub-salt drops cross-sub pairs — recall on the ingest path
+    is ≥ the full run's (asserted on an adversarial identical-docs
+    fixture in tests); the shard self-join salts with shard-local
+    bucket sizes. This is the production-correct direction: an ingest
+    step must not miss corpus duplicates to save cost the shard bound
+    already caps."""
     import os
 
     idx = build_minhash_index(spark, sf_dir)

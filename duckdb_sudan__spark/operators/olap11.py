@@ -227,10 +227,16 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same names. The explicit values list matters at 100 TB:
     omitting it makes Spark run a distinct-values job before planning
     — an extra full scan. Decimal accumulator → double presentation,
-    bit-identical (DETERMINISM.md). Plan: ONE scan, one partial-agg
-    shuffle on yr; the pivot is just 6 conditional aggregates."""
+    bit-identical (DETERMINISM.md). Pivot cells with NO rows differ
+    between the engines — Spark's pivot emits NULL for both aggregates
+    while the oracle's COUNT(*) FILTER emits 0 (SUM FILTER stays
+    NULL) — so the count columns are coalesced to 0 to pin the
+    COUNT-of-empty-set convention on data where a (yr, status) combo
+    is absent (true of real TPC-H, where 'P' exists only near the
+    1995 cutover). Plan: ONE scan, one partial-agg shuffle on yr; the
+    pivot is just 6 conditional aggregates."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    piv = (
         o.select(
             F.year("o_orderdate").cast("int").alias("yr"),
             "o_orderstatus",
@@ -242,8 +248,15 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("price").cast("double").alias("total"),
         )
-        .orderBy("yr")
     )
+    return piv.select(
+        "yr",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c) if c.endswith("_n") else F.col(c)
+            for c in piv.columns
+            if c != "yr"
+        ],
+    ).orderBy("yr")
 
 
 # ---------------------------------------------------------------------------
@@ -436,8 +449,10 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
     days = e.select("user_id", F.date_trunc("DAY", "ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
-    anchored = days.withColumn(
-        "anchor", F.expr("day - make_interval(0, 0, 0, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))")
+    anchored = (
+        days.withColumn("rn", F.row_number().over(w).cast("int"))
+        .withColumn("anchor", F.expr("day - make_interval(0, 0, 0, rn)"))
+        .drop("rn")
     )
     return (
         anchored.groupBy("user_id", "anchor")

@@ -764,6 +764,10 @@ def _emb_block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 CELL_CAP = 2048  # max vectors one k-NN task handles on either Gram axis
 
+# live persist() handles from the CURRENT emb_knn_graph invocation,
+# released at the start of the next one (see docstring)
+_KNN_CACHE_HANDLES: list[DataFrame] = []
+
 
 def _unpack_tile(payload) -> tuple[np.ndarray, np.ndarray]:
     rows = list(payload)
@@ -840,6 +844,12 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_knn_tile_kernel); the same JVM window merges candidates from
     either path, so the result is oracle-exact in both."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # previous invocation's caches are released HERE (the earliest
+    # point they're provably consumed): bench runs this entry N+1
+    # times per process, and persisted hot-cell payloads would
+    # otherwise accumulate a copy per run in the block manager
+    while _KNN_CACHE_HANDLES:
+        _KNN_CACHE_HANDLES.pop().unpersist()
     # persisted: referenced by both branches and by both sides of the
     # tile join — hot-labels-only, so the cache is empty on a balanced
     # corpus and bounded by the skew mass otherwise (without it the
@@ -850,6 +860,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.ceil(F.col("cell_n") / CELL_CAP).cast("int").alias("n_tiles"))
         .persist()
     )
+    _KNN_CACHE_HANDLES.append(oversized)
     marked = e.join(F.broadcast(oversized), "label", "left")
     healthy = marked.where(F.col("n_tiles").isNull()).drop("n_tiles")
     hot = marked.where(F.col("n_tiles").isNotNull())
@@ -864,6 +875,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("payload"))
         .persist()
     )
+    _KNN_CACHE_HANDLES.append(tiles)
     ta = tiles.select("label", F.col("tile").alias("ta"), F.col("payload").alias("pa"))
     tb = tiles.select("label", F.col("tile").alias("tb"), F.col("payload").alias("pb"))
     cand_hot = (

@@ -242,11 +242,16 @@ def vocab_coverage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab growth or get byte-fallback treatment). Vocabulary = global
     top-K tokens by count, ties broken on the token string — both
     engines derive it from the same count relation, so the vocab sets
-    are identical. Plan: one token explode feeding BOTH the global
-    count (partial-agg shuffle) and the per-doc join; the K-row vocab
-    BROADCASTS back (at 100 TB a 50k-entry vocab is still KBs — the
-    join never shuffles the token stream); coverage is one int/int
-    double division."""
+    are identical. Plan: TWO pruned (doc_id, text) scans, each with
+    its own token explode — one under the vocab aggregate, one under
+    the per-doc join — BY DESIGN: the exploded token stream is the
+    largest relation in the query (∼10× the corpus bytes at 100 TB),
+    so persisting it to "save" the second scan would trade a cheap
+    columnar re-read for caching the most expensive intermediate;
+    re-tokenization is map-side and pipeline-fused. The K-row vocab
+    BROADCASTS back (a 50k-entry vocab is still KBs — the join never
+    shuffles the token stream); coverage is one int/int double
+    division. Scan count = 2 pinned by a plan test."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     w_top = Window.orderBy(F.desc("c"), "w")

@@ -83,7 +83,15 @@ def write_bucketed_table(
 # corpus row count, distinct per sf by construction: 50/500/5000) and
 # the oracle globs ALL sf dirs but keeps only rows whose corpus_n
 # equals COUNT(*) of the documents view it was handed — an exact
-# discriminator for "the files this sf's query wrote".
+# discriminator for "the files this sf's query wrote". The row
+# discriminator isolates row SETS but not read-time file state — an
+# in-flight overwrite of sf B's dir could still break sf A's oracle
+# glob mid-read — so writes are additionally ATOMIC: each build lands
+# in a sibling staging dir (never matched by the oracle globs, whose
+# fmt path component is literal) and is os.rename()d into place, and a
+# fingerprint marker (source mtime) skips the rewrite entirely when
+# the files are already current — in the steady state nothing is ever
+# deleted while another harness might be reading.
 # ---------------------------------------------------------------------------
 
 _RT_ROOT = "/root/repo/tmp/roundtrip"
@@ -111,29 +119,58 @@ GROUP BY lang ORDER BY lang
 
 def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the (doc_id, lang, n_chars, corpus_n) projection of
-    documents as CSV/JSONL under tmp/roundtrip/<sf-basename>/<fmt>.
-    Deterministic content (integer/string only, so no float-formatting
-    divergence between writers/readers), single file per write so the
-    oracle's glob sees exactly one part per sf. Overwrite-idempotent;
-    corpus_n is the per-row sf discriminator the static oracle keys on
-    (see the concurrency contract above) — computed as a 1-row
-    broadcast crossJoin, not a window (no shuffle of the data side)."""
+    documents as CSV/JSONL/partitioned-parquet under
+    tmp/roundtrip/<sf-basename>/<fmt> — the ONE place the roundtrip
+    path scheme and discriminator column live (all three format
+    entries share it). Deterministic content (integer/string only, so
+    no float-formatting divergence between writers/readers); single
+    file per csv/jsonl write so the oracle's glob sees exactly one
+    part per sf; parquet partitions by lang (hive layout). corpus_n is
+    the per-row sf discriminator the static oracle keys on (see the
+    concurrency contract above) — computed as a 1-row broadcast
+    crossJoin, not a window (no shuffle of the data side). Atomicity:
+    build into <fmt>.staging-<pid>, stamp a fingerprint marker, rename
+    into place; a current marker skips the build so steady-state runs
+    never delete files another harness may be mid-read on."""
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
     from duckdb_sudan__spark.session import load_table
 
-    path = os.path.join(_RT_ROOT, os.path.basename(os.path.normpath(sf_dir)),
-                        fmt if fmt != "json" else "jsonl")
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sub = {"csv": "csv", "json": "jsonl", "parquet": "parquet"}[fmt]
+    final = os.path.join(_RT_ROOT, sf_base, sub)
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
+    marker = os.path.join(final, "_rt_ok")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     n = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
-    d = d.crossJoin(F.broadcast(n)).coalesce(1)
+    d = d.crossJoin(F.broadcast(n))
+    staging = f"{final}.staging-{os.getpid()}"
     if fmt == "csv":
-        d.write.mode("overwrite").option("header", "true").csv(path)
+        d.coalesce(1).write.mode("overwrite").option("header", "true").csv(staging)
+    elif fmt == "json":
+        d.coalesce(1).write.mode("overwrite").json(staging)
     else:
-        d.write.mode("overwrite").json(path)
-    return path
+        # one file per partition dir, not one per task
+        d.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(staging)
+    with open(os.path.join(staging, "_rt_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        # a concurrent same-sf build won the rename; its files are
+        # byte-equivalent (deterministic content) — drop ours
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
 
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
@@ -173,27 +210,11 @@ def _register_roundtrips() -> None:
         hive_partitioning=1) — directory-encoded partition columns
         must round-trip identically through both engines' readers.
         Same per-sf path + corpus_n discriminator contract as the
-        csv/jsonl twins. Partitioning by the low-cardinality lang key
-        is the write pattern §D prescribes (never high-cardinality
-        ids)."""
-        import os
-
-        from pyspark.sql import functions as F
-
-        from duckdb_sudan__spark.session import load_table
-
-        path = os.path.join(
-            _RT_ROOT, os.path.basename(os.path.normpath(sf_dir)), "parquet"
-        )
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-        n = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
-        (
-            d.crossJoin(F.broadcast(n))
-            .repartition("lang")  # one file per partition dir, not one per task
-            .write.mode("overwrite")
-            .partitionBy("lang")
-            .parquet(path)
-        )
+        csv/jsonl twins (shared _roundtrip_write — one path scheme,
+        one discriminator definition). Partitioning by the
+        low-cardinality lang key is the write pattern §D prescribes
+        (never high-cardinality ids)."""
+        path = _roundtrip_write(spark, sf_dir, "parquet")
         back = spark.read.parquet(path)
         return _roundtrip_agg(back)
 

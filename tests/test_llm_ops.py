@@ -540,6 +540,45 @@ def test_knn_graph_tiled_path_oracle_exact_on_skewed_cells(spark, tmp_path, monk
     con.close()
 
 
+def test_dedup_incremental_superset_recall_on_hot_buckets(spark, tmp_path, monkeypatch):
+    """Adversarial identical-docs fixture for the incremental dedup's
+    documented divergence regime: when hot buckets trigger the guard,
+    the full run's sub-salt drops cross-sub pairs, but the ingest
+    (shard⋈corpus) leg of dedup_incremental is unsalted — it must find
+    EVERY shard×corpus duplicate pair (recall 1.0 on the ingest path),
+    strictly more than the full run restricted to the same pairs."""
+    from duckdb_sudan__spark.operators import dedup
+
+    n = 200
+    text = "identical crawl boilerplate body repeated across every mirror " * 3
+    rows = [(i, text, "en", "syn", len(text)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    monkeypatch.setattr(dedup, "BUCKET_CAP", 8)
+    shard = {i for i in range(n) if i % dedup.INCR_SHARD_MOD == 0}
+    corpus = set(range(n)) - shard
+    want_ingest = {(min(a, b), max(a, b)) for a in shard for b in corpus}
+
+    inc = dedup.dedup_incremental(spark, str(tmp_path)).collect()
+    inc_ingest = {
+        (r.id_a, r.id_b) for r in inc
+        if (r.id_a in shard) != (r.id_b in shard)  # exactly one side in the shard
+    }
+    assert inc_ingest == want_ingest, "ingest leg must be recall-1.0 (unsalted)"
+    assert all(r.est_jaccard == 1.0 for r in inc)
+
+    full = dedup.dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    full_ingest = {
+        (r.id_a, r.id_b) for r in full
+        if (r.id_a in shard) != (r.id_b in shard)
+    }
+    # the sub-salt MUST have dropped some cross-sub pairs here, or the
+    # fixture isn't exercising the divergence regime at all
+    assert full_ingest < inc_ingest, (len(full_ingest), len(inc_ingest))
+
+
 def test_dedup_incremental_equals_full_run_on_shard_pairs(spark):
     """The incremental-shard dedup (persisted index + shard-only
     signatures) must emit exactly the full-corpus run's pairs that

@@ -1205,11 +1205,16 @@ def test_format_parity_is_map_only(spark):
 
 def test_vocab_coverage_broadcasts_vocab(spark):
     """The K-row vocabulary must broadcast back to the token stream —
-    the exploded tokens never shuffle for the coverage join."""
+    the exploded tokens never shuffle for the coverage join — and the
+    documented two-scan shape holds: one pruned scan per explode
+    (vocab subtree + join side), deliberately NOT a persisted single
+    explode (the token stream is the largest relation in the query;
+    see the operator docstring)."""
     df = QUERIES["vocab_coverage_rate"](spark, SF_DIR)
     nodes = plan_nodes(df)
     assert any("BroadcastHashJoin" in n for n in nodes), nodes
     assert not any("SortMergeJoin" in n for n in nodes)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 2, nodes
 
 
 def test_scd2_lookup_is_window_not_range_join(spark):
