@@ -42,6 +42,7 @@ def load_all() -> None:
         olap9,
         olap10,
         olap11,
+        olap12,
         relational,
         similarity,
         sketches,

@@ -615,3 +615,127 @@ def test_mm_scene_cuts_match_local_reference(spark):
     assert got == sorted(want)
     flags = {f for *_, f in got}
     assert flags == {True, False}, f"degenerate threshold: {flags}"
+
+
+def test_lttb_matches_independent_reference(spark):
+    """ts_downsample_lttb against an INDEPENDENT straightforward LTTB
+    implementation (written here, not imported from the operator):
+    same kept days per series, endpoints fixed, kept points a strict
+    subsequence of the input series."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.olap12 import LTTB_N_OUT
+    from duckdb_sudan__spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = {}
+    for r in QUERIES["ts_downsample_lttb"](spark, SF_DIR).collect():
+        got.setdefault(r.event_type, []).append((r.pt_rank, r.day, r.mean_value))
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("mean_value")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.mean_value))
+
+    def reference_lttb(pts, n_out):
+        # plain-python LTTB: endpoints kept; each interior bucket keeps
+        # the max-triangle-area point vs (previous kept, next-bucket mean)
+        pts = sorted(pts)
+        n = len(pts)
+        if n_out >= n:
+            return pts
+        xs = [p[0].timestamp() * 1e9 for p in pts]
+        ys = [p[1] for p in pts]
+        edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+        keep = [0]
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if b + 2 <= n_out - 2:
+                nlo, nhi = edges[b + 1], edges[b + 2]
+            else:
+                nlo, nhi = n - 1, n
+            cx = sum(xs[nlo:nhi]) / (nhi - nlo)
+            cy = sum(ys[nlo:nhi]) / (nhi - nlo)
+            prev = keep[-1]
+            best, best_area = lo, -1.0
+            for i in range(lo, hi):
+                area = abs((xs[prev] - cx) * (ys[i] - ys[prev]) - (xs[prev] - xs[i]) * (cy - ys[prev]))
+                if area > best_area:
+                    best, best_area = i, area
+            keep.append(best)
+        keep.append(n - 1)
+        return [pts[i] for i in keep]
+
+    assert set(got) == set(series)
+    for etype, rows in got.items():
+        rows.sort()
+        kept_days = [d for _, d, _ in rows]
+        want = reference_lttb(series[etype], LTTB_N_OUT)
+        assert kept_days == [d for d, _ in want], etype
+        assert [v for *_, v in rows] == [v for _, v in want], etype
+        full = sorted(series[etype])
+        assert kept_days[0] == full[0][0] and kept_days[-1] == full[-1][0]
+        assert len(kept_days) == min(LTTB_N_OUT, len(full))
+        assert kept_days == sorted(set(kept_days)), "not a strict subsequence"
+
+
+def test_decontaminate_embedding_flags_both_ways(spark):
+    """The τ calibration must leave both flag values populated (an
+    all-False screen tests nothing), every flagged row's max_cos must
+    clear τ after rounding slack, and eval vectors must be absent
+    from the output."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.olap12 import (
+        DECON_EMB_EVAL_MAX,
+        DECON_EMB_MOD,
+        DECON_EMB_TAU,
+    )
+
+    rows = QUERIES["decontaminate_embedding"](spark, SF_DIR).collect()
+    flags = {r.contaminated for r in rows}
+    assert flags == {True, False}, flags
+    for r in rows:
+        assert not (r.vec_id % DECON_EMB_MOD == 0 and r.vec_id < DECON_EMB_EVAL_MAX)
+        if r.contaminated:
+            assert r.max_cos >= DECON_EMB_TAU - 1e-6
+            assert r.n_eval_hits >= 1
+        else:
+            assert r.n_eval_hits == 0
+
+
+def test_gapfill_interpolate_all_kinds_and_exact_midpoints(spark):
+    """All three kinds (obs/interp/edge) must appear at the test SF —
+    the outage pattern is designed to be SF-invariant — and each
+    interpolated value must lie between its neighbors (weak sanity on
+    top of the exact-hash oracle gate)."""
+    from duckdb_sudan__spark.operators import QUERIES
+
+    rows = QUERIES["ts_gapfill_interpolate"](spark, SF_DIR).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"obs", "interp", "edge"}, kinds
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.day)
+        for i, r in enumerate(rs):
+            if r.kind == "edge":
+                assert r.value_filled is None
+            elif r.kind == "interp":
+                obs_before = [q.value_filled for q in rs[:i] if q.kind == "obs"]
+                obs_after = [q.value_filled for q in rs[i + 1:] if q.kind == "obs"]
+                lo = min(obs_before[-1], obs_after[0])
+                hi = max(obs_before[-1], obs_after[0])
+                assert lo - 1e-9 <= r.value_filled <= hi + 1e-9

@@ -1274,3 +1274,42 @@ def test_funnel_rates_no_cartesian(spark):
     df = QUERIES["ev_funnel_rates"](spark, SF_DIR)
     nodes = plan_nodes(df)
     assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_gapfill_interpolate_scans_events_once(spark):
+    """Same contract as ts_gapfill_days: bounds, the type list and the
+    grid join all read the persisted day×type aggregate, so the fact
+    table hits parquet exactly once; the neighbor windows run over
+    grid-sized input."""
+    df = QUERIES["ts_gapfill_interpolate"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    # both neighbor frames share (partition, order), so Spark fuses all
+    # four window expressions into ONE Window node — one sort, one pass
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_decontaminate_embedding_is_zero_join_map_scorer(spark):
+    """The eval matrix rides as a driver model, so the corpus streams
+    through ONE Arrow kernel: no Join of any kind, one scan, and no
+    aggregate (max/count happen inside the kernel row-wise)."""
+    df = QUERIES["decontaminate_embedding"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert not any("HashAggregate" in n for n in nodes), nodes
+    assert any("MapInPandas" in n for n in nodes), nodes
+
+
+def test_lttb_aggregates_before_kernel(spark):
+    """The per-series kernel consumes the daily-mean aggregate (ONE
+    partial-agg shuffle of the fact table), never raw events — the
+    calendar-bounded-state posture."""
+    df = QUERIES["ts_downsample_lttb"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    agg_idx = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
+    kernel_idx = [i for i, n in enumerate(nodes) if "FlatMapGroupsInPandas" in n]
+    assert agg_idx and kernel_idx, nodes
+    assert max(agg_idx) < min(kernel_idx), "kernel must run over the aggregate"
