@@ -888,3 +888,66 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c3").alias("n_removed"), (F.col("c2") - F.col("c3")).alias("n_out"),
     )
     return tier1.unionByName(tier2).unionByName(tier3).orderBy("tier")
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical_docs — canonical representative per near-dup cluster
+# ---------------------------------------------------------------------------
+
+CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_EDGES_SQL}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+  FROM reach GROUP BY u
+)
+SELECT doc_id, component, canonical_id, doc_id = canonical_id AS is_canonical
+FROM (
+  SELECT c.doc_id, c.component,
+         first_value(c.doc_id) OVER (PARTITION BY c.component
+                                     ORDER BY d.n_chars DESC, c.doc_id) AS canonical_id
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+ORDER BY component, doc_id
+"""
+
+
+@register("dedup_canonical_docs", CANONICAL_ORACLE)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER cluster resolution: every near-dup cluster keeps
+    ONE canonical document (longest text wins, ties break to the
+    lowest doc_id — the keep-the-richest-copy policy crawl pipelines
+    use) and the rest are marked for drop. Composition entry:
+    dedup_ngram_jaccard → dedup_components → per-cluster window — the
+    full exact-dedup pipeline ending in the keep/drop decision, which
+    is the relation a deletion job actually consumes.
+
+    Plan: the components relation is clustered-docs-only (pairs exist
+    only inside (lang, len_bucket) blocks), so the doc join touches a
+    pruned 2-column scan and the canonical window partitions by
+    component — cluster-sized partitions, shallow by construction.
+    Window frame is the default RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    on BOTH engines, so first_value resolves identically."""
+    comp = dedup_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        comp.join(d, "doc_id")
+        .withColumn("canonical_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("component", "doc_id")
+    )

@@ -358,3 +358,61 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "pt_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_sliding_median — exact sliding-window median
+# ---------------------------------------------------------------------------
+
+SLIDING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(round(value * 1000000) AS BIGINT)) AS day_um
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(day_um AS DOUBLE) / 1000000.0 AS day_total,
+       quantile_cont(CAST(day_um AS DOUBLE), 0.5) OVER
+         (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 1000000.0 AS med7
+FROM daily
+ORDER BY event_type, day
+"""
+
+
+@register("win_sliding_median", SLIDING_MEDIAN_ORACLE)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day sliding median of daily totals — the robust trend
+    line monitoring dashboards overlay on spiky series (a sliding MEAN
+    follows every outlier; the median doesn't). Exactness across
+    engines: the daily total is an exact integer (micro-unit SUM), the
+    windowed median interpolates the two middle values of ≤7 integers
+    — (a+b)/2 on integers < 2^52 is exact in double under BOTH
+    engines' interpolation formulas — and the /1e6 presentation
+    division is the single shared rounding step.
+
+    Plan: the fact table collapses to the day×type aggregate first
+    (ONE partial-agg shuffle — the only data-sized stage); the sliding
+    median runs over calendar-bounded input, so the per-frame sort of
+    7 values × ~365 rows/type is trivia at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("day_um"))
+    )
+    # percentile() accepts window frames (median() refuses them) and
+    # interpolates the two middle values exactly like quantile_cont
+    med = F.expr(
+        "percentile(CAST(day_um AS DOUBLE), 0.5) OVER "
+        "(PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            (F.col("day_um").cast("double") / F.lit(1_000_000.0)).alias("day_total"),
+            (med / F.lit(1_000_000.0)).alias("med7"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1008,3 +1008,51 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_translation_pairs — cross-lingual near-dup detection
+# ---------------------------------------------------------------------------
+
+TRANSLATION_ORACLE = f"""
+SELECT p.id_a, p.id_b, da.lang AS lang_a, db.lang AS lang_b, p.cos
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND a.label = b.label
+    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {NEAR_DUP_TAU}
+) p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE da.lang <> db.lang
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_translation_pairs", TRANSLATION_ORACLE)
+def dedup_translation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-dup pairs — the translation-dedup decision a
+    multilingual corpus needs and no LEXICAL tier can make (shingle /
+    MinHash / SimHash all block or compare within a language; a
+    document and its translation share ~no n-grams but sit adjacent in
+    embedding space). Composition: the dedup_embedding pair relation
+    (label-blocked Arrow Gram kernel) annotated with each side's
+    document language via the 1:1 vec_id≡doc_id mapping, keeping only
+    mixed-language pairs.
+
+    Plan: the pair relation is near-dup-sized (≪ corpus), so the two
+    language lookups are joins of a SMALL relation against a pruned
+    2-column (doc_id, lang) scan — AQE broadcasts the pair side; the
+    quadratic work happens once inside the already-bounded embedding
+    kernel. At 100 TB the same shape holds: pairs ~ O(dups), not
+    O(corpus²)."""
+    pairs = dedup_embedding(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        pairs.join(langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")), "id_a")
+        .join(langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")), "id_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "lang_a", "lang_b", "cos")
+        .orderBy("id_a", "id_b")
+    )

@@ -156,3 +156,48 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.desc("n"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_partitioned_union — MERGEABLE distinct sketches
+# ---------------------------------------------------------------------------
+
+HLL_LG_K = 14  # 2^14 registers — DataSketches default accuracy tier
+
+
+@register("sketch_hll_partitioned_union")  # rows-only: sketch bytes aren't cross-engine
+def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregated-distinct pattern every 100 TB metrics stack
+    runs on: per-(type, day) DataSketches HLL sketches built ONCE
+    (hll_sketch_agg — in production these persist in a daily rollup
+    table), then per-type totals come from hll_union_agg over the
+    daily sketches — merging KB-sized register arrays instead of
+    re-shuffling every distinct user for every reporting window.
+    Mergeability is lossless at fixed lgK (union of the daily register
+    arrays equals the registers of a direct whole-type sketch), so the
+    unioned estimate must EQUAL the direct single-pass estimate —
+    asserted exactly in tests, alongside the usual error bound vs the
+    exact count. Plan: one partial-agg shuffle to daily sketches
+    (sketches merge map-side), one tiny shuffle of |days| sketches per
+    type; the fact table is scanned once per leg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"))
+    )
+    unioned = (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_unioned"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )
+    direct = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))).alias("approx_users_direct"))
+    )
+    return (
+        unioned.join(direct, "event_type")
+        .select("event_type", "n_daily_sketches", "approx_users_unioned", "approx_users_direct")
+        .orderBy("event_type")
+    )

@@ -739,3 +739,21 @@ def test_gapfill_interpolate_all_kinds_and_exact_midpoints(spark):
                 lo = min(obs_before[-1], obs_after[0])
                 hi = max(obs_before[-1], obs_after[0])
                 assert lo - 1e-9 <= r.value_filled <= hi + 1e-9
+
+
+def test_hll_union_equals_direct_and_bounds_error(spark, duck):
+    """Mergeability is lossless at fixed lgK: the per-type estimate
+    from unioning daily sketches must EQUAL the direct whole-type
+    sketch's estimate (same items -> same registers), and both must be
+    within 5% of the exact distinct count."""
+    rows = QUERIES["sketch_hll_partitioned_union"](spark, SF_DIR).collect()
+    exact = dict(duck.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.approx_users_unioned == r.approx_users_direct, r
+        assert r.n_daily_sketches > 1, "fixture must actually partition by day"
+        assert abs(r.approx_users_unioned - exact[r.event_type]) <= max(
+            1, 0.05 * exact[r.event_type]
+        ), (r, exact[r.event_type])

@@ -1313,3 +1313,16 @@ def test_lttb_aggregates_before_kernel(spark):
     kernel_idx = [i for i, n in enumerate(nodes) if "FlatMapGroupsInPandas" in n]
     assert agg_idx and kernel_idx, nodes
     assert max(agg_idx) < min(kernel_idx), "kernel must run over the aggregate"
+
+
+def test_sliding_median_windows_over_daily_aggregate(spark):
+    """The percentile frame runs over the day×type aggregate (ONE
+    partial-agg shuffle of the fact table), so the per-frame sort is
+    calendar-bounded at any corpus size."""
+    df = QUERIES["win_sliding_median"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    agg_idx = [i for i, n in enumerate(nodes) if "HashAggregate" in n]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert agg_idx and win_idx, nodes
+    assert max(agg_idx) < min(win_idx), "window must consume the aggregate"
