@@ -416,3 +416,177 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap — grid-bucketed interval×interval overlap join
+# ---------------------------------------------------------------------------
+
+INCIDENT_MOD = 101           # error events sampled as incident anchors
+INCIDENT_SPAN_SEC = 7200     # each incident window lasts 2 h
+OVERLAP_CELL_SEC = 7200      # grid cell width = the incident span
+
+INTERVAL_OVERLAP_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY user_id, session_id
+), inc AS (
+  SELECT event_id AS incident_id, ts AS i_start,
+         ts + INTERVAL {INCIDENT_SPAN_SEC} SECOND AS i_end
+  FROM events WHERE event_type = 'error' AND event_id % {INCIDENT_MOD} = 0
+)
+SELECT i.incident_id, s.user_id, s.session_id,
+       CAST(epoch_us(least(s.s_end, i.i_end))
+            - epoch_us(greatest(s.s_start, i.i_start)) AS BIGINT) AS overlap_micros
+FROM sess s JOIN inc i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+ORDER BY incident_id, user_id, session_id
+"""
+
+
+@register("join_interval_overlap", INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — which user sessions were live
+    during each incident window (outage impact analysis; the same
+    shape as genomics region intersection and ad-tech flight overlap).
+    Distinct from ev_range_join (point-in-band): BOTH sides are
+    intervals, sessions have unbounded length, and there is NO shared
+    equi-key — the naive plan is a cartesian BroadcastNestedLoopJoin.
+
+    The 100 TB shape is GRID BUCKETING: time splits into fixed cells
+    (width = the incident span, so an incident touches ≤ 2 cells),
+    each interval explodes over the cells it spans, and candidates
+    meet through a plain EQUI-join on cell. Exactly-once without any
+    distinct: a pair is emitted only from the cell containing
+    greatest(start_a, start_b) — that instant lies inside both
+    intervals (they overlap), so exactly one joined cell row passes
+    the cell == cell(max-start) predicate. Sessions are the
+    ev_sessionize relation verbatim (same flag + running-sum
+    construction), so the operator composes two audited pieces.
+
+    Plan: one user-partitioned window chain to session bounds, one
+    map-side explode per side (≤2 cells for incidents, span-bounded
+    for sessions), one shuffle on the cell key, AQE free to broadcast
+    the incident side (sampled — incidents ≪ events)."""
+    e = load_table(spark, sf_dir, "events")
+    # session intervals — ev_sessionize's construction
+    s = e.where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_session = F.when(
+        F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    sess = (
+        s.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))
+        .select("user_id", "ts", "event_id", new_session.alias("new_session"))
+        .withColumn("session_id", F.sum("new_session").over(wrun).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    inc = e.where((F.col("event_type") == "error") & (F.col("event_id") % INCIDENT_MOD == 0)).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {INCIDENT_SPAN_SEC} SECOND")).alias("i_end"),
+    )
+    cell = lambda c: (F.unix_micros(c) / F.lit(OVERLAP_CELL_SEC * 1_000_000)).cast("long")  # noqa: E731
+    sess_cells = sess.withColumn(
+        "cell", F.explode(F.sequence(cell(F.col("s_start")), cell(F.col("s_end"))))
+    )
+    inc_cells = inc.withColumn(
+        "cell", F.explode(F.sequence(cell(F.col("i_start")), cell(F.col("i_end"))))
+    )
+    return (
+        sess_cells.join(inc_cells, "cell")
+        .where(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+            & (F.col("cell") == cell(F.greatest("s_start", "i_start")))
+        )
+        .select(
+            "incident_id",
+            "user_id",
+            "session_id",
+            (
+                F.unix_micros(F.least("s_end", "i_end"))
+                - F.unix_micros(F.greatest("s_start", "i_start"))
+            ).alias("overlap_micros"),
+        )
+        .orderBy("incident_id", "user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_top_paths — top-k opening event paths
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 4
+PATH_TOP = 20
+
+TOP_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= {PATH_LEN} GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+QUALIFY row_number() OVER (ORDER BY n_users DESC, path) <= {PATH_TOP}
+ORDER BY n_users DESC, path
+"""
+
+
+@register("ev_top_paths", TOP_PATHS_ORACLE)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K opening paths — the first PATH_LEN events of every user
+    concatenated in time order, ranked by how many users share each
+    opening (the onboarding-flow / navigation-analysis staple next to
+    ev_funnel's fixed 3-step pattern and ev_transition_matrix's
+    1-step Markov view). Path strings are built with an ORDERED
+    aggregation on BOTH engines (string_agg ORDER BY rn ⇄ array_sort
+    on (rn, type) structs then join) — deterministic because the
+    (ts, event_id) tiebreak is total.
+
+    Plan: one user-partitioned window (rank), early rn ≤ K filter so
+    only K rows per user reach the path aggregation, one groupBy on
+    the path string (cardinality ≤ |event_types|^K — bounded, small),
+    and the final top-K is sort+limit (TakeOrderedAndProject — no
+    global sort of the path relation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PATH_LEN)
+    )
+    paths = (
+        seq.groupBy("user_id")
+        .agg(F.collect_list(F.struct("rn", "event_type")).alias("steps"))
+        .select(
+            F.array_join(
+                F.expr("transform(array_sort(steps), x -> x.event_type)"), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(PATH_TOP)
+    )

@@ -1326,3 +1326,22 @@ def test_sliding_median_windows_over_daily_aggregate(spark):
     win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
     assert agg_idx and win_idx, nodes
     assert max(agg_idx) < min(win_idx), "window must consume the aggregate"
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark):
+    """The interval×interval overlap must resolve through the grid-cell
+    EQUI-join — never a BroadcastNestedLoopJoin/CartesianProduct range
+    join (the naive shape with no shared key)."""
+    df = QUERIES["join_interval_overlap"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+    assert any("Join" in n for n in nodes), nodes
+
+
+def test_top_paths_uses_take_ordered(spark):
+    """The final top-K is sort+limit (TakeOrderedAndProject), not a
+    global Sort of the path relation."""
+    df = QUERIES["ev_top_paths"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
