@@ -316,3 +316,55 @@ def test_misra_gries_keeps_every_heavy_hitter(tokens, k):
         if cnt > n / (k + 1):
             assert tok in summary, (tok, cnt, n, k, summary)
     assert len(summary) <= k
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=120),
+    st.integers(min_value=3, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_lttb_select_invariants(ys, n_out):
+    """LTTB selection on arbitrary series: endpoints always kept,
+    indices strictly increasing (a subsequence), output length is
+    min(n_out, n) for n_out >= 3, and a constant series is handled
+    (all-zero triangle areas -> first index per bucket, no crash)."""
+    from duckdb_sudan__spark.operators.olap12 import _lttb_select
+
+    x = np.arange(len(ys), dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    keep = _lttb_select(x, y, n_out)
+    assert np.all(np.diff(keep) > 0) or len(keep) == 1
+    if n_out >= len(ys):
+        assert list(keep) == list(range(len(ys)))
+    else:
+        assert len(keep) == n_out
+        assert keep[0] == 0 and keep[-1] == len(ys) - 1
+
+
+_iv = st.tuples(st.integers(0, 500), st.integers(0, 60)).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@given(st.lists(_iv, min_size=0, max_size=25), st.lists(_iv, min_size=0, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_interval_grid_bucketing_exactly_once(a_ivs, b_ivs):
+    """The grid-bucketing rule join_interval_overlap relies on, checked
+    exhaustively in pure python against the O(n·m) reference: exploding
+    each interval over its cells, equi-joining on cell, and keeping only
+    the cell containing max(start_a, start_b) yields EVERY overlapping
+    pair EXACTLY once — for any cell width and any interval lengths
+    (including zero-length and multi-cell intervals)."""
+    for width in (7, 61):
+        cells = lambda lo, hi: range(lo // width, hi // width + 1)  # noqa: E731
+        got = []
+        for ai, (alo, ahi) in enumerate(a_ivs):
+            for bi, (blo, bhi) in enumerate(b_ivs):
+                for c in set(cells(alo, ahi)) & set(cells(blo, bhi)):
+                    if alo <= bhi and blo <= ahi and c == max(alo, blo) // width:
+                        got.append((ai, bi))
+        want = [
+            (ai, bi)
+            for ai, (alo, ahi) in enumerate(a_ivs)
+            for bi, (blo, bhi) in enumerate(b_ivs)
+            if alo <= bhi and blo <= ahi
+        ]
+        assert sorted(got) == sorted(want)  # no duplicates, no misses
