@@ -590,3 +590,121 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# join_relational_division — the FOR ALL query
+# ---------------------------------------------------------------------------
+
+DIVISION_ORACLE = """
+SELECT o.o_custkey AS custkey, c.c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey, c.c_name
+HAVING COUNT(DISTINCT o.o_orderpriority)
+       = (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+ORDER BY custkey
+"""
+
+
+@register("join_relational_division", DIVISION_ORACLE)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — customers who ordered in EVERY priority
+    class (the textbook FOR ALL / "suppliers who stock all parts"
+    shape, which SQL has no operator for): implemented as the standard
+    count-distinct-equals-divisor-size reduction, NOT a nested
+    NOT EXISTS double negation — the latter plans as two correlated
+    anti joins while this is one aggregate + one scalar comparison.
+
+    Plan: one partial-agg shuffle on custkey for the per-customer
+    distinct count, the 1-row divisor size broadcast into the HAVING
+    predicate, and the customer name joined AFTER the HAVING filter
+    (survivors ≪ customers, AQE broadcasts them — the q18 filtered-
+    build lesson applied at plan-authoring time)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    divisor = o.agg(F.countDistinct("o_orderpriority").alias("n_total"))
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .join(F.broadcast(divisor))
+        .where(F.col("n_priorities") == F.col("n_total"))
+        .drop("n_total")
+    )
+    return (
+        F.broadcast(per_cust)
+        .join(c, "custkey")
+        .select("custkey", "c_name", "n_orders", "n_priorities")
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# setops_not_in_null_semantics — tri-valued NOT IN, pinned as values
+# ---------------------------------------------------------------------------
+
+NOT_IN_NULL_ORACLE = """
+WITH probe AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), probe_null AS (
+  SELECT NULLIF(c_custkey, (SELECT MIN(c_custkey) FROM probe)) AS k FROM probe
+)
+SELECT variant, n_orders FROM (
+  SELECT 'not_in_clean_list' AS variant, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)
+  UNION ALL
+  SELECT 'not_in_list_with_null', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT k FROM probe_null)
+  UNION ALL
+  SELECT 'not_exists_rewrite', CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM probe_null p WHERE p.k = o.o_custkey
+  )
+)
+ORDER BY variant
+"""
+
+
+@register("setops_not_in_null_semantics", NOT_IN_NULL_ORACLE)
+def setops_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI tri-valued `NOT IN` — the classic production footgun,
+    pinned as VALUES on both engines: against a clean subquery list
+    NOT IN counts the true complement; one NULL in the list makes
+    every row's membership UNKNOWN, so the same query returns ZERO
+    rows; the NOT EXISTS rewrite is null-safe and recovers the
+    complement of the non-null keys. All three counts in one relation
+    — a semantics regression on either engine breaks the hash.
+
+    Plan note: Spark compiles the NULL-risky variant to a null-aware
+    anti join (LeftAnti with an OR isnull disjunct — pinned by a plan
+    test); the probe lists are dim-sized and broadcast."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_nin_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_nin_customer")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT c_custkey FROM _nin_customer WHERE c_mktsegment = 'BUILDING'
+        ), probe_null AS (
+          SELECT NULLIF(c_custkey, (SELECT MIN(c_custkey) FROM probe)) AS k FROM probe
+        )
+        SELECT variant, n_orders FROM (
+          SELECT 'not_in_clean_list' AS variant, COUNT(*) AS n_orders
+          FROM _nin_orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)
+          UNION ALL
+          SELECT 'not_in_list_with_null', COUNT(*)
+          FROM _nin_orders WHERE o_custkey NOT IN (SELECT k FROM probe_null)
+          UNION ALL
+          SELECT 'not_exists_rewrite', COUNT(*)
+          FROM _nin_orders o WHERE NOT EXISTS (
+            SELECT 1 FROM probe_null p WHERE p.k = o.o_custkey
+          )
+        )
+        ORDER BY variant
+        """
+    )

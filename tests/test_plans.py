@@ -1345,3 +1345,22 @@ def test_top_paths_uses_take_ordered(spark):
     df = QUERIES["ev_top_paths"](spark, SF_DIR)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_not_in_null_plans_anti_joins(spark):
+    """The NOT IN variants must compile to (null-aware) LeftAnti joins
+    with the dim-sized probe broadcast — never a cartesian."""
+    df = QUERIES["setops_not_in_null_semantics"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan, plan[:1500]
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_relational_division_joins_names_after_having(spark):
+    """The customer name join consumes the HAVING survivors (explicitly
+    broadcast), not the full per-customer aggregate."""
+    df = QUERIES["join_relational_division"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes

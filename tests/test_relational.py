@@ -49,3 +49,17 @@ def test_regression_matches_numpy_reference(spark, duck):
         assert np.isclose(r["regr_slope"], slope, rtol=1e-9)
         assert np.isclose(r["regr_intercept"], intercept, rtol=1e-9)
         assert np.isclose(r["regr_r2"], corr * corr, rtol=1e-9)
+
+
+def test_not_in_null_semantics_shape(spark):
+    """The three variants must relate exactly as ANSI tri-valued logic
+    dictates: clean NOT IN > 0; the same list with one NULL filters
+    EVERYTHING (0); NOT EXISTS recovers clean + the nulled key's rows."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {r.variant: r.n_orders for r in
+           QUERIES["setops_not_in_null_semantics"](spark, SF_DIR).collect()}
+    assert got["not_in_list_with_null"] == 0
+    assert got["not_in_clean_list"] > 0
+    assert got["not_exists_rewrite"] > got["not_in_clean_list"]
