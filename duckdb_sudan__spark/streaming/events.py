@@ -107,6 +107,32 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def hll_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming approximate-distinct rollup: hourly windows of
+    approx_count_distinct(user_id) per event_type — the streaming face
+    of the sketch tier (sketches.py): per-window HLL registers live in
+    the state store (KBs per open window, bounded by the watermark
+    horizon), never the distinct user set itself. HLL register updates
+    are max-merges — order-insensitive — so the drained stream's
+    estimates are IDENTICAL to a batch approx_count_distinct over the
+    same windows (asserted in tests), even though micro-batch
+    arrival order differs from the batch scan order."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumbling") -> DataFrame:
     """Drive a stream to completion against the static events file and
     return the result as a DataFrame (used by tests and the
@@ -122,6 +148,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = time_bucket_stream(events), "complete"
         elif which == "sessionize":
             out, mode = sessionize_stream(events), "complete"
+        elif which == "hll_rollup":
+            out, mode = hll_rollup_stream(events), "complete"
         elif which == "funnel":  # stateful append-mode operator
             out, mode = funnel_stream(events), "append"
         elif which == "funnel_windowed":  # attribution-window funnel

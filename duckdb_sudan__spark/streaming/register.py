@@ -34,6 +34,15 @@ def stream_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "funnel_windowed")
 
 
+@register("stream_hll_rollup")  # rows-only: ≡ batch approx rollup (tested)
+def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approx-distinct-user windows per event type: HLL
+    registers as streaming state (bounded by the watermark horizon),
+    drained estimates bit-equal to the batch twin because register
+    merges are order-insensitive."""
+    return run_stream_to_memory(spark, sf_dir, "hll_rollup")
+
+
 @register("stream_dedup")  # rows-only: streaming dedup sink
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "dedup")

@@ -657,3 +657,43 @@ def test_stream_scd2_matches_batch_closed_versions(spark):
     }
     assert brows, "fixture should contain closed versions"
     assert srows == brows
+
+
+def test_stream_hll_rollup_matches_batch_exactly(spark):
+    """The drained streaming HLL rollup must equal a batch
+    approx_count_distinct over the same hourly windows BIT-EXACTLY:
+    register updates are max-merges, so micro-batch arrival order
+    cannot change the estimate — and both estimates stay within 5% of
+    the exact per-window distinct count."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.events import run_stream_to_memory
+
+    stream_rows = {
+        (r.window_start, r.event_type): (r.approx_users, r.n_events)
+        for r in run_stream_to_memory(spark, SF_DIR, "hll_rollup").collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "approx_users", "n_events")
+    )
+    batch_rows = {
+        (r.window_start, r.event_type): (r.approx_users, r.n_events)
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    exact = {
+        (r.window_start, r.event_type): r.exact_users
+        for r in e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "exact_users")
+        .collect()
+    }
+    for k, (approx, _) in stream_rows.items():
+        assert abs(approx - exact[k]) <= max(1, 0.05 * exact[k]), (k, approx, exact[k])
