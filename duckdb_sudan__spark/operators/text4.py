@@ -325,3 +325,154 @@ def dataset_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "pos_in_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_growth — Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+VOCAB_BUCKET = 100  # docs per curve point — the curve length knob
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), first_seen AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w
+), per_bucket AS (
+  SELECT first_doc // {VOCAB_BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM first_seen GROUP BY 1
+), buckets AS (
+  SELECT DISTINCT doc_id // {VOCAB_BUCKET} AS bucket FROM documents
+)
+SELECT b.bucket, COALESCE(p.new_tokens, 0) AS new_tokens,
+       CAST(SUM(COALESCE(p.new_tokens, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_size
+FROM buckets b LEFT JOIN per_bucket p USING (bucket)
+ORDER BY bucket
+"""
+
+
+@register("corpus_vocab_growth", VOCAB_GROWTH_ORACLE)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law audit) — distinct tokens
+    seen after every VOCAB_BUCKET documents in doc_id order: the
+    statistic that says whether a corpus is still contributing new
+    vocabulary or has gone redundant (the flattening point is where
+    continued crawling stops paying). Computed WITHOUT any running
+    distinct: each token contributes exactly once at its FIRST
+    document (MIN(doc_id) — one partial-agg shuffle on the token),
+    first-occurrences aggregate to per-bucket counts, and the curve is
+    a running sum over CURVE POINTS, not documents — the single-
+    partition window sees |docs|/VOCAB_BUCKET rows of two ints (the
+    bucket width is the curve-resolution/window-size knob; a running
+    distinct over the token stream would instead shuffle every
+    occurrence into one ordered state)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (
+        first_seen.groupBy(F.expr(f"first_doc DIV {VOCAB_BUCKET}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    buckets = d.select(F.expr(f"doc_id DIV {VOCAB_BUCKET}").alias("bucket")).distinct()
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        buckets.join(per_bucket, "bucket", "left")
+        .select("bucket", F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
+        .withColumn("vocab_size", F.sum("new_tokens").over(w))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_decontaminate_report — the three-tier contamination ladder
+# as ONE per-document report
+# ---------------------------------------------------------------------------
+
+
+def _decon_report_oracle() -> str:
+    from duckdb_sudan__spark.operators.olap12 import DECON_EMB_ORACLE
+    from duckdb_sudan__spark.operators.text import DECON_ORACLE
+    from duckdb_sudan__spark.operators.text3 import DECON_SUBSTR_ORACLE
+
+    return f"""
+WITH sub AS ({DECON_SUBSTR_ORACLE}),
+ng AS ({DECON_ORACLE}),
+emb AS ({DECON_EMB_ORACLE})
+SELECT doc_id, substring_hit, ngram_hit, embedding_hit,
+       CAST(CAST(substring_hit AS INTEGER) + CAST(ngram_hit AS INTEGER)
+            + CAST(embedding_hit AS INTEGER) AS BIGINT) AS n_tiers_flagged,
+       NOT (substring_hit OR ngram_hit OR embedding_hit) AS is_clean
+FROM (
+  SELECT d.doc_id,
+         d.doc_id IN (SELECT DISTINCT doc_id FROM sub) AS substring_hit,
+         d.doc_id IN (SELECT doc_id FROM ng) AS ngram_hit,
+         COALESCE((SELECT contaminated FROM emb e WHERE e.vec_id = d.doc_id), FALSE) AS embedding_hit
+  FROM documents d
+)
+ORDER BY doc_id
+"""
+
+
+def _register_decon_report() -> None:
+    @register("pipeline_decontaminate_report", _decon_report_oracle())
+    def pipeline_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The decontamination LADDER as one per-document report — what
+        a data-governance job actually publishes: for EVERY document,
+        whether the verbatim (substring), shingle (8-gram), and
+        semantic (embedding-cosine) tiers flagged it, how many tiers
+        agree, and the final is_clean bit. Composes the three audited
+        entries verbatim (each tier keeps its own fixed eval-slice
+        definition; a doc inside a tier's eval slice is simply not on
+        that tier's corpus side — documented behavior, not a gap).
+
+        Plan: three dup-sized hit relations (each produced by its
+        already-bounded tier) left-join the pruned 1-column documents
+        scan; AQE broadcasts every hit side. Linear, no new quadratic
+        work — the expensive screens run once each, exactly as they do
+        standalone."""
+        from duckdb_sudan__spark.operators.olap12 import decontaminate_embedding
+        from duckdb_sudan__spark.operators.text import decontaminate_ngram_overlap
+        from duckdb_sudan__spark.operators.text3 import decontaminate_substring
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        sub = (
+            decontaminate_substring(spark, sf_dir)
+            .select("doc_id").distinct()
+            .withColumn("substring_hit", F.lit(True))
+        )
+        ng = (
+            decontaminate_ngram_overlap(spark, sf_dir)
+            .select("doc_id")
+            .withColumn("ngram_hit", F.lit(True))
+        )
+        emb = decontaminate_embedding(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), F.col("contaminated").alias("embedding_hit")
+        )
+        j = (
+            d.join(sub, "doc_id", "left")
+            .join(ng, "doc_id", "left")
+            .join(emb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("substring_hit", F.lit(False)).alias("substring_hit"),
+                F.coalesce("ngram_hit", F.lit(False)).alias("ngram_hit"),
+                F.coalesce("embedding_hit", F.lit(False)).alias("embedding_hit"),
+            )
+        )
+        n_tiers = (
+            F.col("substring_hit").cast("int")
+            + F.col("ngram_hit").cast("int")
+            + F.col("embedding_hit").cast("int")
+        ).cast("bigint")
+        return (
+            j.withColumn("n_tiers_flagged", n_tiers)
+            .withColumn(
+                "is_clean",
+                ~(F.col("substring_hit") | F.col("ngram_hit") | F.col("embedding_hit")),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_decon_report()
