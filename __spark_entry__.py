@@ -130,10 +130,26 @@ def _sudan_oracles() -> dict[str, str]:
 # driver comparison for every oracled entry on each run, and
 # CORRECTNESS_LOCAL sweeps sf0.01+sf0.1 in both fetch modes) and go
 # FIRST into the r7 window together with every oracled entry ADDED in
-# r6 (groupby_all_sales, select_exclude_replace, … — dual-SF dual-mode
-# verified locally on registration) and then the 48 r4-green entries
-# (oldest driver rows after this round). After r6, r6∪r5∪r4 covers all
-# 150 pre-r6 oracled entries with nothing older than two rounds.
+# r6 (dual-SF dual-mode verified locally on registration) and then the
+# oldest r4-green entries fill the remaining slots. After r6,
+# r6∪r5∪r4 covers all 150 pre-r6 oracled entries with nothing older
+# than two rounds.
+#
+# r7 window priority, computed at r6 close (oracled ∖ (r4 ∪ r5 ∪ this
+# window) — 35 entries, leaving 15 slots for the oldest r4 rows):
+#   agg_corr_matrix, agg_mad_robust, ann_mips_dot, bpe_pair_counts,
+#   corpus_dedup_rate_by_source, corpus_vocab_growth,
+#   dataset_epoch_interleave, decontaminate_embedding,
+#   dedup_canonical_docs, dedup_translation_pairs,
+#   emb_matryoshka_truncate, ev_anomaly_zscore, ev_asof_tolerance,
+#   ev_concurrency_curve, ev_funnel_rates, ev_top_paths,
+#   files_parquet_roundtrip, groupby_all_sales, join_full_outer,
+#   join_interval_overlap, join_relational_division, join_scd2_lookup,
+#   pipeline_decontaminate_report, pivot_multi_agg,
+#   rollup_share_of_parent, select_exclude_replace,
+#   setops_not_in_null_semantics, str_format_parity,
+#   text_gopher_filters, ts_gapfill_interpolate, vocab_coverage_rate,
+#   win_gaps_islands, win_lead_lag, win_pareto_abc, win_sliding_median
 #   1-14  OLAP window/aggregate entries (olap5/olap6/olap8/olap9)
 #   15-24 join / setop / grouping / string entries (olap5-olap10)
 #   25-31 timeseries + event entries (olap5/olap9/timeseries)
