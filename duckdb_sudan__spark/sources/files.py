@@ -246,3 +246,177 @@ def _register_roundtrips() -> None:
 
 
 _register_roundtrips()
+
+
+# ---------------------------------------------------------------------------
+# Physical-layout execution entries: the two storage-layout
+# optimizations that matter most at 100 TB, each proven by executing
+# the layout-optimized Spark plan against the layout-agnostic oracle
+# (the result must not depend on partitioning/bucketing — only the
+# plan shape does, and plan tests pin that separately).
+# ---------------------------------------------------------------------------
+
+_DPP_ROOT = "/root/repo/tmp/dpp"
+
+DPP_ORACLE = """
+WITH f AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS um
+  FROM events
+), busy AS (
+  SELECT day FROM f WHERE event_type = 'error' GROUP BY day
+  HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT day)
+                     FROM f WHERE event_type = 'error')
+)
+SELECT f.day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(f.um) AS BIGINT) AS total_um
+FROM f JOIN busy USING (day)
+GROUP BY f.day
+ORDER BY f.day
+"""
+
+
+def _stage_events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """events re-laid-out as day=YYYY-MM-DD hive partitions under
+    tmp/dpp/<sf-basename> — the layout a 100 TB event store actually
+    uses. Marker-fingerprinted + staging-renamed exactly like the
+    roundtrip writes (atomic, skip-if-current)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    final = os.path.join(_DPP_ROOT, sf_base)
+    src = os.path.join(sf_dir, "events.parquet")
+    fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
+    marker = os.path.join(final, "_dpp_ok")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final
+    e = load_table(spark, sf_dir, "events")
+    staging = f"{final}.staging-{os.getpid()}"
+    (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, "_dpp_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
+def _register_layout_entries() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+    from duckdb_sudan__spark.session import load_table
+
+    @register("files_dpp_partitioned_join", DPP_ORACLE)
+    def files_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DYNAMIC PARTITION PRUNING end to end: the fact table is
+        stored as day= hive partitions; "busy days" (error count above
+        the per-day average) are NOT statically derivable from the
+        partition column — they require an aggregation — so static
+        pushdown can't prune, and Spark instead injects a
+        dynamicpruningexpression: the broadcast dim's day values prune
+        fact PARTITIONS at runtime, so the big scan reads only busy
+        days' files. At 100 TB this is the difference between scanning
+        the full event store and scanning the handful of qualifying
+        day directories. The oracle computes the same relation
+        layout-agnostically — results must be identical whatever the
+        physical layout; a plan test pins the dynamicpruning
+        expression itself. Day is a STRING partition value (DATE
+        diverges between fetch modes; DETERMINISM.md)."""
+        path = _stage_events_by_day(spark, sf_dir)
+        fact = spark.read.parquet(path).select(
+            "day", "event_type", F.round(F.col("value") * 1_000_000).cast("bigint").alias("um")
+        )
+        err = fact.where(F.col("event_type") == "error")
+        avg_per_day = err.agg(
+            (F.count(F.lit(1)).cast("double") / F.countDistinct("day")).alias("avg_n")
+        )
+        busy = (
+            err.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_err"))
+            .join(F.broadcast(avg_per_day))
+            .where(F.col("n_err") > F.col("avg_n"))
+            .select("day")
+        )
+        return (
+            fact.join(F.broadcast(busy), "day")
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("um").alias("total_um"),
+            )
+            .orderBy("day")
+        )
+
+    BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS total_um
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+    @register("files_bucketed_join", BUCKETED_JOIN_ORACLE)
+    def files_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The ZERO-SHUFFLE fact⋈dim join: orders and customer are
+        persisted bucketed + sorted on the join key (write_bucketed_
+        table), so the SortMergeJoin consumes both sides' bucket files
+        directly — NO Exchange on either side (pinned by a plan test;
+        at 100 TB bucketing turns every repeated key-join against the
+        same tables from a full shuffle into a local merge). The
+        oracle is the layout-agnostic join on the raw views — bucketing
+        must never change results, only the plan."""
+        import os
+        import shutil
+
+        sfb = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        to, tc = f"orders_bkt_{sfb}", f"customer_bkt_{sfb}"
+        src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+        stamp_key = f"spark.graft.bucketed.{sfb}"
+        if spark.conf.get(stamp_key, None) != src_mtime or not spark.catalog.tableExists(to):
+            # a fresh session's in-memory catalog has no entry for a
+            # warehouse dir a previous process left behind — clear the
+            # orphan location (our derived artifact) before recreating
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            warehouse = warehouse.removeprefix("file:")
+            for t in (to, tc):
+                if not spark.catalog.tableExists(t):
+                    shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+            write_bucketed_table(
+                load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+                to, "o_custkey", n_buckets=8,
+            )
+            write_bucketed_table(
+                load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+                tc, "c_custkey", n_buckets=8,
+            )
+            spark.conf.set(stamp_key, src_mtime)
+        o = spark.table(to).withColumn(
+            "um", F.round(F.col("o_totalprice") * 1_000_000).cast("bigint")
+        )
+        c = spark.table(tc)
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("um").alias("total_um"))
+            .orderBy("c_mktsegment")
+        )
+
+
+_register_layout_entries()

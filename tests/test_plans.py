@@ -1364,3 +1364,31 @@ def test_relational_division_joins_names_after_having(spark):
     nodes = plan_nodes(df)
     assert any("BroadcastHashJoin" in n for n in nodes), nodes
     assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_dpp_injects_dynamic_pruning(spark):
+    """The busy-days dim is aggregation-derived (not statically
+    pushable), so the partitioned fact scan must carry a
+    dynamicpruningexpression — runtime partition pruning, the 100 TB
+    event-store pattern."""
+    df = QUERIES["files_dpp_partitioned_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    """Both sides are bucketed+sorted on the join key, so the
+    SortMergeJoin consumes bucket files directly: NO shuffle Exchange
+    anywhere in the plan."""
+    df = QUERIES["files_bucketed_join"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    join_nodes = [n for n in nodes if "Join" in n]
+    assert join_nodes, nodes
+    # the only allowed Exchange is the final single-partition sort of
+    # the 5-row aggregate; the JOIN itself must be shuffle-free — no
+    # Exchange may appear before the join node in the plan walk
+    first_join = min(i for i, n in enumerate(nodes) if "Join" in n)
+    assert not any(
+        n == "Exchange" for n in nodes[:first_join]
+    ), nodes[: first_join + 1]
