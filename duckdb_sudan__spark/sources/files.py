@@ -339,8 +339,14 @@ def _register_layout_entries() -> None:
         expression itself. Day is a STRING partition value (DATE
         diverges between fetch modes; DETERMINISM.md)."""
         path = _stage_events_by_day(spark, sf_dir)
+        # partition-column type inference parses day= values as DATE;
+        # cast back to the written STRING so the typed contract (and
+        # the DATE fetch-mode divergence, DETERMINISM.md) can't bite —
+        # the cast is on the partition VALUE, so pruning still applies
         fact = spark.read.parquet(path).select(
-            "day", "event_type", F.round(F.col("value") * 1_000_000).cast("bigint").alias("um")
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("um"),
         )
         err = fact.where(F.col("event_type") == "error")
         avg_per_day = err.agg(
