@@ -692,6 +692,16 @@ CC_MAX_ROUNDS = 20
 @register("dedup_components", COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return min_label_components(edges)
+
+
+def min_label_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an (id_a, id_b) edge relation →
+    (doc_id, component) with component = min doc_id of the connected
+    component. Shared by the exact tier (dedup_components, oracled
+    against the recursive-CTE closure) and the approximate tier
+    (dedup_minhash_components) — one audited CC implementation, two
+    pair generators."""
     sym = (
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -727,12 +737,28 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (graph eccentricity from a component's min-id node exceeded the
         # round budget; raise CC_MAX_ROUNDS for pathological chain graphs)
         raise RuntimeError(
-            f"dedup_components: min-label propagation did not converge within "
+            f"min_label_components: propagation did not converge within "
             f"{CC_MAX_ROUNDS} rounds ({changed} labels still changing)"
         )
     return labels.select(F.col("node").alias("doc_id"), "comp").select(
         "doc_id", F.col("comp").alias("component")
     ).orderBy("doc_id")
+
+
+@register("dedup_minhash_components")  # rows-only: permutation hashing isn't SQL
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the APPROXIMATE tier — min-label
+    connected components on the dedup_minhash_lsh pair relation. This
+    is the pairing production actually clusters at crawl scale (the
+    exact ngram tier only pairs within (lang, len_bucket) blocks and
+    is quadratic per block; LSH pairs globally in linear time), so the
+    CC step must run on ITS edges, not just the exact tier's. Same
+    audited min_label_components core as dedup_components; tests pin
+    that every LSH pair's endpoints land in one component and that
+    exact-tier clusters never split here on this corpus (LSH recall
+    1.0 vs the exact tier is pinned by dedup_est_calibration)."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return min_label_components(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -757,3 +757,30 @@ def test_hll_union_equals_direct_and_bounds_error(spark, duck):
         assert abs(r.approx_users_unioned - exact[r.event_type]) <= max(
             1, 0.05 * exact[r.event_type]
         ), (r, exact[r.event_type])
+
+
+def test_minhash_components_cover_pairs_and_respect_exact_clusters(spark):
+    """Approximate-tier clustering invariants: every LSH pair's
+    endpoints share a component; component ids are the min doc_id of
+    their member set; and no exact-tier cluster splits across minhash
+    components on this corpus (LSH recall 1.0 vs the exact tier is
+    pinned separately by the calibration test)."""
+    comp = {r.doc_id: r.component
+            for r in QUERIES["dedup_minhash_components"](spark, SF_DIR).collect()}
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    assert pairs
+    for r in pairs:
+        assert comp[r.id_a] == comp[r.id_b], (r.id_a, r.id_b)
+    members = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs), (c, min(docs))
+    exact = {r.doc_id: r.component
+             for r in QUERIES["dedup_components"](spark, SF_DIR).collect()}
+    by_exact = {}
+    for doc, c in exact.items():
+        by_exact.setdefault(c, set()).add(doc)
+    for c, docs in by_exact.items():
+        got = {comp.get(d) for d in docs}
+        assert len(got) == 1 and None not in got, (c, got)
