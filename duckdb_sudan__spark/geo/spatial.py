@@ -144,3 +144,61 @@ def sudan_state_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("iso_code", "state_name", "n_points", "centroid_lon", "centroid_lat")
         .orderBy("iso_code")
     )
+
+
+@register("sudan_nearest_state")  # rows-only: ray casting + argmin aren't SQL
+def sudan_nearest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-state fallback — the geo-enrichment step after the
+    polygon join: points OUTSIDE every ring (coastal jitter, border
+    GPS noise, the envelope gap) still get assigned to their nearest
+    state centroid with the distance recorded, instead of dropping as
+    NULL. Emits both the polygon verdict (iso_code, NULL when outside)
+    and the fallback (nearest_iso, nearest_deg) for every probe, so a
+    consumer can choose strict or fallback semantics per use case.
+
+    Metric note: distance is Euclidean in DEGREES — the SAME metric
+    the offline Voronoi partition is seeded with, which yields the
+    tested invariant that an interior point's containing cell IS its
+    nearest centroid (geodesic km would be the production metric with
+    real GADM shapes; with the placeholder partition, metric
+    consistency with the partition is the honest choice). The 18
+    centroids ride in the UDF closure (broadcast), the argmin is one
+    numpy reduction per Arrow batch — map-only, zero shuffle."""
+    from duckdb_sudan__spark.geo import states as geo_states
+
+    cents = [(iso, lon, lat) for iso, _n, _a, lon, lat in geo_states.SUDAN_STATES]
+    isos = [c[0] for c in cents]
+    CX = np.array([c[1] for c in cents])
+    CY = np.array([c[2] for c in cents])
+
+    @F.pandas_udf("nearest_iso string, nearest_deg double")
+    def nearest(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lons = lon.to_numpy(dtype=np.float64)
+        lats = lat.to_numpy(dtype=np.float64)
+        d2 = (lons[:, None] - CX[None, :]) ** 2 + (lats[:, None] - CY[None, :]) ** 2
+        k = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "nearest_iso": [isos[i] for i in k],
+                "nearest_deg": np.sqrt(d2[np.arange(len(k)), k]),
+            }
+        )
+
+    probes = []
+    for iso, _name, _ar, lon, lat in geo_states.SUDAN_STATES:
+        probes.append((f"centroid:{iso}", lon, lat))
+    probes += [
+        ("outside:red_sea", 38.5, 20.5),
+        ("outside:egypt_border", 31.0, 23.5),
+        ("outside:atlantic", -30.0, 0.0),
+    ]
+    df = spark.createDataFrame(probes, "probe string, lon double, lat double")
+    out = assign_points_to_states(df).withColumn("nn", nearest(F.col("lon"), F.col("lat")))
+    return (
+        out.select(
+            "probe", "lon", "lat", "iso_code",
+            F.col("nn.nearest_iso").alias("nearest_iso"),
+            F.round(F.col("nn.nearest_deg"), 6).alias("nearest_deg"),
+        )
+        .orderBy("probe")
+    )

@@ -708,3 +708,148 @@ def setops_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY variant
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_naive — same-day-last-week forecast baseline + MAE
+# ---------------------------------------------------------------------------
+
+SEASONAL_LAG_DAYS = 7
+
+SEASONAL_NAIVE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(round(value * 1000000) AS BIGINT)) AS um
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs(a.um - b.um)) AS BIGINT) AS total_abs_err_um,
+       CAST(SUM(abs(a.um - b.um)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mae
+FROM daily a
+JOIN daily b ON b.event_type = a.event_type
+           AND b.day = a.day - INTERVAL {SEASONAL_LAG_DAYS} DAY
+GROUP BY a.event_type
+ORDER BY a.event_type
+"""
+
+
+@register("ts_seasonal_naive", SEASONAL_NAIVE_ORACLE)
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation — predict each day's total
+    with the SAME WEEKDAY LAST WEEK and report per-type MAE: the
+    baseline every forecasting system must beat before it earns
+    deployment (and the cheapest drift detector: MAE jumping means the
+    weekly cycle broke). The shift is a DAY-KEYED self-join, NOT
+    lag(7 rows) — a 7-row lag silently misaligns the moment a day is
+    missing from the series, while day = day − 7d is exact under gaps.
+    Error stays in exact integer micro-units; MAE is the single
+    int/int double division (DETERMINISM.md).
+
+    Plan: one partial-agg shuffle to the day×type aggregate, then a
+    self-equi-join on (type, shifted day) over calendar-bounded input
+    — both sides are the SAME tiny aggregate, so AQE broadcasts one
+    side; the fact table is never joined."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("um"))
+    )
+    pred = daily.select(
+        "event_type",
+        (F.col("day") + F.expr(f"INTERVAL {SEASONAL_LAG_DAYS} DAY")).alias("day"),
+        F.col("um").alias("pred_um"),
+    )
+    return (
+        daily.join(pred, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(F.col("um") - F.col("pred_um"))).alias("total_abs_err_um"),
+        )
+        .select(
+            "event_type",
+            "n_scored",
+            "total_abs_err_um",
+            (
+                F.col("total_abs_err_um").cast("double")
+                / F.col("n_scored").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_session_bounce_rate — single-event sessions per day
+# ---------------------------------------------------------------------------
+
+BOUNCE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM sess
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("ev_session_bounce_rate", BOUNCE_ORACLE)
+def ev_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the fraction of sessions containing exactly
+    one event, by session-start day (THE engagement KPI next to
+    ev_retention_cohorts; a bounce-rate step change is usually a
+    deploy gone wrong). Sessions are the ev_sessionize relation
+    verbatim (same 30-min flag + running-sum construction — one
+    audited definition shared by batch, streaming and the interval
+    join). Bounce is n_events = 1 on exact counts; the rate is one
+    int/int double division. Plan: the session window chain (one
+    user-partitioned shuffle), then a day groupBy over session-sized
+    input."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_session = F.when(
+        F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    sess = (
+        e.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))
+        .select("user_id", "ts", "event_id", new_session.alias("new_session"))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        sess.groupBy(F.date_trunc("day", "session_start").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("bigint").alias("n_bounced"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounced",
+            (F.col("n_bounced").cast("double") / F.col("n_sessions").cast("double")).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

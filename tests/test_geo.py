@@ -327,3 +327,27 @@ def test_state_point_counts_cover_all_states_and_sum_to_interior(spark):
     assert len(rows) == 18, [r.iso_code for r in rows]
     assert all(r.n_points > 0 for r in rows)
     assert sum(r.n_points for r in rows) > 1000  # most of the 3600-pt grid
+
+
+def test_nearest_state_fallback_invariants(spark):
+    """Interior probes: containing Voronoi cell == nearest centroid
+    (both built on Euclidean degrees — metric consistency). Outside
+    probes: polygon verdict NULL but a nearest state is still
+    assigned, with red-sea/egypt-border probes mapping to the
+    geographically sensible states."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    rows = {r.probe: r for r in QUERIES["sudan_nearest_state"](spark, None).collect()}
+    for probe, r in rows.items():
+        if probe.startswith("centroid:"):
+            iso = probe.split(":", 1)[1]
+            assert r.iso_code == iso, (probe, r.iso_code)
+            assert r.nearest_iso == iso, (probe, r.nearest_iso)
+            assert r.nearest_deg == 0.0
+        else:
+            assert r.iso_code is None, (probe, r.iso_code)
+            assert r.nearest_iso is not None and r.nearest_deg > 0
+    assert rows["outside:red_sea"].nearest_iso == "SD-RS"      # Red Sea state
+    assert rows["outside:egypt_border"].nearest_iso == "SD-NO"  # Northern
