@@ -120,70 +120,59 @@ def _sudan_oracles() -> dict[str, str]:
 # keys in registration order). With more oracled entries than window
 # slots, the order below ROTATES coverage each round.
 #
-# r6 window (per the r5 verdict's item 1): exactly 50 of the 52 oracled
-# entries that have NEVER appeared in a driver window (judge-computed:
-# oracled ∖ (r1∪r2∪r3∪r4∪r5 CORRECTNESS keys) — the r5/r5c-late
-# additions across olap5-olap10, text2/text3, similarity, sketches,
-# multimodal, sources/files, timeseries). The 2 parked entries are the
-# verdict's suggested simplest SQL-only pair — win_lead_lag and
-# join_full_outer — which stay locally verified (pytest re-runs the
-# driver comparison for every oracled entry on each run, and
-# CORRECTNESS_LOCAL sweeps sf0.01+sf0.1 in both fetch modes) and go
-# FIRST into the r7 window together with every oracled entry ADDED in
-# r6 (dual-SF dual-mode verified locally on registration) and then the
-# oldest r4-green entries fill the remaining slots. After r6,
-# r6∪r5∪r4 covers all 150 pre-r6 oracled entries with nothing older
-# than two rounds.
+# r7 window (per the r6 verdict's item 1): ALL 39 oracled entries that
+# have NEVER appeared in a driver window (computed at r7 open:
+# oracled ∖ (r1∪…∪r6 CORRECTNESS keys) — the r6-wave additions across
+# olap5/olap11/olap12, text4, similarity, dedup, sources/files),
+# followed by the 11 alphabetically-first of the 48 stale rows whose
+# latest driver check was r4 (deterministic tie-break; all 48 are
+# equally old). After r7, r5∪r6∪r7 covers all 187 pre-r7 oracled
+# entries except 37 r4-green rows, which are the committed r8 window
+# (37 + 13 slack slots for r7-wave additions — see the r8 note below
+# the list). Every parked entry stays locally verified: pytest re-runs
+# the driver comparison for each oracled entry on every run, and
+# CORRECTNESS_LOCAL sweeps sf0.01+sf0.1 in both fetch modes.
 #
-# r7 window priority, computed at r6 close (oracled ∖ (r4 ∪ r5 ∪ this
-# window) — 35 entries, leaving 15 slots for the oldest r4 rows):
-#   agg_corr_matrix, agg_mad_robust, ann_mips_dot, bpe_pair_counts,
-#   corpus_dedup_rate_by_source, corpus_vocab_growth,
-#   dataset_epoch_interleave, decontaminate_embedding,
-#   dedup_canonical_docs, dedup_translation_pairs,
-#   emb_matryoshka_truncate, ev_anomaly_zscore, ev_asof_tolerance,
-#   ev_concurrency_curve, ev_funnel_rates, ev_top_paths,
-#   files_parquet_roundtrip, groupby_all_sales, join_full_outer,
-#   join_interval_overlap, join_relational_division, join_scd2_lookup,
-#   pipeline_decontaminate_report, pivot_multi_agg,
-#   rollup_share_of_parent, select_exclude_replace,
-#   setops_not_in_null_semantics, str_format_parity,
-#   text_gopher_filters, ts_gapfill_interpolate, vocab_coverage_rate,
-#   win_gaps_islands, win_lead_lag, win_pareto_abc, win_sliding_median
-#   1-14  OLAP window/aggregate entries (olap5/olap6/olap8/olap9)
-#   15-24 join / setop / grouping / string entries (olap5-olap10)
-#   25-31 timeseries + event entries (olap5/olap9/timeseries)
-#   32-45 LLM-pipeline text/retrieval entries (text2/text3, dedup,
-#         sketches, similarity, multimodal)
-#   46-50 sources + composition entries (files roundtrips,
-#         sudan_wb_pivot, summarize_stats, ts_time_bucket)
-#   51+   previously-driver-green oracled entries (r4/r5 rows), then
-#         rows-only entries (no SQL oracle by design).
+# r8 window priority, computed at r7 close (the 37 remaining r4 rows;
+# new oracled entries added during r7 go FIRST, then these fill up):
+#   map_event_counts, pivot_status, q1_pricing_summary,
+#   q3_shipping_priority, q4_order_priority, q7_volume_shipping,
+#   q10_returned_items, q14_promo_effect, q16_supplier_cnt,
+#   q17_small_qty, q18_large_orders, q19_disjunctive,
+#   q20_heavy_shippers, q21_waiting_supplier, qualify_top_orders,
+#   recursive_cte_chain, rollup_sales, setops_customers,
+#   sudan_boundaries_state, sudan_fao, sudan_geocode, sudan_ilo,
+#   sudan_providers, sudan_search, sudan_states, sudan_unhcr,
+#   sudan_wb_indicators, sudan_who, sudan_who_indicators,
+#   sudan_worldbank, tok_positions, ts_locf_fill, ts_ohlc_hourly,
+#   unpivot_nation_counts, w1_window_rank, w2_window_running,
+#   w4_value_windows
 _WINDOW_PRIORITY = [
-    # -- 1-14: OLAP window/aggregate, new in r5/r5c ----------------------
-    "win_distribution", "win_running_distinct", "win_ignore_nulls",
-    "win_exclude_current", "win_rolling_regression",
-    "win_time_range_sliding", "agg_filter_clause", "agg_gini_diversity",
-    "agg_histogram", "agg_mode_quantile", "agg_quantile_multi",
-    "agg_regression", "agg_width_bucket_hist", "str_try_parse",
-    # -- 15-24: joins / setops / grouping / strings ----------------------
-    "join_semi_anti", "join_lateral_topn", "join_positional",
-    "setops_by_name", "grouping_id_sets", "str_distance",
-    "str_regex_extract_all", "ev_asof_forward", "ev_asof_nearest",
-    "ev_transition_matrix",
-    # -- 25-31: timeseries + events --------------------------------------
-    "ev_funnel_windowed", "ev_rfm_scores", "ev_scd2_intervals",
-    "ts_time_bucket", "summarize_stats", "lm_oov_rate",
-    "text_ngram_novelty",
-    # -- 32-45: LLM-pipeline text/retrieval/embedding --------------------
-    "text_chunk_overlap", "text_pii_scrub", "tfidf_topk", "bm25_rank",
-    "ngram_lm_counts", "pipeline_chunk_index", "sample_temperature_mix",
-    "hybrid_search_rrf", "decontaminate_substring", "dedup_doc_prefix",
-    "dataset_shard_assign", "pipeline_dedup_cascade", "emb_knn_graph",
-    "emb_quantize_int8",
-    # -- 46-50: sketches / multimodal anchor / sources / composition -----
-    "sketch_heavy_hitters", "mm_manifest_stats", "files_csv_roundtrip",
-    "files_jsonl_roundtrip", "sudan_wb_pivot",
+    # -- 1-15: r6-wave OLAP window/aggregate/join (olap11/olap12/olap5) --
+    "win_lead_lag", "join_full_outer", "groupby_all_sales",
+    "select_exclude_replace", "agg_mad_robust", "ev_asof_tolerance",
+    "pivot_multi_agg", "ev_anomaly_zscore", "rollup_share_of_parent",
+    "win_gaps_islands", "ev_concurrency_curve", "str_format_parity",
+    "agg_corr_matrix", "win_pareto_abc", "ev_funnel_rates",
+    # -- 16-24: r6-wave joins / setops / timeseries (olap12) -------------
+    "join_scd2_lookup", "ts_gapfill_interpolate", "win_sliding_median",
+    "join_interval_overlap", "ev_top_paths", "join_relational_division",
+    "ts_seasonal_naive", "ev_session_bounce_rate",
+    "setops_not_in_null_semantics",
+    # -- 25-36: r6-wave LLM-pipeline (text4, dedup, similarity, olap12) --
+    "ann_mips_dot", "emb_matryoshka_truncate", "bpe_pair_counts",
+    "corpus_dedup_rate_by_source", "text_gopher_filters",
+    "vocab_coverage_rate", "dataset_epoch_interleave",
+    "decontaminate_embedding", "dedup_canonical_docs",
+    "dedup_translation_pairs", "corpus_vocab_growth",
+    "pipeline_decontaminate_report",
+    # -- 37-39: r6-wave sources (files) ----------------------------------
+    "files_parquet_roundtrip", "files_dpp_partitioned_join",
+    "files_bucketed_join",
+    # -- 40-50: the 11 alphabetically-first stale-r4 rows ----------------
+    "agg_argmax", "agg_bitwise", "agg_bool", "agg_median", "cte_topn",
+    "cube_sales", "distinct_types", "ev_funnel", "ev_retention_cohorts",
+    "list_lambda_docs", "listagg_nations",
 ]
 
 
