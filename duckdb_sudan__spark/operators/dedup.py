@@ -977,3 +977,116 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_spans — span-level exact-substring dedup (suffix-array
+# class: Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better"). Finds and marks verbatim token spans of >= MIN_SPAN
+# tokens whose every SPAN_GRAM_K-gram also occurs in ANOTHER document —
+# the span-level cut list a training-data cleaner consumes, one tier
+# below whole/prefix/near-dup (dedup_exact / dedup_doc_prefix /
+# dedup_minhash_lsh).
+#
+# Reference parity: the reference engine has no span dedup; this is the
+# production tier the r6 review prescribed. Semantics: a position p in
+# doc d is DUPLICATED iff the K-gram starting at p appears in >= 2
+# distinct documents; maximal runs of duplicated positions of covered
+# length >= MIN_SPAN are emitted. A span repeated verbatim across two
+# docs duplicates every one of its K-grams, so every true repeated span
+# >= MIN_SPAN is found (no false negatives vs the suffix-array
+# definition). A run stitched from K-grams shared with DIFFERENT
+# partners is also emitted — union semantics, intended: each of those
+# tokens is verbatim-duplicated somewhere, which is exactly what a
+# span cleaner cuts.
+#
+# Scale shape (why this needs NO subsalt hot-bucket guard): the naive
+# design (groupBy gram -> within-group pair extension) is quadratic in
+# a hot gram's occurrence count m. Here the cross-doc test is the
+# map-side-combinable aggregate min(doc_id) < max(doc_id) — constant
+# state per gram, no pair generation anywhere — and the mark-back is a
+# LEFT SEMI join producing exactly one row per position (linear in m,
+# never m^2). AQE's skew-join split handles a degenerate gram's reducer
+# skew; nothing can blow up combinatorially. Two shuffles on the gram
+# key (agg + semi join; Spark reuses the exchange) + one on doc_id for
+# the gaps-islands window — the honest 100 TB shape.
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM_K = 8  # token K-gram granularity; spans shorter than K are invisible
+MIN_SPAN = 50  # emit spans of >= 50 verbatim-duplicated tokens (Lee et al.'s cut)
+
+REPEATED_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, array_to_string(tokens[pos:pos+{SPAN_GRAM_K}-1], ' ') AS gram
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens)-{SPAN_GRAM_K}+1)) AS pos
+        FROM toks WHERE len(tokens) >= {SPAN_GRAM_K})
+),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) < max(doc_id)
+),
+marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN shared s USING (gram)
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM marked
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(count(*) + {SPAN_GRAM_K} - 1 AS BIGINT) AS span_len
+FROM islands GROUP BY doc_id, isl
+HAVING count(*) + {SPAN_GRAM_K} - 1 >= {MIN_SPAN}
+ORDER BY doc_id, span_start
+"""
+
+
+@register("dedup_repeated_spans", REPEATED_SPANS_ORACLE)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_len): maximal runs of >= MIN_SPAN
+    verbatim-duplicated tokens (1-based token offsets, whitespace
+    tokenizer shared with text_tokens). The Spark gram key is
+    xxhash64 of the K-gram string — a 64-bit stand-in for the string
+    key the oracle groups on; the output carries offsets only, so the
+    hashing is semantics-neutral up to 64-bit collisions."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    grams = (
+        d.select("doc_id", tokens.alias("tokens"))
+        .where(F.size("tokens") >= SPAN_GRAM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tokens) - {SPAN_GRAM_K} + 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                    f"xxhash64(concat_ws(' ', slice(tokens, i, {SPAN_GRAM_K}))) AS gram))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", "pg.pos", "pg.gram")
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") < F.col("mx"))
+        .select("gram")
+    )
+    marked = grams.join(shared, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(SPAN_GRAM_K - 1)).alias("span_len"),
+        )
+        .where(F.col("span_len") >= MIN_SPAN)
+        .select("doc_id", "span_start", "span_len")
+        .orderBy("doc_id", "span_start")
+    )

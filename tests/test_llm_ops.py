@@ -784,3 +784,117 @@ def test_minhash_components_cover_pairs_and_respect_exact_clusters(spark):
     for c, docs in by_exact.items():
         got = {comp.get(d) for d in docs}
         assert len(got) == 1 and None not in got, (c, got)
+
+
+def _brute_common_spans(tok_a, tok_b, min_len):
+    """Quadratic token-level common-substring finder (independent
+    reference for dedup_repeated_spans): all maximal common runs of
+    >= min_len tokens between two token lists, as 0-based (start_a,
+    start_b, length) triples — classic DP over match diagonals."""
+    spans = []
+    for off in range(-(len(tok_b) - 1), len(tok_a)):
+        run = 0
+        for j in range(len(tok_b)):
+            i = off + j
+            if 0 <= i < len(tok_a) and tok_a[i] == tok_b[j]:
+                run += 1
+            else:
+                if run >= min_len:
+                    spans.append((off + j - run, j - run, run))
+                run = 0
+        if run >= min_len:
+            spans.append((off + len(tok_b) - run, len(tok_b) - run, run))
+    return spans
+
+
+def _repeated_spans_fixture(spark, sf_dir):
+    """Corpus with planted verbatim passages: a 60-token passage shared
+    by docs 0/1 at different offsets, a 55-token passage shared by
+    docs 2/3/4, a sub-threshold 20-token passage in docs 5/6, unique
+    filler everywhere else (uniq-<doc>-<i> tokens can never cross-doc
+    match), and a doc shorter than the gram size."""
+    passage_a = " ".join(f"alpha{w}" for w in range(60))
+    passage_b = " ".join(f"beta{w}" for w in range(55))
+    short = " ".join(f"gamma{w}" for w in range(20))
+
+    def filler(doc, n, tag):
+        return " ".join(f"uniq-{doc}-{tag}-{i}" for i in range(n))
+
+    docs = [
+        (0, f"{filler(0, 7, 'h')} {passage_a} {filler(0, 9, 't')}"),
+        (1, f"{filler(1, 13, 'h')} {passage_a}"),
+        (2, f"{passage_b} {filler(2, 11, 't')}"),
+        (3, f"{filler(3, 5, 'h')} {passage_b} {filler(3, 3, 't')}"),
+        (4, f"{passage_b}"),
+        (5, f"{filler(5, 30, 'h')} {short} {filler(5, 30, 't')}"),
+        (6, f"{short} {filler(6, 40, 't')}"),
+        (7, filler(7, 80, 'o')),
+        (8, "tiny doc"),
+    ]
+    rows = [(i, t, "en", "syn", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return {i: t.lower().split() for i, t in docs}
+
+
+def test_repeated_spans_vs_quadratic_reference(spark, tmp_path):
+    """Completeness + soundness of dedup_repeated_spans against an
+    independent quadratic reference:
+    - completeness: every maximal pairwise common token run >= MIN_SPAN
+      found by brute-force DP is CONTAINED in an emitted span;
+    - soundness: every emitted span consists solely of positions whose
+      K-gram occurs in >= 2 distinct docs, and is >= MIN_SPAN long;
+    - below-threshold and unique docs emit nothing."""
+    from duckdb_sudan__spark.operators.dedup import MIN_SPAN, SPAN_GRAM_K
+
+    toks = _repeated_spans_fixture(spark, str(tmp_path))
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in QUERIES["dedup_repeated_spans"](spark, str(tmp_path)).collect()
+    }
+    # spans are 1-based token offsets; convert to 0-based [start, end) sets
+    covered = {d: set() for d in toks}
+    for d, s, ln in got:
+        assert ln >= MIN_SPAN
+        covered[d].update(range(s - 1, s - 1 + ln))
+
+    # completeness vs brute force over all doc pairs
+    ids = sorted(toks)
+    expected_docs = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            for sa, sb, ln in _brute_common_spans(toks[a], toks[b], MIN_SPAN):
+                expected_docs |= {a, b}
+                assert set(range(sa, sa + ln)) <= covered[a], (a, sa, ln)
+                assert set(range(sb, sb + ln)) <= covered[b], (b, sb, ln)
+    assert expected_docs == {0, 1, 2, 3, 4}
+    assert {d for d, _, _ in got} == expected_docs  # no spurious docs
+
+    # soundness: every emitted position's K-gram is cross-doc shared
+    gram_docs = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - SPAN_GRAM_K + 1):
+            gram_docs.setdefault(" ".join(ts[i : i + SPAN_GRAM_K]), set()).add(d)
+    for d, s, ln in got:
+        for p in range(s - 1, s - 1 + ln - SPAN_GRAM_K + 1):
+            g = " ".join(toks[d][p : p + SPAN_GRAM_K])
+            assert len(gram_docs[g]) >= 2, (d, p, g)
+
+
+def test_repeated_spans_oracle_on_planted_fixture(spark, tmp_path):
+    """The DuckDB oracle agrees with the Spark plan on the planted
+    fixture (not just the driver's generated corpus) — exercises the
+    exact span boundaries, the multi-doc passage, and the
+    shorter-than-K doc through both engines."""
+    import duckdb
+
+    _repeated_spans_fixture(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    df = QUERIES["dedup_repeated_spans"](spark, str(tmp_path))
+    assert_matches_oracle(df, con, ORACLES["dedup_repeated_spans"])
+    con.close()

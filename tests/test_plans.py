@@ -1392,3 +1392,20 @@ def test_bucketed_join_has_zero_exchange(spark):
     assert not any(
         n == "Exchange" for n in nodes[:first_join]
     ), nodes[: first_join + 1]
+
+
+def test_repeated_spans_semi_join_no_pairs(spark):
+    """dedup_repeated_spans must mark duplicated positions through a
+    LEFT SEMI join against the min<max gram aggregate — never a pair-
+    generating self-join (the quadratic shape the min/max trick
+    replaces) and never a nested-loop/cartesian fallback. The gram
+    aggregate must be partial (map-side combine): min/max, not
+    count-distinct."""
+    df = QUERIES["dedup_repeated_spans"](spark, SF_DIR)
+    plan = plan_of(df)
+    nodes = plan_nodes(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+    assert "partial_min" in plan and "partial_max" in plan, plan[:2000]
+    assert "distinct" not in plan.lower().replace("adaptivesparkplan", ""), plan[:2000]
