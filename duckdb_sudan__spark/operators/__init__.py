@@ -51,6 +51,7 @@ def load_all() -> None:
         text2,
         text3,
         text4,
+        text5,
         timeseries,
     )
     from duckdb_sudan__spark.geo import spatial as geo_spatial  # noqa: F401

@@ -898,3 +898,138 @@ def test_repeated_spans_oracle_on_planted_fixture(spark, tmp_path):
     df = QUERIES["dedup_repeated_spans"](spark, str(tmp_path))
     assert_matches_oracle(df, con, ORACLES["dedup_repeated_spans"])
     con.close()
+
+
+def _reference_bpe(word_counts, n_merges, min_pair):
+    """Independent BPE trainer for the equivalence test: Counter-based
+    pair tally + rebuild-the-list merge apply (different code path from
+    the operator's in-place splice loop)."""
+    from collections import Counter
+
+    vocab = {tuple(w): n for w, n in word_counts if len(w) >= 2}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        tally = Counter()
+        for syms, n in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                tally[pair] += n
+        if not tally:
+            break
+        pair, n_best = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n_best < min_pair:
+            break
+        merges.append((rank, pair[0], pair[1], pair[0] + pair[1], n_best))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_independent_reference(spark, duck):
+    """Spark-side word counting + the operator's merge loop must equal
+    DuckDB-side word counting + an independently coded trainer —
+    pinning both the cluster aggregation and the iteration exactly
+    (the rows-only stand-in for a SQL oracle: BPE is iterative, and
+    the SFs share no documents so a VALUES oracle cannot hold)."""
+    from duckdb_sudan__spark.operators.text5 import (
+        BPE_MIN_PAIR,
+        BPE_N_MERGES,
+        BPE_WORDS_CAP,
+    )
+
+    counts = duck.execute(
+        f"""
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 1
+        GROUP BY w ORDER BY n DESC, w LIMIT {BPE_WORDS_CAP}
+        """
+    ).fetchall()
+    expected = _reference_bpe(counts, BPE_N_MERGES, BPE_MIN_PAIR)
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in QUERIES["bpe_train_merges"](spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_first_merge_is_global_top_pair(spark, duck):
+    """Merge 1 must be exactly the corpus-global argmax adjacent pair —
+    the bpe_pair_counts relation (text4) without the lang partition."""
+    top = duck.execute(
+        """
+        SELECT substr(t, s, 2) AS pair, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS s
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE length(t) >= 2)
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        """
+    ).fetchone()
+    first = QUERIES["bpe_train_merges"](spark, SF_DIR).orderBy("merge_rank").first()
+    assert first.left + first.right == top[0]
+    assert first.pair_count == top[1]
+
+
+def test_bpe_encode_roundtrip_and_invariants(spark):
+    """bpe_apply_word concatenates back to the word for every corpus
+    word (lossless segmentation); encode respects
+    n_ws_tokens <= n_bpe_tokens <= n_word_chars; zero merges degrade
+    to character count; and a pure-Python recount of sample docs
+    matches the Arrow stage exactly."""
+    from duckdb_sudan__spark.operators.text5 import (
+        BPE_N_MERGES,
+        _corpus_word_counts,
+        _train_merges_on_counts,
+        bpe_apply_word,
+    )
+
+    counts = _corpus_word_counts(spark, SF_DIR)
+    merges = _train_merges_on_counts(counts, BPE_N_MERGES)
+    assert 0 < len(merges) <= BPE_N_MERGES
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    for w, _ in counts:
+        assert "".join(bpe_apply_word(w, ranks)) == w, w
+        assert bpe_apply_word(w, {}) == list(w), w
+
+    rows = QUERIES["bpe_encode"](spark, SF_DIR).orderBy("doc_id").collect()
+    assert all(r.n_ws_tokens <= r.n_bpe_tokens <= r.n_word_chars for r in rows)
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    }
+    for r in rows[:20]:
+        expect = sum(
+            len(bpe_apply_word(w, ranks)) for w in docs[r.doc_id].split(" ") if w
+        )
+        assert r.n_bpe_tokens == expect, r.doc_id
+
+
+def test_bpe_encode_monotone_in_merges(spark):
+    """More trained merges can only shorten an encoding (each merge is
+    a contraction) — checked per corpus word across merge prefixes."""
+    from duckdb_sudan__spark.operators.text5 import (
+        _corpus_word_counts,
+        _train_merges_on_counts,
+        bpe_apply_word,
+    )
+
+    counts = _corpus_word_counts(spark, SF_DIR)[:200]
+    merges = _train_merges_on_counts(counts, 30)
+    for k in (0, 5, 15, len(merges)):
+        ranks_k = {(m[1], m[2]): m[0] for m in merges[:k]}
+        ranks_all = {(m[1], m[2]): m[0] for m in merges}
+        for w, _ in counts[:100]:
+            assert len(bpe_apply_word(w, ranks_all)) <= len(bpe_apply_word(w, ranks_k))
