@@ -181,3 +181,146 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_classifier — learned-quality gate: fixed linear
+# classifier over hashed word-bigram features (the fasttext-style tier
+# production pipelines stack AFTER the rule gate — text_gopher_filters
+# decides "is it parseable text", this decides "is it GOOD text").
+#
+# Features: hashed bigrams h(w1 + ' ' + w2) into QC_DIM buckets
+# (collisions intended — that IS the hashing trick). Weights: a fixed
+# deterministic integer formula w(f) = (f * 2654435761) % 1001 - 500
+# (Knuth multiplicative spread, mean-zero over the bucket range) — a
+# stand-in for shipped classifier weights that both engines derive
+# exactly, so the entry is hash-oracled end-to-end. score_sum =
+# Σ_bigrams w(h(bg)) is algebraically the dot product of the hashed
+# count vector with the weight vector (the list_inner_product view),
+# computed WITHOUT materializing either vector: per-bigram lookup +
+# integer sum inside JVM higher-order functions — no Pandas UDF, no
+# joins, no shuffle, whole-stage codegen keeps the scan linear. The
+# only double op is the final exactly-rounded normalization.
+#
+# Cross-engine hash: md5-hex first 4 chars -> int (the
+# dataset_shard_assign idiom, text3.py:250 — Spark hash() and DuckDB
+# hash() disagree; md5 is the deterministic common ground).
+# ---------------------------------------------------------------------------
+
+QC_DIM = 2048  # hashed feature space
+QC_A = 2654435761  # Knuth multiplicative constant
+QC_MOD = 1001  # weight range [-500, 500], mean zero
+
+_QC_SQL_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+_QC_SQL_SCORE = f"""
+list_sum(list_transform(
+  list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> toks[i] || ' ' || toks[i + 1]),
+  bg -> (CAST(CAST('0x' || substring(md5(bg), 1, 4) AS INTEGER) % {QC_DIM} AS BIGINT)
+         * {QC_A}) % {QC_MOD} - 500))
+"""
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+SELECT doc_id, lang,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(score_sum AS BIGINT) AS score_sum,
+       score_sum >= 0 AS keep
+FROM (
+  SELECT doc_id, lang,
+         greatest(len(toks) - 1, 0) AS n_bigrams,
+         coalesce({_QC_SQL_SCORE}, 0) AS score_sum
+  FROM (SELECT doc_id, lang, {_QC_SQL_TOKENS} AS toks FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+def _qc_score_sum_expr():
+    """score_sum as a Spark Column over a `toks` array column —
+    zip_with adjacent pairs, md5-hash each into QC_DIM, weight by the
+    integer formula, integer-fold. Empty/1-token docs score 0."""
+    bigrams = (
+        f"zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        f"slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        f"(a, b) -> concat(a, ' ', b))"
+    )
+    weight = (
+        f"bg -> (CAST(conv(substring(md5(bg), 1, 4), 16, 10) AS BIGINT) % {QC_DIM}"
+        f" * {QC_A}) % {QC_MOD} - 500"
+    )
+    return F.expr(
+        f"aggregate(transform({bigrams}, {weight}), CAST(0 AS BIGINT), (acc, w) -> acc + w)"
+    )
+
+
+@register("text_quality_classifier", QUALITY_CLASSIFIER_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc classifier score + keep/drop decision:
+    (doc_id, lang, n_bigrams, score_sum, keep). keep is
+    score_sum >= 0 — with mean-zero weights the threshold sits at the
+    score median by construction. The output stays INTEGER on purpose:
+    a ROUND(score_sum / (500*n_bigrams), 6) normalization ties at the
+    6th decimal for power-of-two bigram counts (e.g. -2078/32000 =
+    -0.0649375) where Spark rounds half-up and DuckDB half-even —
+    consumers normalize from (score_sum, n_bigrams) losslessly.
+    Composes with text_gopher_filters the way production pipelines
+    stack gates (rule gate -> classifier gate);
+    quality_keep_rates_by_lang aggregates this relation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        _qc_score_sum_expr().alias("score_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "score_sum",
+        (F.col("score_sum") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUALITY_RATES_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+FROM (
+  SELECT lang, coalesce({_QC_SQL_SCORE}, 0) AS score_sum
+  FROM (SELECT lang, {_QC_SQL_TOKENS} AS toks FROM documents)
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("quality_keep_rates_by_lang", QUALITY_RATES_ORACLE)
+def quality_keep_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates under the classifier gate — the
+    governance readout a data-mix owner checks before shipping a
+    filter (a gate whose keep_rate craters for one language is biased,
+    not strict). One map-side score + one partial-agg shuffle on lang."""
+    scored = text_quality_classifier(spark, sf_dir)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

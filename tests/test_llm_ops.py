@@ -1033,3 +1033,40 @@ def test_bpe_encode_monotone_in_merges(spark):
         ranks_all = {(m[1], m[2]): m[0] for m in merges}
         for w, _ in counts[:100]:
             assert len(bpe_apply_word(w, ranks_all)) <= len(bpe_apply_word(w, ranks_k))
+
+
+def test_quality_classifier_matches_pure_python_and_dot_product(spark):
+    """The JVM score must equal an independent pure-Python recompute,
+    and per-bigram summation must equal the explicit hashed-count-
+    vector dot weight-vector formulation (the linear-classifier view);
+    keep == (score_sum >= 0) and the corpus splits non-trivially."""
+    import hashlib
+    import re
+
+    from duckdb_sudan__spark.operators.text5 import QC_A, QC_DIM, QC_MOD
+
+    def feat(bg):
+        return int(hashlib.md5(bg.encode()).hexdigest()[:4], 16) % QC_DIM
+
+    def weight(f):
+        return (f * QC_A) % QC_MOD - 500
+
+    rows = QUERIES["text_quality_classifier"](spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n_keep = 0
+    for r in rows[:200]:
+        toks = [t for t in re.split(r"\s+", docs[r.doc_id].lower()) if t]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert r.n_bigrams == len(bigrams)
+        direct = sum(weight(feat(bg)) for bg in bigrams)
+        counts = [0] * QC_DIM
+        for bg in bigrams:
+            counts[feat(bg)] += 1
+        dot = sum(c * weight(i) for i, c in enumerate(counts))
+        assert r.score_sum == direct == dot, r.doc_id
+        assert r.keep == (r.score_sum >= 0)
+        n_keep += r.keep
+    assert 0 < n_keep < 200  # mean-zero weights split the corpus

@@ -1409,3 +1409,15 @@ def test_repeated_spans_semi_join_no_pairs(spark):
     assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
     assert "partial_min" in plan and "partial_max" in plan, plan[:2000]
     assert "distinct" not in plan.lower().replace("adaptivesparkplan", ""), plan[:2000]
+
+
+def test_quality_classifier_is_jvm_map_only(spark):
+    """text_quality_classifier must score inside JVM higher-order
+    functions: no Python evaluation node (Arrow or row), no join, no
+    aggregate shuffle before the per-doc output."""
+    df = QUERIES["text_quality_classifier"](spark, SF_DIR)
+    plan = plan_of(df)
+    nodes = plan_nodes(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any("HashAggregate" in n for n in nodes), nodes
