@@ -454,16 +454,38 @@ INCR_SHARD_MOD = 10  # doc_id % 10 == 0 → the "new shard" (10% increment)
 _INDEX_ROOT = "/root/repo/tmp/minhash_index"
 
 
+def _index_cache_dir(sf_dir: str) -> str:
+    """Default index location for an sf_dir: basename PLUS a hash of
+    the absolute path — two distinct datasets whose directories share
+    a basename (two checkouts each with an sf0.1) must not share an
+    index and thrash rebuilds via the mtime fingerprint (ADVICE r6)."""
+    import hashlib
+    import os
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    return os.path.join(
+        _INDEX_ROOT,
+        f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}",
+    )
+
+
 def build_minhash_index(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
     """Build (or reuse, mtime-cached) the persisted MinHash index of
     the CORPUS split (everything outside the new shard): sigs.parquet
     (doc_id, 128-slot signature) and banded.parquet (doc_id, band,
     bucket via the shared _band_buckets — banding can't drift from the
     full pipeline). In production this is the standing index a
-    scheduled job maintains; here it stages under tmp/ per sf."""
-    import os
+    scheduled job maintains; here it stages under tmp/ per sf.
 
-    out_dir = out_dir or os.path.join(_INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    The build is ATOMIC (ADVICE r6): everything — including the
+    fingerprint marker — is written into a sibling staging dir which
+    is renamed into place, so a concurrent same-sf reader sees either
+    the complete old index, the complete new one, or no dir (rebuild);
+    never a half-rebuilt index."""
+    import os
+    import shutil
+
+    out_dir = out_dir or _index_cache_dir(sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
     marker = os.path.join(out_dir, "_built")
     # the marker records the signature-defining parameters, not just
@@ -476,6 +498,8 @@ def build_minhash_index(spark: SparkSession, sf_dir: str, out_dir: str | None = 
         with open(marker) as fh:
             if fh.read().strip() == fingerprint:
                 return out_dir
+    staging = out_dir + f".staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % INCR_SHARD_MOD != 0)
     par = spark.sparkContext.defaultParallelism
     sig = (
@@ -483,15 +507,152 @@ def build_minhash_index(spark: SparkSession, sf_dir: str, out_dir: str | None = 
         .repartition(par, "doc_id")
         .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
     )
-    sig.write.mode("overwrite").parquet(os.path.join(out_dir, "sigs.parquet"))
+    sig.write.mode("overwrite").parquet(os.path.join(staging, "sigs.parquet"))
     # derive band buckets from the WRITTEN signatures (one signature
     # computation total, and the banded relation provably agrees with
     # the stored sigs)
-    stored = spark.read.parquet(os.path.join(out_dir, "sigs.parquet"))
-    _band_buckets(stored).write.mode("overwrite").parquet(os.path.join(out_dir, "banded.parquet"))
-    with open(marker, "w") as fh:
+    stored = spark.read.parquet(os.path.join(staging, "sigs.parquet"))
+    _band_buckets(stored).write.mode("overwrite").parquet(os.path.join(staging, "banded.parquet"))
+    with open(os.path.join(staging, "_built"), "w") as fh:
         fh.write(fingerprint)
+    old = out_dir + f".old-{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
+    os.rename(staging, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return out_dir
+
+
+# -- streaming ingestion: append-only index deltas + manifest commits -------
+#
+# The stream twin of dedup_incremental mutates the index per micro-
+# batch, so in-place overwrite is off the table: each batch writes its
+# signatures/bands into an UNCOMMITTED delta dir, emits its pairs, and
+# only then commits by atomically replacing the `_deltas` manifest
+# (tmp-file + os.rename — the same pointer-swap discipline as the
+# upsert sink). Readers resolve base + COMMITTED deltas only, so a
+# crash between delta-write and manifest-swap leaves the index
+# logically unchanged and the checkpoint replay of that batch is
+# idempotent (same inputs ⇒ same pairs, delta dir overwritten, then
+# committed). This is the miniature of a table-format transaction log.
+
+
+def _read_index_manifest(index_dir: str) -> list[str]:
+    import os
+
+    manifest = os.path.join(index_dir, "_deltas")
+    if not os.path.exists(manifest):
+        return []
+    with open(manifest) as fh:
+        return [line.strip() for line in fh if line.strip()]
+
+
+def _commit_index_delta(index_dir: str, delta_name: str) -> None:
+    """Append delta_name to the manifest via write-tmp-then-rename —
+    the only mutation a reader can ever observe, and it is atomic."""
+    import os
+
+    names = _read_index_manifest(index_dir)
+    if delta_name not in names:
+        names.append(delta_name)
+    manifest = os.path.join(index_dir, "_deltas")
+    tmp = manifest + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(names) + "\n")
+    os.rename(tmp, manifest)
+
+
+def read_minhash_index(spark: SparkSession, index_dir: str):
+    """(sigs, banded) for the base index plus every COMMITTED delta.
+    Uncommitted delta dirs (crash window) are invisible by design."""
+    import os
+
+    parts = [""] + _read_index_manifest(index_dir)
+    sig_paths = [os.path.join(index_dir, p, "sigs.parquet") for p in parts]
+    band_paths = [os.path.join(index_dir, p, "banded.parquet") for p in parts]
+    return spark.read.parquet(*sig_paths), spark.read.parquet(*band_paths)
+
+
+def _shard_pairs(shard_sig, shard_banded, corpus_sigs, corpus_banded) -> DataFrame:
+    """Candidate generation + signature verification for a shard (or
+    micro-batch) against an existing index — the core of
+    dedup_incremental, shared verbatim by its streaming twin so the
+    two paths cannot drift. Shard-vs-corpus is deliberately UNSALTED
+    (recall-dominance contract, see dedup_incremental); the
+    shard-vs-shard self-join carries the subsalt guard."""
+    new_vs_corpus = (
+        shard_banded.select(F.col("doc_id").alias("id_n"), "band", "bucket")
+        .join(corpus_banded.select(F.col("doc_id").alias("id_c"), "band", "bucket"), ["band", "bucket"])
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+        )
+    )
+    guarded = subsalt_oversized_buckets(shard_banded, ["band", "bucket"])
+    new_vs_new = (
+        guarded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
+        .join(guarded.select(F.col("doc_id").alias("id_b"), "band", "bucket", "sub"), ["band", "bucket", "sub"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    candidates = new_vs_corpus.unionByName(new_vs_new).distinct()
+
+    sigs = corpus_sigs.unionByName(shard_sig)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ).cast("double") / F.lit(float(N_PERM))
+    pairs = sa.join(candidates, "id_a")
+    return (
+        sb.join(pairs, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= EST_TAU)
+    )
+
+
+def incremental_dedup_foreach_batch(index_dir: str, pairs_dir: str):
+    """foreachBatch body for streaming ingestion dedup: band the
+    micro-batch, join it against the committed index (corpus + every
+    earlier batch), write this batch's pairs to an idempotent per-
+    batch dir, then commit the batch's signatures into the index via
+    the atomic manifest swap. Emit-then-commit ordering makes a crash
+    anywhere replay-safe: an uncommitted delta is invisible, so the
+    replayed batch recomputes identical pairs (overwrite) and commits
+    exactly once."""
+    import os
+    import shutil
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        delta_name = f"delta-{batch_id:05d}"
+        if delta_name in _read_index_manifest(index_dir):
+            # replay of an already-committed batch (crash after manifest
+            # swap, before the checkpoint write): pairs were written
+            # BEFORE the commit, so the batch is fully applied —
+            # recomputing now would join the batch against its own
+            # committed signatures (self-pairs, doubled rows). Skip.
+            return
+        staging = os.path.join(index_dir, f"_staging-{delta_name}")
+        shutil.rmtree(staging, ignore_errors=True)
+        batch_df.select("doc_id", minhash_from_text(F.col("text")).alias("sig")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, "sigs.parquet"))
+        shard_sig = spark.read.parquet(os.path.join(staging, "sigs.parquet"))
+        shard_banded = _band_buckets(shard_sig)
+        shard_banded.write.mode("overwrite").parquet(os.path.join(staging, "banded.parquet"))
+        corpus_sigs, corpus_banded = read_minhash_index(spark, index_dir)
+        pairs = _shard_pairs(shard_sig, shard_banded, corpus_sigs, corpus_banded)
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"batch-{batch_id:05d}"))
+        final = os.path.join(index_dir, delta_name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(staging, final)
+        _commit_index_delta(index_dir, delta_name)
+
+    return fn
 
 
 @register("dedup_incremental")  # rows-only: permutation hashing isn't SQL-expressible
@@ -533,36 +694,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     shard_banded = _band_buckets(shard_sig)
-
-    new_vs_corpus = (
-        shard_banded.select(F.col("doc_id").alias("id_n"), "band", "bucket")
-        .join(corpus_banded.select(F.col("doc_id").alias("id_c"), "band", "bucket"), ["band", "bucket"])
-        .select(
-            F.least("id_n", "id_c").alias("id_a"),
-            F.greatest("id_n", "id_c").alias("id_b"),
-        )
-    )
-    guarded = subsalt_oversized_buckets(shard_banded, ["band", "bucket"])
-    new_vs_new = (
-        guarded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
-        .join(guarded.select(F.col("doc_id").alias("id_b"), "band", "bucket", "sub"), ["band", "bucket", "sub"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    candidates = new_vs_corpus.unionByName(new_vs_new).distinct()
-
-    sigs = corpus_sigs.unionByName(shard_sig)
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    ).cast("double") / F.lit(float(N_PERM))
-    pairs = sa.join(candidates, "id_a")
-    return (
-        sb.join(pairs, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= EST_TAU)
-        .orderBy("id_a", "id_b")
+    return _shard_pairs(shard_sig, shard_banded, corpus_sigs, corpus_banded).orderBy(
+        "id_a", "id_b"
     )
 
 

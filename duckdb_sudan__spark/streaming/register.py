@@ -4,6 +4,7 @@ driver runs them as batch-completing streams (availableNow trigger)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.streaming.events import run_stream_to_memory
@@ -134,3 +135,47 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit-on-close): a drained stream equals the batch builder's CLOSED
     versions exactly — asserted in tests/test_sources_streaming.py."""
     return run_stream_to_memory(spark, sf_dir, "scd2")
+
+
+@register("stream_dedup_incremental")  # rows-only: ≡ batch dedup_incremental (tested)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental's production deployment shape: the new shard
+    arrives as a FILE STREAM (maxFilesPerTrigger=1 → one micro-batch
+    per shard file); each batch is banded, joined against the
+    persisted index (corpus + every earlier batch, committed-deltas
+    manifest), its pairs land in an idempotent per-batch dir, and its
+    signatures commit into the index via the atomic manifest swap.
+    Drained output equals the one-shot batch dedup_incremental exactly
+    (asserted in tests/test_sources_streaming.py), and a crash between
+    delta write and manifest commit is replay-safe (crash-window
+    test)."""
+    import os
+    import tempfile
+
+    from duckdb_sudan__spark.operators import dedup
+    from duckdb_sudan__spark.session import load_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        index_dir = dedup.build_minhash_index(spark, sf_dir, out_dir=os.path.join(tmp, "index"))
+        shard = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % dedup.INCR_SHARD_MOD == 0
+        )
+        src = os.path.join(tmp, "shard_docs")
+        shard.repartition(4).write.parquet(src)
+        pairs_dir = os.path.join(tmp, "pairs")
+        q = (
+            spark.readStream.schema(shard.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                dedup.incremental_dedup_foreach_batch(index_dir, pairs_dir)
+            )
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        drained = spark.read.parquet(os.path.join(pairs_dir, "batch-*"))
+        out = spark.createDataFrame(drained.collect(), drained.schema)
+    return out.orderBy("id_a", "id_b")

@@ -697,3 +697,81 @@ def test_stream_hll_rollup_matches_batch_exactly(spark):
     }
     for k, (approx, _) in stream_rows.items():
         assert abs(approx - exact[k]) <= max(1, 0.05 * exact[k]), (k, approx, exact[k])
+
+
+def test_stream_dedup_incremental_matches_batch(spark):
+    """The drained ingestion-dedup stream must emit EXACTLY the batch
+    dedup_incremental pairs: per-batch index commits make batch N see
+    corpus + batches 1..N-1, so the union of per-batch pair sets is
+    the full shard-touching pair set (on the real corpus the subsalt
+    guard is inactive on both paths — the equality regime)."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    got = sorted(map(tuple, QUERIES["stream_dedup_incremental"](spark, SF_DIR).collect()))
+    want = sorted(map(tuple, QUERIES["dedup_incremental"](spark, SF_DIR).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_incremental_index_commit_is_atomic_and_replay_safe(spark, tmp_path):
+    """The crash-window contract of the streaming index update:
+    an UNCOMMITTED delta dir (crash between delta write and manifest
+    swap) is invisible to readers; replaying the same batch_id
+    clobbers the orphan, emits identical pairs, and commits exactly
+    once; a duplicate replay after commit is idempotent."""
+    import os
+
+    from duckdb_sudan__spark.operators import dedup
+
+    # corpus: 9 unique docs + shard: two docs duplicating corpus docs
+    base = [
+        (i, f"corpus document number {i} " + " ".join(f"w{i}-{j}" for j in range(30)),
+         "en", "syn", 200)
+        for i in range(1, 10)  # doc_id % 10 != 0 → corpus split
+    ]
+    dup_of_1 = (10, base[0][1], "en", "syn", 200)
+    dup_of_2 = (20, base[1][1], "en", "syn", 200)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(base + [dup_of_1, dup_of_2], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    index_dir = dedup.build_minhash_index(spark, str(tmp_path), out_dir=f"{tmp_path}/index")
+    pairs_dir = f"{tmp_path}/pairs"
+    fn = dedup.incremental_dedup_foreach_batch(index_dir, pairs_dir)
+
+    def n_indexed():
+        sigs, _ = dedup.read_minhash_index(spark, index_dir)
+        return sigs.count()
+
+    assert n_indexed() == 9
+
+    batch0 = spark.createDataFrame([dup_of_1], schema)
+    fn(batch0, 0)
+    assert dedup._read_index_manifest(index_dir) == ["delta-00000"]
+    assert n_indexed() == 10
+    p0 = sorted(map(tuple, spark.read.parquet(f"{pairs_dir}/batch-00000").collect()))
+    assert [(a, b) for a, b, _ in p0] == [(1, 10)]
+
+    # simulated crash: batch 1's delta dir exists but was never committed
+    orphan = os.path.join(index_dir, "delta-00001")
+    os.makedirs(os.path.join(orphan, "sigs.parquet"))
+    with open(os.path.join(orphan, "sigs.parquet", "junk"), "w") as f:
+        f.write("crashed mid-write")
+    assert n_indexed() == 10  # invisible: manifest still lists one delta
+
+    # checkpoint replay of batch 1: orphan clobbered, pairs emitted, committed
+    batch1 = spark.createDataFrame([dup_of_2], schema)
+    fn(batch1, 1)
+    assert dedup._read_index_manifest(index_dir) == ["delta-00000", "delta-00001"]
+    assert n_indexed() == 11
+    p1 = sorted(map(tuple, spark.read.parquet(f"{pairs_dir}/batch-00001").collect()))
+    assert [(a, b) for a, b, _ in p1] == [(2, 20)]
+
+    # duplicate replay after commit: idempotent, no manifest dup, same pairs
+    fn(batch1, 1)
+    assert dedup._read_index_manifest(index_dir) == ["delta-00000", "delta-00001"]
+    assert n_indexed() == 11
+    assert sorted(map(tuple, spark.read.parquet(f"{pairs_dir}/batch-00001").collect())) == p1
