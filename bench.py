@@ -199,6 +199,39 @@ def spread(samples: list[float]) -> list[float]:
     return [round(min(samples), 3), round(median3(samples), 3), round(max(samples), 3)]
 
 
+# Load-honesty guard (r6 verdict item 6): a >2x min/max spread means
+# the machine was contended during sampling — the median then reports
+# scheduler luck, not query cost (BENCH_r06 shipped 17.87 s that a
+# quiet re-run measured at 13.58 s). A flagged query is RE-SAMPLED up
+# to MAX_RUNS total; if the spread never tightens the flag ships in
+# the JSON so the number is self-disqualifying, and `value_min` (the
+# min-sum, the contention-free lower bound) rides alongside the
+# median total either way.
+SPREAD_FLAG_RATIO = 2.0
+MAX_RUNS = 7
+
+
+def sample_query(spark, key: str, sf_dir: str) -> list[float]:
+    """N_RUNS timed runs, extended while the min/max spread exceeds
+    SPREAD_FLAG_RATIO (up to MAX_RUNS) — extra samples let the median
+    settle after a transient load spike; persistent load keeps the
+    spread wide and the query gets flagged."""
+    samples: list[float] = []
+    while len(samples) < N_RUNS or (
+        max(samples) / max(min(samples), 1e-9) > SPREAD_FLAG_RATIO
+        and len(samples) < MAX_RUNS
+    ):
+        # operators that persist an intermediate (ngram pair relation,
+        # gapfill aggregate) would otherwise serve runs 2..N from
+        # cache — every timed sample must pay the full compute, so
+        # timings measure the plan, not the cache
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(QUERIES[key](spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -223,25 +256,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    mins: dict[str, float] = {}
+    flagged: list[str] = []
     for key in HEADLINE:
-        samples = []
-        for _ in range(N_RUNS):
-            # operators that persist an intermediate (ngram pair
-            # relation, gapfill aggregate) would otherwise serve runs
-            # 2..N from cache — every timed sample must pay the full
-            # compute, so timings measure the plan, not the cache
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            force(QUERIES[key](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+        samples = sample_query(spark, key, sf_dir)
         timings[key] = round(median3(samples), 3)
         spreads[key] = spread(samples)
+        mins[key] = min(samples)
+        if max(samples) / max(min(samples), 1e-9) > SPREAD_FLAG_RATIO:
+            flagged.append(key)
 
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "value_min": round(sum(mins.values()), 3),
+        "load_flagged": flagged,
         "queries": timings,
         "spread_min_med_max": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -256,18 +287,20 @@ def main() -> None:
                 force(QUERIES[key](spark, sf1_dir))
             sf1_timings: dict[str, float] = {}
             sf1_spreads: dict[str, list[float]] = {}
+            sf1_mins: dict[str, float] = {}
+            sf1_flagged: list[str] = []
             for key in SF1_QUERIES:
-                samples = []
-                for _ in range(N_RUNS):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    force(QUERIES[key](spark, sf1_dir))
-                    samples.append(time.perf_counter() - t0)
+                samples = sample_query(spark, key, sf1_dir)
                 sf1_timings[key] = round(median3(samples), 3)
                 sf1_spreads[key] = spread(samples)
+                sf1_mins[key] = min(samples)
+                if max(samples) / max(min(samples), 1e-9) > SPREAD_FLAG_RATIO:
+                    sf1_flagged.append(key)
             result["sf1"] = sf1_timings
             result["sf1_spread_min_med_max"] = sf1_spreads
             result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+            result["sf1_total_min"] = round(sum(sf1_mins.values()), 3)
+            result["sf1_load_flagged"] = sf1_flagged
 
     print(json.dumps(result))
     spark.stop()
