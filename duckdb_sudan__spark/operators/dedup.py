@@ -292,7 +292,29 @@ def minhash_from_text(texts: pd.Series) -> pd.Series:
 BUCKET_CAP = 128
 
 
-def subsalt_oversized_buckets(banded: DataFrame, bucket_keys: list[str], cap: int | None = None) -> DataFrame:
+def oversized_buckets(banded: DataFrame, bucket_keys: list[str], cap: int | None = None) -> DataFrame:
+    """The hot-bucket relation: (bucket_keys, n_sub) for every group
+    above the cap — ONE partial aggregate, zero rows on a healthy
+    corpus. Exposed separately (r6 verdict item 7) so a job running
+    several guarded joins over the SAME banded relation can compute
+    this once and pass it through subsalt_oversized_buckets's
+    `oversized` parameter instead of paying the aggregate per tier."""
+    if cap is None:
+        cap = BUCKET_CAP
+    return (
+        banded.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > cap)
+        .select(*bucket_keys, F.ceil(F.col("bucket_n") / cap).cast("int").alias("n_sub"))
+    )
+
+
+def subsalt_oversized_buckets(
+    banded: DataFrame,
+    bucket_keys: list[str],
+    cap: int | None = None,
+    oversized: DataFrame | None = None,
+) -> DataFrame:
     """Append a `sub` column splitting each oversized (bucket_keys)
     group into ceil(m/cap) hash-mod sub-groups; `sub` is 0 everywhere
     for buckets under the cap, so the normal-corpus path is
@@ -306,15 +328,18 @@ def subsalt_oversized_buckets(banded: DataFrame, bucket_keys: list[str], cap: in
     bound expected rather than hard (multinomial spread), which is the
     right trade for a skew guard; the band term in the hash gives each
     band an independent partition of the hot bucket (the connectivity
-    argument above)."""
+    argument above).
+
+    Within one action the aggregate is NOT a signature recompute: the
+    upstream sig relation is cached, so both the aggregate branch and
+    the join-back read InMemoryTableScan (verified: the compiled
+    minhash plan carries 6 cache scans, one Arrow evaluation). Pass a
+    precomputed `oversized` relation (from oversized_buckets) to share
+    the aggregate across multiple guarded joins in one job."""
     if cap is None:
         cap = BUCKET_CAP
-    oversized = (
-        banded.groupBy(*bucket_keys)
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(F.col("bucket_n") > cap)
-        .select(*bucket_keys, F.ceil(F.col("bucket_n") / cap).cast("int").alias("n_sub"))
-    )
+    if oversized is None:
+        oversized = oversized_buckets(banded, bucket_keys, cap)
     # broadcast is FORCED (not AQE-decided): AQE's SMJ initial plan
     # would shuffle the full banded relation before demoting, while the
     # oversized relation is hot-buckets-only — empty on a healthy
@@ -394,12 +419,41 @@ def minhash_candidate_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]
     return {
         "docs": sig.count(),
         "candidate_pairs": candidates.count(),
-        "emitted_pairs": dedup_minhash_lsh(spark, sf_dir).count(),
+        # reuse THIS run's (sig, candidates) instead of re-invoking
+        # dedup_minhash_lsh — the probe pays the banding pipeline and
+        # its hot-bucket aggregate once, not twice (r6 verdict item 7)
+        "emitted_pairs": _verify_pairs(sig, candidates).count(),
         "capped_buckets": (
             banded.groupBy("band", "bucket")
             .count().where(F.col("count") > BUCKET_CAP).count()
         ),
     }
+
+
+def _verify_pairs(sig: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Signature-agreement verification of a candidate pair relation:
+    two equi-joins against the cached sig relation + the 128-slot
+    agreement fold, thresholded at EST_TAU. Shared by dedup_minhash_lsh
+    and minhash_candidate_counts so the probe counts the exact
+    production relation."""
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # the 128-slot agreement fold stays an (interpreted) JVM HOF ON
+    # PURPOSE: an Arrow pandas_udf alternative was A/B-measured at
+    # 1.4-3.0 s vs 0.96 s for this leg at sf0.1 — shipping 2×128
+    # bigints per pair through Arrow costs more than interpreting a
+    # 128-element integer fold, because unlike the per-dimension
+    # cosine case the fold here is short, integer-only, and the pair
+    # count (not the element count) is the scale axis.
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ).cast("double") / F.lit(float(N_PERM))
+    pairs = sa.join(candidates, "id_a")
+    return (
+        sb.join(pairs, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= EST_TAU)
+    )
 
 
 @register("dedup_minhash_lsh")  # rows-only: permutation hashing isn't SQL-expressible
@@ -418,25 +472,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast here is a driver/executor OOM at 100 TB. AQE demotes to
     # broadcast at runtime when the pair set actually is small (r2
     # VERDICT "what's wrong" #2).
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    # the 128-slot agreement fold stays an (interpreted) JVM HOF ON
-    # PURPOSE: an Arrow pandas_udf alternative was A/B-measured at
-    # 1.4-3.0 s vs 0.96 s for this leg at sf0.1 — shipping 2×128
-    # bigints per pair through Arrow costs more than interpreting a
-    # 128-element integer fold, because unlike the per-dimension
-    # cosine case the fold here is short, integer-only, and the pair
-    # count (not the element count) is the scale axis.
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    ).cast("double") / F.lit(float(N_PERM))
-    pairs = sa.join(candidates, "id_a")
-    return (
-        sb.join(pairs, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= EST_TAU)
-        .orderBy("id_a", "id_b")
-    )
+    return _verify_pairs(sig, candidates).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
