@@ -147,17 +147,76 @@ def _multipolygon(rings: list[list[list[float]]]) -> str:
     return '{"type":"MultiPolygon","coordinates":[' + body + "]}"
 
 
+def _multipolygon_parts(parts: list[list[list[list[float]]]]) -> str:
+    """MultiPolygon where each part is [outer_ring, hole_ring, ...] —
+    the full GeoJSON nesting (the single-ring _multipolygon above emits
+    one-ring parts only). Ring winding is irrelevant to the even-odd
+    consumer in geo/spatial.py."""
+
+    def fmt_ring(r: list[list[float]]) -> str:
+        return "[" + ",".join(f"[{p[0]},{p[1]}]" for p in r) + "]"
+
+    body = ",".join(
+        "[" + ",".join(fmt_ring(r) for r in part) + "]" for part in parts
+    )
+    return '{"type":"MultiPolygon","coordinates":[' + body + "]}"
+
+
 def _closed_rounded(ring: list[tuple[float, float]]) -> list[list[float]]:
     pts = [[round(x, 6), round(y, 6)] for x, y in ring]
     pts.append(pts[0])
     return pts
 
 
+# Test-only flag (r6 verdict item 8): when True, state MULTIPART_IDX is
+# served as a REAL multi-part geometry — its Voronoi cell with a square
+# hole carved out, plus a detached offshore island — so the
+# MultiPolygon+holes ray-cast path (spatial.py _geometry_edges) is
+# exercised through the SERVED geojson, not just unit fixtures. Off by
+# default: the driver-checked entries and the partition contracts run
+# on the gap/overlap-free Voronoi set.
+MULTIPART_TEST_STATE: bool = False
+MULTIPART_IDX = 0
+_HOLE_HALF = 0.04  # half-side of the carved hole square, degrees
+_ISLAND_HALF = 0.06  # half-side of the offshore island square
+
+
+def multipart_hole_center() -> tuple[float, float]:
+    """A point inside state MULTIPART_IDX's cell, well away from its
+    centroid (60% of the way toward the cell's first vertex — interior
+    by convexity), so carving the hole never evicts the centroid."""
+    cell = _voronoi_cells()[MULTIPART_IDX]
+    _, _, _, clon, clat = SUDAN_STATES[MULTIPART_IDX]
+    vx, vy = cell[0]
+    return (round(clon + 0.6 * (vx - clon), 6), round(clat + 0.6 * (vy - clat), 6))
+
+
+def multipart_island_center() -> tuple[float, float]:
+    """Offshore of the synthetic country envelope — overlaps no state."""
+    return (round(COUNTRY_CENTER[0] + COUNTRY_RX * 1.3, 6), round(COUNTRY_CENTER[1], 6))
+
+
+def _square_ring(cx: float, cy: float, half: float) -> list[tuple[float, float]]:
+    return [(cx - half, cy - half), (cx + half, cy - half), (cx + half, cy + half), (cx - half, cy + half)]
+
+
 def state_boundary_geojson(idx: int) -> str:
     """PLACEHOLDER geometry (offline mode): the state's Voronoi cell —
     synthetic but partition-correct (no overlaps, no gaps; contains the
-    true centroid). Live mode replaces this with real GADM shapes."""
-    return _multipolygon([_closed_rounded(_voronoi_cells()[idx])])
+    true centroid). Live mode replaces this with real GADM shapes.
+    Under MULTIPART_TEST_STATE, state MULTIPART_IDX additionally
+    carries a hole and an island part (see the flag comment above)."""
+    cell = _closed_rounded(_voronoi_cells()[idx])
+    if MULTIPART_TEST_STATE and idx == MULTIPART_IDX:
+        hx, hy = multipart_hole_center()
+        ix, iy = multipart_island_center()
+        return _multipolygon_parts(
+            [
+                [cell, _closed_rounded(_square_ring(hx, hy, _HOLE_HALF))],
+                [_closed_rounded(_square_ring(ix, iy, _ISLAND_HALF))],
+            ]
+        )
+    return _multipolygon([cell])
 
 
 def country_boundary_geojson() -> str:

@@ -249,9 +249,10 @@ def vocab_coverage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so persisting it to "save" the second scan would trade a cheap
     columnar re-read for caching the most expensive intermediate;
     re-tokenization is map-side and pipeline-fused. The K-row vocab
-    BROADCASTS back (a 50k-entry vocab is still KBs — the join never
-    shuffles the token stream); coverage is one int/int double
-    division. Scan count = 2 pinned by a plan test."""
+    BROADCASTS back (VOCAB_K rows here; the boundedness argument holds
+    unchanged at a production-scale ~50k-entry vocab, still KBs — the
+    join never shuffles the token stream); coverage is one int/int
+    double division. Scan count = 2 pinned by a plan test."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     w_top = Window.orderBy(F.desc("c"), "w")

@@ -358,6 +358,22 @@ def attribution_outer_join_stream(events: DataFrame, watermark: str = "1 hour") 
             (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
             F.col("click_id").isNotNull().alias("matched"),
         )
+        # sentinel rows (user -1, _write_attribution_sentinels) exist to
+        # push the final watermark; excluding them HERE makes their
+        # absence a construction guarantee rather than a watermark/
+        # trailing-batch timing fact (ADVICE r6: the view sentinel sits
+        # below the final watermark, so its non-emission relied on
+        # availableNow not running a no-data eviction batch — true in
+        # this Spark build, version-fragile). The predicate is
+        # deliberately `matched OR user_id >= 0` — referencing BOTH
+        # join sides — because a bare `user_id >= 0` is pushed below
+        # the join into the view input, which removes the sentinel
+        # VIEW from the stream and stalls the watermark it exists to
+        # advance (measured: the last batch's unmatched views then
+        # stay in state forever). Real rows always have user_id >= 0,
+        # and a sentinel can never match, so the semantics are exactly
+        # "drop sentinel rows".
+        .where(F.col("matched") | (F.col("user_id") >= 0))
     )
 
 
@@ -368,9 +384,11 @@ def _write_attribution_sentinels(spark: SparkSession, src_dir: str) -> None:
     horizon — without it, append-mode outer-join nulls for the final
     batch would stay in state when the file stream ends (watermarks
     only advance on data). The sentinels themselves can never match
-    real rows (nonexistent user, out-of-window timestamps) and sit
-    ABOVE the final watermark, so they are never emitted; tests assert
-    their absence."""
+    real rows (nonexistent user, out-of-window timestamps), and the
+    outer-join output filters user_id >= 0 so their absence from the
+    result is guaranteed by construction (not by watermark/batch
+    timing — the view sentinel at max+100h is BELOW the final ~max+199h
+    watermark); tests assert the absence."""
     files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     orig = spark.read.parquet(files[0])

@@ -351,3 +351,51 @@ def test_nearest_state_fallback_invariants(spark):
             assert r.nearest_iso is not None and r.nearest_deg > 0
     assert rows["outside:red_sea"].nearest_iso == "SD-RS"      # Red Sea state
     assert rows["outside:egypt_border"].nearest_iso == "SD-NO"  # Northern
+
+
+def test_multipart_state_served_geojson_exercises_holes_and_islands(spark, monkeypatch):
+    """r6 verdict item 8: under the test-only MULTIPART_TEST_STATE
+    flag, state 0 is SERVED as a true multi-part geometry (Voronoi
+    cell minus a square hole, plus a detached offshore island) and the
+    point-in-state assignment — driven through the same served-geojson
+    path the entries use — must honor both: hole interior → NULL
+    (even-odd: outer + hole = 2 crossings), island interior → the
+    state, centroid and near-hole points unaffected."""
+    import json
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.geo import spatial
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    monkeypatch.setattr(geo_states, "MULTIPART_TEST_STATE", True)
+    iso0 = geo_states.SUDAN_STATES[geo_states.MULTIPART_IDX][0]
+    doc = json.loads(geo_states.state_boundary_geojson(geo_states.MULTIPART_IDX))
+    assert doc["type"] == "MultiPolygon"
+    assert len(doc["coordinates"]) == 2  # main part + island
+    assert len(doc["coordinates"][0]) == 2  # outer ring + hole ring
+
+    hx, hy = geo_states.multipart_hole_center()
+    ix, iy = geo_states.multipart_island_center()
+    clon, clat = geo_states.SUDAN_STATES[geo_states.MULTIPART_IDX][3:5]
+    probes = [
+        ("hole_interior", hx, hy),
+        ("just_outside_hole", hx + geo_states._HOLE_HALF * 3, hy),
+        ("island_interior", ix, iy),
+        ("centroid", clon, clat),
+        ("far_outside", -30.0, 0.0),
+    ]
+    df = spark.createDataFrame(probes, "probe string, lon double, lat double")
+    got = {r.probe: r.iso_code for r in spatial.assign_points_to_states(df).collect()}
+    assert got["hole_interior"] is None
+    assert got["island_interior"] == iso0
+    assert got["centroid"] == iso0
+    assert got["just_outside_hole"] == iso0
+    assert got["far_outside"] is None
+
+    # the entry relation itself runs on the multipart geometry: every
+    # centroid probe still resolves to its own state
+    rows = QUERIES["sudan_point_in_state"](spark, "/root/testdata/sf0.001").collect()
+    by_probe = {r.probe: r.iso_code for r in rows}
+    for iso, *_ in geo_states.SUDAN_STATES:
+        assert by_probe[f"centroid:{iso}"] == iso

@@ -299,11 +299,13 @@ def test_merge_sink_end_to_end(spark):
 def test_stream_attribution_matches_batch_interval_join(spark):
     """The stream-stream interval self-join, drained over the static
     file, must produce exactly the batch interval join's pair set."""
+    from duckdb_sudan__spark import operators
     from duckdb_sudan__spark.operators import QUERIES
     from duckdb_sudan__spark.session import load_table
     from duckdb_sudan__spark.streaming.events import ATTRIBUTION_LAG_MIN
     from pyspark.sql import functions as F
 
+    operators.load_all()
     srows = {tuple(r) for r in QUERIES["stream_attribution"](spark, SF_DIR).collect()}
 
     e = load_table(spark, SF_DIR, "events")
