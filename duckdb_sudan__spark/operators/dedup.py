@@ -1184,7 +1184,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_GRAM_K = 8  # token K-gram granularity; spans shorter than K are invisible
 MIN_SPAN = 50  # emit spans of >= 50 verbatim-duplicated tokens (Lee et al.'s cut)
 
-REPEATED_SPANS_ORACLE = f"""
+_REPEATED_SPANS_BODY = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tokens
@@ -1211,8 +1211,9 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(count(*) + {SPAN_GRAM_K} - 1 AS BIGINT) AS span_len
 FROM islands GROUP BY doc_id, isl
 HAVING count(*) + {SPAN_GRAM_K} - 1 >= {MIN_SPAN}
-ORDER BY doc_id, span_start
 """
+
+REPEATED_SPANS_ORACLE = _REPEATED_SPANS_BODY + "\nORDER BY doc_id, span_start"
 
 
 @register("dedup_repeated_spans", REPEATED_SPANS_ORACLE)
@@ -1258,4 +1259,116 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("span_len") >= MIN_SPAN)
         .select("doc_id", "span_start", "span_len")
         .orderBy("doc_id", "span_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_cut_rate — per-document duplicated-token accounting
+# ---------------------------------------------------------------------------
+
+CUT_RATE_ORACLE = f"""
+WITH spans AS ({_REPEATED_SPANS_BODY}),
+doc_tokens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT d.doc_id, d.n_tokens,
+       CAST(coalesce(sum(s.span_len), 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(coalesce(sum(s.span_len), 0) AS DOUBLE) / greatest(d.n_tokens, 1), 6)
+         AS dup_rate
+FROM doc_tokens d LEFT JOIN spans s USING (doc_id)
+GROUP BY d.doc_id, d.n_tokens
+ORDER BY d.doc_id
+"""
+
+
+@register("span_dedup_cut_rate", CUT_RATE_ORACLE)
+def span_dedup_cut_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What span dedup would CUT, per document: (doc_id, n_tokens,
+    dup_tokens, dup_rate) with dup_tokens = total tokens inside
+    dedup_repeated_spans' emitted spans (maximal runs are disjoint by
+    construction, so the sum never double-counts). The budgeting
+    relation that decides whether to cut spans or drop whole docs
+    (a doc that is 90% repeated spans is a drop, not a trim).
+    dup_rate's cross-engine ROUND is tie-free here: a .XXXXXX5 tie
+    needs a reduced denominator ≥ 2^7 and n_tokens ≤ 99 in this
+    corpus (integer columns carry the exact values regardless).
+    Plan: the spans pipeline + one left join on doc_id + one
+    partial agg — nothing new shuffles beyond the spans relation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    doc_tokens = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    spans = dedup_repeated_spans(spark, sf_dir).select("doc_id", "span_len")
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens"))
+    return (
+        doc_tokens.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_size_histogram — cluster-size distribution governance
+# ---------------------------------------------------------------------------
+
+CLUSTER_HIST_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_EDGES_SQL}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@register("dedup_cluster_size_histogram", CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the governance readout a
+    dedup owner checks every run: a fattening tail (bigger clusters)
+    means boilerplate is flooding in; n_docs per size row is the
+    deletion volume at stake (size-2 clusters cost one doc each,
+    size-100 clusters cost 99). Only docs participating in ≥1 pair
+    appear (singletons aren't clusters). Plan: the audited CC
+    relation → two tiny partial-agg shuffles (component sizes, then
+    the histogram) — both bounded by the cluster count, not the
+    corpus."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )

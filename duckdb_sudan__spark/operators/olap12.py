@@ -853,3 +853,67 @@ def ev_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_yoy_growth — same-month-last-year revenue comparison
+# ---------------------------------------------------------------------------
+
+YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mon,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY yr, mon
+)
+SELECT c.yr, c.mon, c.revenue,
+       p.revenue AS prev_year_revenue,
+       ROUND((c.revenue - p.revenue) / p.revenue, 6) AS yoy_pct
+FROM monthly c LEFT JOIN monthly p ON p.yr = c.yr - 1 AND p.mon = c.mon
+ORDER BY c.yr, c.mon
+"""
+
+
+@register("ts_yoy_growth", YOY_ORACLE)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with same-month-last-year comparison — the
+    period-over-period readout every BI layer renders. Alignment is a
+    SELF-JOIN on (yr-1, mon), not lag(12) over a month sort: a join
+    stays correct when months are missing (lag counts rows, not
+    calendar), which is the failure mode that silently corrupts YoY
+    dashboards on sparse data. Revenue accumulates as DECIMAL(27,6)
+    (order-independent — double summation would be partition-order
+    dependent) and presents as DOUBLE. Plan: ONE partial-agg shuffle
+    on (yr, mon); the self-join input is the month aggregate (~tens of
+    rows at any corpus size — months, not data, bound it), broadcast
+    by AQE. First-year months carry NULL prev/yoy by left join."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+            F.col("o_totalprice").cast("decimal(27,6)").alias("p"),
+        )
+        .groupBy("yr", "mon")
+        .agg(F.sum("p").cast("double").alias("revenue"))
+    )
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mon"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        monthly.join(prev, ["yr", "mon"], "left")
+        .select(
+            "yr",
+            "mon",
+            "revenue",
+            "prev_year_revenue",
+            F.round(
+                (F.col("revenue") - F.col("prev_year_revenue"))
+                / F.col("prev_year_revenue"),
+                6,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("yr", "mon")
+    )
