@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.session import load_table
@@ -323,4 +324,100 @@ def quality_keep_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_quality_weighted — keep the best-scoring half per source
+# ---------------------------------------------------------------------------
+
+QW_KEEP_FRACTION = 0.5
+
+QUALITY_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, coalesce({_QC_SQL_SCORE}, 0) AS score_sum
+  FROM (SELECT doc_id, source, {_QC_SQL_TOKENS} AS toks FROM documents)
+),
+ranked AS (
+  SELECT doc_id, source, CAST(score_sum AS BIGINT) AS score_sum,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_sum DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT doc_id, source, score_sum,
+       CAST(rnk AS BIGINT) AS quality_rank,
+       rnk <= CAST(ceil(n_src * {QW_KEEP_FRACTION}) AS BIGINT) AS selected
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register("sample_quality_weighted", QUALITY_SAMPLE_ORACLE)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection: keep the top QW_KEEP_FRACTION of each
+    source by classifier score (ties broken on doc_id — fully
+    deterministic, re-runnable). This is the budgeted version of the
+    classifier gate: instead of a global threshold (which can empty a
+    weak source entirely), every source contributes its best half —
+    the per-source fairness rule real training mixes use. Plan: the
+    map-side score, ONE shuffle on source for the rank window
+    (per-source partitions), no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    scored = d.select("doc_id", "source", toks.alias("toks")).select(
+        "doc_id", "source", _qc_score_sum_expr().alias("score_sum")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_sum"), "doc_id")
+    wn = Window.partitionBy("source")
+    return (
+        scored.withColumn("quality_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_src", F.count(F.lit(1)).over(wn))
+        .select(
+            "doc_id",
+            "source",
+            "score_sum",
+            "quality_rank",
+            (
+                F.col("quality_rank")
+                <= F.ceil(F.col("n_src") * QW_KEEP_FRACTION).cast("bigint")
+            ).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset_token_budget_bpe — per-source budget under the REAL tokenizer
+# ---------------------------------------------------------------------------
+
+
+@register("dataset_token_budget_bpe")  # rows-only: learned vocab isn't SQL
+def dataset_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 verdict's re-base: dataset_token_budget accounts in
+    whitespace tokens; THIS relation accounts in learned-BPE tokens —
+    the unit training budgets are actually written in. Per source:
+    docs, ws tokens, bpe tokens, and the bpe/ws inflation ratio a
+    budget owner uses to convert legacy whitespace budgets. Plan: the
+    bpe_encode map stage + ONE partial-agg shuffle on source; the
+    ratio is one exactly-rounded double division (ties excluded for
+    the same bounded-denominator reason as span_dedup_cut_rate —
+    and both integer columns carry the exact values regardless)."""
+    enc = bpe_encode(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        enc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("ws_tokens"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6).alias("bpe_per_ws"),
+        )
+        .orderBy("source")
     )

@@ -426,3 +426,104 @@ ORDER BY c.c_mktsegment
 
 
 _register_layout_entries()
+
+
+# ---------------------------------------------------------------------------
+# files_schema_evolution — mergeSchema read over two file generations
+#
+# THE long-lived-dataset reality at 100 TB: columns get added over
+# time, and yesterday's files don't get rewritten. Generation 1 files
+# carry (doc_id, lang); generation 2 adds n_chars. Spark reads the mix
+# with mergeSchema=true (gen-1 rows NULL-fill the new column), DuckDB
+# reads the SAME files with union_by_name — both engines must agree on
+# the merged relation exactly. Same per-sf path + corpus_n
+# discriminator + atomic staging contract as the roundtrip entries.
+# ---------------------------------------------------------------------------
+
+SCHEMA_EVO_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM read_parquet(['{_RT_ROOT}/*/schema_evo/gen1/*.parquet',
+                   '{_RT_ROOT}/*/schema_evo/gen2/*.parquet'],
+                  union_by_name = true)
+WHERE corpus_n = (SELECT COUNT(*) FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _schema_evo_write(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the two-generation layout: gen1 = even doc_ids WITHOUT
+    n_chars (the historical schema), gen2 = odd doc_ids WITH n_chars.
+    Atomic staging + fingerprint marker, mirroring _roundtrip_write."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    final = os.path.join(_RT_ROOT, sf_base, "schema_evo")
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
+    marker = os.path.join(final, "_rt_ok")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+    d = d.crossJoin(F.broadcast(n))
+    staging = f"{final}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    d.where(F.col("doc_id") % 2 == 0).drop("n_chars").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staging, "gen1"))
+    d.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "gen2")
+    )
+    with open(os.path.join(staging, "_rt_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
+def _register_schema_evolution() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+
+    @register("files_schema_evolution", SCHEMA_EVO_ORACLE)
+    def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Read the mixed-generation tree with mergeSchema=true and
+        aggregate per lang: total rows, rows that HAVE the late-added
+        column (exactly the gen-2 half), and its sum. NULL-filling of
+        absent columns must agree between Spark's mergeSchema and
+        DuckDB's union_by_name — the schema-evolution contract every
+        long-lived lakehouse dataset depends on."""
+        path = _schema_evo_write(spark, sf_dir)
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/gen1", f"{path}/gen2"
+        )
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("n_chars").alias("n_with_chars"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("total_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("lang")
+        )
+
+
+_register_schema_evolution()

@@ -1070,3 +1070,35 @@ def test_quality_classifier_matches_pure_python_and_dot_product(spark):
         assert r.keep == (r.score_sum >= 0)
         n_keep += r.keep
     assert 0 < n_keep < 200  # mean-zero weights split the corpus
+
+
+def test_dataset_token_budget_bpe_matches_recount(spark):
+    """Per-source BPE budget must equal an independent recount: train
+    ranks once, pure-Python encode every doc, aggregate by source;
+    inflation ratio > 1 everywhere (BPE with 30 merges still splits
+    most words) and ws_tokens matches the whitespace budget."""
+    from duckdb_sudan__spark.operators.text5 import (
+        BPE_N_MERGES,
+        _corpus_word_counts,
+        _train_merges_on_counts,
+        bpe_apply_word,
+    )
+
+    ranks = {
+        (m[1], m[2]): m[0]
+        for m in _train_merges_on_counts(_corpus_word_counts(spark, SF_DIR), BPE_N_MERGES)
+    }
+    want = {}
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        words = [w for w in r.text.split(" ") if w]
+        agg = want.setdefault(r.source, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += len(words)
+        agg[2] += sum(len(bpe_apply_word(w, ranks)) for w in words)
+    rows = QUERIES["dataset_token_budget_bpe"](spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, ws, bpe = want[r.source]
+        assert (r.n_docs, r.ws_tokens, r.bpe_tokens) == (n, ws, bpe), r.source
+        assert r.bpe_per_ws == round(bpe / ws, 6)
+        assert r.bpe_per_ws > 1.0
