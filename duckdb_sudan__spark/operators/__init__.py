@@ -43,6 +43,7 @@ def load_all() -> None:
         olap10,
         olap11,
         olap12,
+        olap13,
         relational,
         similarity,
         sketches,

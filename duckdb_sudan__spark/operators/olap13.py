@@ -1,0 +1,176 @@
+"""r7 OLAP wave: marketing/event analytics — multi-touch attribution
+and conversion-lag quantiles.
+
+Same determinism posture as the rest of the OLAP surface: integer
+arithmetic decides everything hashable (lags in integer microseconds,
+counts, integer cumulative-count quantile selection); the single ROUND(1/n, 6)
+credit is tie-free for any realistic touch count (a .XXXXXX5 tie needs
+n >= 128 with only 2/5 prime factors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# ev_multitouch_attribution — linear credit across pre-purchase views
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_HOURS = 24
+
+MULTITOUCH_ORACLE = f"""
+WITH views AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.purchase_id, v.view_id
+  FROM purch p JOIN views v USING (user_id)
+  WHERE v.v_ts < p.p_ts AND v.v_ts >= p.p_ts - INTERVAL {ATTRIB_WINDOW_HOURS} HOURS
+)
+SELECT purchase_id, view_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       ROUND(1.0 / n_touches, 6) AS credit
+FROM (SELECT purchase_id, view_id,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+      FROM touch)
+ORDER BY purchase_id, view_id
+"""
+
+
+@register("ev_multitouch_attribution", MULTITOUCH_ORACLE)
+def ev_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view in the 24h before a
+    purchase by the same user shares the credit equally (1/n per
+    touch, summing to 1 per purchase) — the marketing-analytics
+    relation one step past last-touch (ev_asof_join) and funnel
+    counting (ev_funnel). Plan: the time predicate rides on a USER
+    equi-join (per-user event counts bound the pair fan-out — the same
+    argument as ev_funnel's shape, no grid bucketing needed because
+    user_id is already the natural co-partition key), then ONE window
+    on purchase_id for the touch count. At 100 TB this is one shuffle
+    on user_id and one on purchase_id, both combinable."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    touch = purch.join(views, "user_id").where(
+        (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOURS"))
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        touch.select("purchase_id", "view_id")
+        .withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .select(
+            "purchase_id",
+            "view_id",
+            "n_touches",
+            F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("credit"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_conversion_lag_quantiles — signup → first purchase lag distribution
+# ---------------------------------------------------------------------------
+
+CONVERSION_LAG_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT f.user_id,
+         MIN(e.ts) AS p_ts
+  FROM first_signup f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.s_ts
+  GROUP BY f.user_id
+),
+lags AS (
+  SELECT epoch_us(p.p_ts) - epoch_us(f.s_ts) AS lag_us
+  FROM first_signup f JOIN first_purchase p USING (user_id)
+),
+counts AS (
+  SELECT lag_us, COUNT(*) AS cnt FROM lags GROUP BY lag_us
+),
+cum AS (
+  SELECT lag_us,
+         SUM(cnt) OVER () AS n,
+         SUM(cnt) OVER (ORDER BY lag_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       MIN(CASE WHEN cum * 4 >= n      THEN lag_us END) AS p25_us,
+       MIN(CASE WHEN cum * 2 >= n      THEN lag_us END) AS p50_us,
+       MIN(CASE WHEN cum * 4 >= n * 3  THEN lag_us END) AS p75_us,
+       MIN(CASE WHEN cum * 10 >= n * 9 THEN lag_us END) AS p90_us
+FROM cum
+"""
+
+
+@register("ev_conversion_lag_quantiles", CONVERSION_LAG_ORACLE)
+def ev_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first signup to first
+    subsequent purchase, in integer MICROSECONDS (unix_micros ≡ DuckDB
+    epoch_us exactly — whole-second truncation disagrees with
+    fractional epoch subtraction by ±1s); p25/p50/p75/p90 as DISCRETE
+    quantiles via the integer cumulative-count inequality (the
+    agg_quantile_multi idiom — the smallest lag whose cumulative count
+    reaches ceil(p*n); no fp enters selection, so both engines pick
+    the identical element). Plan: two per-user MIN aggregates (one
+    shuffle each on user_id, map-combinable), a tiny user-level join,
+    then the quantile windows over the lag-value counts — bounded by
+    distinct lag values, not users."""
+    e = load_table(spark, sf_dir, "events")
+    first_signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    first_purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(first_signup, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lags = (
+        first_signup.join(first_purchase, "user_id")
+        .select(
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us")
+        )
+    )
+    counts = lags.groupBy("lag_us").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy()
+    w_cum = w_all.orderBy("lag_us").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "lag_us",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+
+    def pick(mult_cum: int, mult_n: int, name: str):
+        return F.min(
+            F.when(F.col("cum") * mult_cum >= F.col("n") * mult_n, F.col("lag_us"))
+        ).alias(name)
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(4, 1, "p25_us"),
+        pick(2, 1, "p50_us"),
+        pick(4, 3, "p75_us"),
+        pick(10, 9, "p90_us"),
+    )
