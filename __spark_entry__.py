@@ -133,8 +133,16 @@ def _sudan_oracles() -> dict[str, str]:
 # the driver comparison for each oracled entry on every run, and
 # CORRECTNESS_LOCAL sweeps sf0.01+sf0.1 in both fetch modes.
 #
-# r8 window priority, computed at r7 close (the 37 remaining r4 rows;
-# new oracled entries added during r7 go FIRST, then these fill up):
+# r8 window priority, computed at r7 close: the oracled entries ADDED
+# in r7 go FIRST (dual-SF dual-mode verified locally on registration,
+# never driver-checked):
+#   dedup_repeated_spans, text_quality_classifier,
+#   quality_keep_rates_by_lang, span_dedup_cut_rate,
+#   dedup_cluster_size_histogram, ts_yoy_growth,
+#   sample_quality_weighted, files_schema_evolution,
+#   ev_multitouch_attribution, ev_conversion_lag_quantiles
+# then the 37 remaining r4 rows fill the rest (the last 50-10-37=3
+# slots take the oldest r5 rows):
 #   map_event_counts, pivot_status, q1_pricing_summary,
 #   q3_shipping_priority, q4_order_priority, q7_volume_shipping,
 #   q10_returned_items, q14_promo_effect, q16_supplier_cnt,

@@ -1421,3 +1421,44 @@ def test_quality_classifier_is_jvm_map_only(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
     assert not any("Join" in n for n in nodes), nodes
     assert not any("HashAggregate" in n for n in nodes), nodes
+
+
+def test_multitouch_attribution_rides_user_equi_join(spark):
+    """The 24h window predicate must ride on the user_id equi-join —
+    never a nested-loop time join."""
+    df = QUERIES["ev_multitouch_attribution"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+
+
+def test_yoy_growth_joins_month_aggregate_not_orders(spark):
+    """The YoY self-join input is the month aggregate (calendar-
+    bounded), so the join must be broadcast, with exactly one
+    orders-side aggregate exchange feeding both join inputs."""
+    df = QUERIES["ts_yoy_growth"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_quality_weighted_sampler_is_one_source_shuffle(spark):
+    """Score map-side, ONE shuffle on source for both windows (rank and
+    per-source count share the partition key), no joins, no Python."""
+    df = QUERIES["sample_quality_weighted"](spark, SF_DIR)
+    plan = plan_of(df)
+    nodes = plan_nodes(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert not any("Join" in n for n in nodes), nodes
+    import re
+    shuffles = [n for n in nodes if "Exchange" in n and "Reused" not in n]
+    assert len(shuffles) <= 2, nodes  # source hash + final sort range
+
+
+def test_schema_evolution_read_merges_generations(spark):
+    """mergeSchema read resolves the union schema: the scan's
+    ReadSchema carries the late-added column while gen-1 files lack
+    it — and the aggregate is a plain two-phase hash aggregate."""
+    df = QUERIES["files_schema_evolution"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "n_chars" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
