@@ -174,3 +174,155 @@ def ev_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(4, 3, "p75_us"),
         pick(10, 9, "p90_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_dau_wau_mau — rolling active-user counts + stickiness
+# ---------------------------------------------------------------------------
+
+DAU_ORACLE = """
+WITH day_users AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM day_users),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM day_users GROUP BY day
+),
+wau AS (
+  SELECT w_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM (SELECT user_id, day + INTERVAL (o) DAY AS w_day
+        FROM day_users, unnest(generate_series(0, 6)) AS t(o))
+  WHERE w_day <= (SELECT hi FROM bounds)
+  GROUP BY w_day
+),
+mau AS (
+  SELECT m_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM (SELECT user_id, day + INTERVAL (o) DAY AS m_day
+        FROM day_users, unnest(generate_series(0, 27)) AS t(o))
+  WHERE m_day <= (SELECT hi FROM bounds)
+  GROUP BY m_day
+)
+SELECT d.day, d.dau, w.wau, m.mau,
+       ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+ORDER BY d.day
+"""
+
+
+@register("ev_dau_wau_mau", DAU_ORACLE)
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7d WAU / rolling-28d MAU per day, plus the
+    DAU/MAU stickiness ratio — the product-analytics headline. Rolling
+    DISTINCT counts can't ride a window frame (distinct isn't
+    decomposable), so each (day, user) row is EXPLODED into the 7/28
+    window-end days it contributes to and deduped there — linear
+    fan-out (7x/28x the per-day-user relation, which is already the
+    small distinct aggregate), never a per-day self-join over the raw
+    events. Window-end days past the corpus horizon are dropped;
+    early days aggregate partial windows (industry convention).
+    Plan: one distinct shuffle on (day, user), two explode+distinct
+    aggregates, three broadcastable day-level joins."""
+    e = load_table(spark, sf_dir, "events")
+    day_users = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    hi = day_users.agg(F.max("day").alias("hi"))
+    dau = day_users.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n_days: int, name: str) -> DataFrame:
+        return (
+            day_users.select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {n_days - 1}), "
+                        f"o -> day + make_interval(0, 0, 0, o, 0, 0, 0))"
+                    )
+                ).alias("day"),
+                "user_id",
+            )
+            .crossJoin(F.broadcast(hi))
+            .where(F.col("day") <= F.col("hi"))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(28, "mau"), "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cte_reused_aggregate — one expensive aggregate consumed twice
+# ---------------------------------------------------------------------------
+
+CTE_REUSE_ORACLE = """
+WITH nation_rev AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name
+)
+SELECT a.n_name, a.revenue,
+       ROUND(a.revenue / t.total, 6) AS revenue_share,
+       a.revenue >= t.avg_rev AS above_average
+FROM nation_rev a
+CROSS JOIN (SELECT SUM(revenue) AS total, AVG(revenue) AS avg_rev FROM nation_rev) t
+ORDER BY a.n_name
+"""
+
+
+@register("cte_reused_aggregate", CTE_REUSE_ORACLE)
+def cte_reused_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One expensive aggregate (per-nation revenue over lineitem)
+    consumed TWICE — as the detail rows and as the grand-total/average
+    divisor — the report-query shape where engines must not recompute
+    the fact scan. Spark reuses the aggregate's exchange for both
+    consumers. Spark's compile-time ReuseExchange does NOT fire across
+    the two independent consumers under AQE (verified: two compiled
+    lineitem scans), so the aggregate is explicitly CACHED — the
+    MATERIALIZED-CTE semantic, same discipline as the minhash sig
+    cache: both consumers read InMemoryTableScan (pinned by a plan
+    test) and the fact-side join computes once. Caching a
+    nation-cardinality aggregate is bytes at any corpus size.
+    share/above_average derive from the SAME relation, so the two
+    consumers can never disagree. The 1-row total side broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from duckdb_sudan__spark.operators.relational import dsum_micro
+
+    rev = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum_micro(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+    rev.cache()
+    totals = rev.agg(
+        F.sum("revenue").alias("total"), F.avg("revenue").alias("avg_rev")
+    )
+    return (
+        rev.crossJoin(F.broadcast(totals))
+        .select(
+            "n_name",
+            "revenue",
+            F.round(F.col("revenue") / F.col("total"), 6).alias("revenue_share"),
+            (F.col("revenue") >= F.col("avg_rev")).alias("above_average"),
+        )
+        .orderBy("n_name")
+    )

@@ -1462,3 +1462,30 @@ def test_schema_evolution_read_merges_generations(spark):
     plan = plan_of(df)
     assert "n_chars" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_cte_reused_aggregate_materializes_once(spark):
+    """The per-nation revenue aggregate feeds both the detail rows and
+    the grand-total divisor — both consumers must read the CACHED
+    aggregate (InMemoryTableScan), i.e. the fact-side join computes
+    once (compile-time ReuseExchange does not fire across independent
+    consumers under AQE — the cache is the materialized-CTE
+    guarantee)."""
+    df = QUERIES["cte_reused_aggregate"](spark, SF_DIR)
+    plan = plan_of(df)
+    nodes = plan_nodes(df)
+    assert sum("InMemoryTableScan" in n for n in nodes) >= 2, nodes
+
+
+def test_dau_wau_mau_dedups_before_fanout(spark):
+    """The 7x/28x explode must fan out the (day, user) DISTINCT
+    aggregate, never the raw events relation, and no join may
+    degenerate to a nested loop."""
+    df = QUERIES["ev_dau_wau_mau"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    gens = [n for n in nodes if "Generate" in n]
+    assert gens, nodes  # the explode exists
+    plan = plan_of(df)
+    # distinct aggregate (partial_count-free HashAggregate pair on day/user)
+    assert plan.count("Generate") >= 2, plan[:1500]
