@@ -140,9 +140,10 @@ def _sudan_oracles() -> dict[str, str]:
 #   quality_keep_rates_by_lang, span_dedup_cut_rate,
 #   dedup_cluster_size_histogram, ts_yoy_growth,
 #   sample_quality_weighted, files_schema_evolution,
-#   ev_multitouch_attribution, ev_conversion_lag_quantiles
-# then the 37 remaining r4 rows fill the rest (the last 50-10-37=3
-# slots take the oldest r5 rows):
+#   ev_multitouch_attribution, ev_conversion_lag_quantiles,
+#   ev_dau_wau_mau, cte_reused_aggregate
+# then the 37 remaining r4 rows fill the rest (12 r7-wave + 37 r4 =
+# 49; the last slot takes the oldest r5 row):
 #   map_event_counts, pivot_status, q1_pricing_summary,
 #   q3_shipping_priority, q4_order_priority, q7_volume_shipping,
 #   q10_returned_items, q14_promo_effect, q16_supplier_cnt,

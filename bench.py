@@ -55,6 +55,13 @@ HEADLINE = [
     # r6: the skew-guarded tiled k-NN graph (16× wall growth fell
     # 30.5× → 6.5× with the cell tiling — keep it visible per-round)
     "emb_knn_graph",
+    # r7: the span-level exact-substring dedup tier (gram explode →
+    # min<max cross-doc aggregate → semi join → gaps-islands; ~2.4 s
+    # at sf0.1 = the 5-stage scheduling floor, linear payload)
+    "dedup_repeated_spans",
+    # r7: the hashed-bigram linear quality gate — one JVM map stage,
+    # keeps the zero-Python classifier path visible per-round
+    "text_quality_classifier",
 ]
 
 
