@@ -326,3 +326,99 @@ def cte_reused_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# str_funcs2 / num_funcs_parity — second wave of scalar-function parity
+# ---------------------------------------------------------------------------
+
+STR_FUNCS2_ORACLE = """
+SELECT p_partkey,
+       left(p_name, 4) AS l4,
+       right(p_name, 4) AS r4,
+       lpad(p_name, 25, '*') AS lp,
+       rpad(p_name, 25, '*') AS rp,
+       translate(p_name, 'ae', '@3') AS tr,
+       repeat(left(p_name, 2), 3) AS rep,
+       reverse(p_name) AS rev,
+       CAST(ascii(p_name) AS INTEGER) AS asc_first,
+       starts_with(p_name, 'b') AS sw,
+       contains(p_name, 'an') AS has_an,
+       ltrim(p_name, 'abc') AS lt,
+       rtrim(p_name, 'abc') AS rt,
+       CAST(position('a' IN p_name) AS INTEGER) AS pos_a
+FROM part WHERE p_partkey < 100
+ORDER BY p_partkey
+"""
+
+
+@register("str_funcs2", STR_FUNCS2_ORACLE)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function parity pack (str_funcs covers upper/
+    length/substring/replace/split_part/levenshtein/concat): left,
+    right, lpad, rpad, translate, repeat, reverse, ascii, starts_with,
+    contains, char-class ltrim/rtrim, position — every one verified
+    value-identical across engines through the hash gate. initcap is
+    deliberately absent (DuckDB has no initcap). Map-only projection;
+    parity entries exist so a user porting DuckDB SQL knows precisely
+    which scalar calls translate 1:1."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.expr("left(p_name, 4)").alias("l4"),
+        F.expr("right(p_name, 4)").alias("r4"),
+        F.lpad("p_name", 25, "*").alias("lp"),
+        F.rpad("p_name", 25, "*").alias("rp"),
+        F.translate("p_name", "ae", "@3").alias("tr"),
+        F.repeat(F.expr("left(p_name, 2)"), 3).alias("rep"),
+        F.reverse("p_name").alias("rev"),
+        F.ascii("p_name").cast("int").alias("asc_first"),
+        F.startswith(F.col("p_name"), F.lit("b")).alias("sw"),
+        F.contains(F.col("p_name"), F.lit("an")).alias("has_an"),
+        F.ltrim(F.col("p_name"), F.lit("abc")).alias("lt"),
+        F.rtrim(F.col("p_name"), F.lit("abc")).alias("rt"),
+        F.expr("position('a' IN p_name)").cast("int").alias("pos_a"),
+    ).orderBy("p_partkey")
+
+
+NUM_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(abs(l_discount - 0.05) AS DOUBLE) AS adist,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(l_quantity AS BIGINT) % 7 AS qmod,
+       CAST(greatest(l_quantity, l_discount * 100) AS DOUBLE) AS g,
+       CAST(least(l_quantity, l_discount * 100) AS DOUBLE) AS lst,
+       sqrt(l_quantity) AS sq,
+       power(l_discount, 2) AS d2
+FROM lineitem WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("num_funcs_parity", NUM_FUNCS_ORACLE)
+def num_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar parity: abs, sign, ceil, floor, %, greatest,
+    least, sqrt, power — every op here is IEEE-exact or integer
+    (numeric trunc is absent: Spark's trunc is date-only, and for the
+    positive domain floor already covers it)
+    (sqrt and a single power are correctly-rounded per IEEE 754 on
+    both JVMs and DuckDB; no transcendentals, per DETERMINISM.md),
+    so the pack hash-matches with zero rounding in the oracle. % keeps
+    the dividend's sign on both engines (DETERMINISM-relevant for
+    negative keys)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("adist"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_floor"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qmod"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("lst"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.pow(F.col("l_discount"), F.lit(2)).alias("d2"),
+    ).orderBy("l_orderkey", "l_linenumber")
