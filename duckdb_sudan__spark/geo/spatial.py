@@ -202,3 +202,123 @@ def sudan_nearest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# sudan_state_areas — exact integer shoelace over the SERVED geometry
+# ---------------------------------------------------------------------------
+
+
+def _ring_2area_microdeg(ring: list[list[float]]) -> int:
+    """|2·area| of one ring in micro-degree² — determinant shoelace on
+    round(coord·1e6) int64 coordinates. Exact integer arithmetic: the
+    served geojson rounds coordinates to 6 decimals, so the scaled
+    values ARE integers and the sum is exact (|xi|≈4e7, 40-term sum
+    ≪ 2^63) — no float enters, so an independently-coded reference
+    (the trapezoid form in the oracle builder) lands on the identical
+    integer."""
+    pts = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    s = 0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+        s += x0 * y1 - x1 * y0
+    return abs(s)
+
+
+def _geom_2area_and_parts(doc: dict) -> tuple[int, int, int]:
+    """(|2·area|, n_parts, n_holes) for a Polygon/MultiPolygon under
+    even-odd semantics: outer ring area minus hole areas, per part."""
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    total, n_holes = 0, 0
+    for poly in polys:
+        total += _ring_2area_microdeg(poly[0])
+        for hole in poly[1:]:
+            total -= _ring_2area_microdeg(hole)
+            n_holes += 1
+    return total, len(polys), n_holes
+
+
+def _state_area_rows() -> list[tuple]:
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = json.loads(geo_states.state_boundary_geojson(i))
+        a2, n_parts, n_holes = _geom_2area_and_parts(doc)
+        rows.append((iso, name, a2, n_parts, n_holes))
+    return sorted(rows)
+
+
+def _state_areas_oracle() -> str:
+    """Independent trapezoid-form shoelace (Σ(x0+x1)(y1−y0), same
+    exact integer grid) rendered as a VALUES oracle — valid at every
+    SF because the served offline geometry is data-independent."""
+    from duckdb_sudan__spark.oracle import values_sql
+
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = json.loads(geo_states.state_boundary_geojson(i))
+        polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+        total, n_holes = 0, 0
+        for poly in polys:
+            for ri, ring in enumerate(poly):
+                pts = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+                if pts[0] == pts[-1]:
+                    pts = pts[:-1]
+                s = 0
+                for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+                    s += (x0 + x1) * (y1 - y0)
+                if ri == 0:
+                    total += abs(s)
+                else:
+                    total -= abs(s)
+                    n_holes += 1
+        rows.append((iso, name, total, len(polys), n_holes))
+    return (
+        values_sql(
+            sorted(rows),
+            ["iso_code", "state_name", "area2_microdeg2", "n_parts", "n_holes"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "INTEGER", "INTEGER"],
+        )
+        + " ORDER BY iso_code"
+    )
+
+
+def _register_state_areas() -> None:
+    @register("sudan_state_areas", _state_areas_oracle())
+    def sudan_state_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-state polygon area from the SERVED boundary geojson —
+        the geometry itself through the HASH gate (the other geo
+        entries hash names/codes; this one hashes a value computed
+        FROM the ring coordinates). Spark side: the boundary relation
+        -> one Arrow map stage running the determinant-form integer
+        shoelace per geojson; oracle: an independently coded
+        trapezoid-form shoelace baked as VALUES (data-independent
+        offline geometry => SF-invariant). Exact int64 arithmetic on
+        the 1e-6-degree grid — no float anywhere, so two different
+        formulations must agree bit-for-bit."""
+        bounds = geo_states.sudan_boundaries(spark, "state")
+
+        @F.pandas_udf("struct<area2:bigint,n_parts:int,n_holes:int>")
+        def area_of(geojson: pd.Series) -> pd.DataFrame:
+            out = []
+            for g in geojson:
+                a2, n_parts, n_holes = _geom_2area_and_parts(json.loads(g))
+                out.append({"area2": a2, "n_parts": n_parts, "n_holes": n_holes})
+            return pd.DataFrame(out)
+
+        return (
+            bounds.select(
+                "iso_code", "state_name", area_of(F.col("geojson")).alias("a")
+            )
+            .select(
+                "iso_code",
+                "state_name",
+                F.col("a.area2").alias("area2_microdeg2"),
+                F.col("a.n_parts").cast("int").alias("n_parts"),
+                F.col("a.n_holes").cast("int").alias("n_holes"),
+            )
+            .orderBy("iso_code")
+        )
+
+
+_register_state_areas()

@@ -422,3 +422,44 @@ def num_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt("l_quantity").alias("sq"),
         F.pow(F.col("l_discount"), F.lit(2)).alias("d2"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# dt_funcs2 — second date/time parity pack (calendar conventions)
+# ---------------------------------------------------------------------------
+
+DT_FUNCS2_ORACLE = """
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+       CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd_mon0,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_month
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@register("dt_funcs2", DT_FUNCS2_ORACLE)
+def dt_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date parity pack — the CONVENTION traps (dt_funcs covers
+    year/quarter/month/day/trunc/interval/datediff): weekday numbering
+    (Spark dayofweek is 1=Sunday vs DuckDB dayofweek 0=Sunday — the
+    oracle shifts by 1; Spark weekday 0=Monday ≡ DuckDB isodow-1),
+    ISO week numbers (both ISO — equal as-is), day-of-year, last_day,
+    and end-of-month-clamped month addition (Spark add_months ≡
+    DuckDB + INTERVAL 1 MONTH: Jan 31 + 1 → Feb 29, verified both).
+    DATE results cast to TIMESTAMP per DETERMINISM.md #4 (DATE
+    columns hash differently per fetch mode)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sun1"),
+        F.weekday("o_orderdate").cast("int").alias("wd_mon0"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.add_months(d, 1).cast("timestamp").alias("plus_month"),
+    ).orderBy("o_orderkey")

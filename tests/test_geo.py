@@ -399,3 +399,31 @@ def test_multipart_state_served_geojson_exercises_holes_and_islands(spark, monke
     by_probe = {r.probe: r.iso_code for r in rows}
     for iso, *_ in geo_states.SUDAN_STATES:
         assert by_probe[f"centroid:{iso}"] == iso
+
+
+def test_state_areas_sum_to_country_envelope(spark):
+    """The integer-shoelace area relation proves the partition
+    contract arithmetically: the offline Voronoi cells tile the
+    country envelope, so Σ state areas equals the envelope's own
+    shoelace area up to the SERVED geometry's 1e-6-degree vertex
+    rounding (each vertex moves ≤ 0.5 microdeg; slivers are bounded
+    by perimeter × displacement ≈ 2e8 microdeg² — observed ~3e6, four
+    orders below the 4.2e14 total; interior shared edges cancel, only
+    envelope-edge cut points can sliver). Also pins the multipart
+    flag OFF default: every state is one part, zero holes."""
+    import json as _json
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.geo.spatial import _geom_2area_and_parts
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    rows = QUERIES["sudan_state_areas"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 18
+    assert all(r.n_parts == 1 and r.n_holes == 0 for r in rows)
+    env2, _, _ = _geom_2area_and_parts(
+        _json.loads(geo_states.country_boundary_geojson())
+    )
+    total = sum(r.area2_microdeg2 for r in rows)
+    assert abs(total - env2) < 1_000_000_000, (total, env2)
+    assert abs(total - env2) / env2 < 3e-6
