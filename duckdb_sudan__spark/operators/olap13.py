@@ -463,3 +463,104 @@ def dt_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("o_orderdate").cast("int").alias("doy"),
         F.add_months(d, 1).cast("timestamp").alias("plus_month"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# sudan_wb_yoy — provider surface composed with the YoY operator
+# ---------------------------------------------------------------------------
+
+
+def _wb_yoy_oracle() -> str:
+    from duckdb_sudan__spark.providers import api
+
+    return f"""
+WITH wb AS ({api.worldbank_oracle("SP.POP.TOTL", ["SDN", "EGY", "ETH"])}),
+yearly AS (
+  SELECT country_name, CAST(year AS INTEGER) AS yr, CAST(value AS BIGINT) AS pop
+  FROM wb
+)
+SELECT c.country_name, c.yr, c.pop,
+       p.pop AS prev_pop,
+       ROUND(CAST(c.pop - p.pop AS DOUBLE) / p.pop, 6) AS yoy_pct
+FROM yearly c LEFT JOIN yearly p
+  ON p.country_name = c.country_name AND p.yr = c.yr - 1
+ORDER BY c.country_name, c.yr
+"""
+
+
+def _register_wb_yoy() -> None:
+    @register("sudan_wb_yoy", _wb_yoy_oracle())
+    def sudan_wb_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Provider ∘ OLAP composition #2 (after sudan_wb_pivot): the
+        SUDAN_WorldBank table function's population series run through
+        the same join-on-previous-period YoY shape as ts_yoy_growth —
+        per-country annual growth rates, the first chart every
+        consumer of the reference extension draws. Values are integral
+        doubles → exact BIGINT on both engines; the per-country
+        prev-year alignment is the gap-correct self-join, broadcast
+        (the provider relation is year×country-bounded)."""
+        from duckdb_sudan__spark.providers import api
+
+        wb = api.sudan_worldbank(spark, "SP.POP.TOTL", ["SDN", "EGY", "ETH"])
+        yearly = wb.select(
+            "country_name",
+            F.col("year").cast("int").alias("yr"),
+            F.col("value").cast("bigint").alias("pop"),
+        )
+        prev = yearly.select(
+            "country_name",
+            (F.col("yr") + 1).alias("yr"),
+            F.col("pop").alias("prev_pop"),
+        )
+        return (
+            yearly.join(F.broadcast(prev), ["country_name", "yr"], "left")
+            .select(
+                "country_name",
+                "yr",
+                "pop",
+                "prev_pop",
+                F.round(
+                    (F.col("pop") - F.col("prev_pop")).cast("double")
+                    / F.col("prev_pop"),
+                    6,
+                ).alias("yoy_pct"),
+            )
+            .orderBy("country_name", "yr")
+        )
+
+
+_register_wb_yoy()
+
+
+# ---------------------------------------------------------------------------
+# num_try_arith — error-free arithmetic parity (try_divide / nullif)
+# ---------------------------------------------------------------------------
+
+TRY_ARITH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice / nullif(l_quantity - 10, 0) AS DOUBLE) AS per_over10,
+       CAST(CAST(l_quantity AS BIGINT) // nullif(CAST(l_tax * 100 AS BIGINT), 0) AS BIGINT) AS q_div_tax,
+       coalesce(CAST(l_quantity AS BIGINT) % nullif(CAST(l_tax * 100 AS BIGINT), 0), -1) AS q_mod_tax
+FROM lineitem WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("num_try_arith", TRY_ARITH_ORACLE)
+def num_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-free arithmetic parity: Spark try_divide / div-with-
+    nullif ≡ DuckDB x / nullif(y, 0) — division by zero yields NULL
+    (never an exception, never Inf) on both engines, integer floor
+    division (Spark `div` ≡ DuckDB `//` for non-negative operands)
+    and guarded modulo included. The pattern every robust pipeline
+    uses instead of wrapping queries in try/except."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    qty = F.col("l_quantity").cast("bigint")
+    tax100 = (F.col("l_tax") * 100).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10).alias("per_over10"),
+        F.expr("CAST(l_quantity AS BIGINT) div nullif(CAST(l_tax * 100 AS BIGINT), 0)").alias("q_div_tax"),
+        F.coalesce(qty % F.nullif(tax100, F.lit(0)), F.lit(-1)).cast("bigint").alias("q_mod_tax"),
+    ).orderBy("l_orderkey", "l_linenumber")
