@@ -421,3 +421,76 @@ def dataset_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quality_report — the stacked rule+classifier gate, per source
+# ---------------------------------------------------------------------------
+
+
+def _quality_report_oracle() -> str:
+    from duckdb_sudan__spark.operators.text4 import GOPHER_ORACLE
+
+    return f"""
+WITH gopher AS (SELECT doc_id, passes FROM ({GOPHER_ORACLE})),
+clf AS (
+  SELECT doc_id, coalesce({_QC_SQL_SCORE}, 0) >= 0 AS keep
+  FROM (SELECT doc_id, {_QC_SQL_TOKENS} AS toks FROM documents)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_pass,
+       CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_keep,
+       CAST(SUM(CASE WHEN g.passes AND c.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       ROUND(CAST(SUM(CASE WHEN g.passes AND c.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS final_rate
+FROM documents d
+JOIN gopher g USING (doc_id)
+JOIN clf c USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def _register_quality_report() -> None:
+    @register("pipeline_quality_report", _quality_report_oracle())
+    def pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The stacked quality funnel as one relation: per source, how
+        many docs pass the RULE gate (text_gopher_filters), the
+        LEARNED gate (text_quality_classifier), and BOTH — the
+        rule-then-classifier stacking production pipelines run, with
+        the per-source final keep rate a mix owner signs off on.
+        Composes the two r7 gates through their own relations (the
+        report can never disagree with the gates). Plan: both gates
+        are map/agg over documents; the doc_id joins are one shuffle
+        each; the final aggregate is source-bounded."""
+        from duckdb_sudan__spark.operators.text4 import text_gopher_filters
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        gopher = text_gopher_filters(spark, sf_dir).select("doc_id", "passes")
+        clf = text_quality_classifier(spark, sf_dir).select("doc_id", "keep")
+        return (
+            d.join(gopher, "doc_id")
+            .join(clf, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("passes").cast("int")).cast("bigint").alias("n_rule_pass"),
+                F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_clf_keep"),
+                F.sum((F.col("passes") & F.col("keep")).cast("int"))
+                .cast("bigint")
+                .alias("n_final"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_rule_pass",
+                "n_clf_keep",
+                "n_final",
+                F.round(F.col("n_final") / F.col("n_docs"), 6).alias("final_rate"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_quality_report()
