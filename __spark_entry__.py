@@ -143,9 +143,10 @@ def _sudan_oracles() -> dict[str, str]:
 #   ev_multitouch_attribution, ev_conversion_lag_quantiles,
 #   ev_dau_wau_mau, cte_reused_aggregate, str_funcs2,
 #   num_funcs_parity, num_try_arith, dt_funcs2, sudan_state_areas,
-#   sudan_wb_yoy, pipeline_quality_report
-# then the remaining r4 rows fill the rest (19 r7-wave + 31 of the 37
-# r4 rows; the 6 left-over r4 rows + rotation debt go to r9):
+#   sudan_wb_yoy, pipeline_quality_report, dedup_cross_source_matrix,
+#   agg_weighted_avg
+# then the remaining r4 rows fill the rest (21 r7-wave + 29 of the 37
+# r4 rows; the 8 left-over r4 rows + rotation debt go to r9):
 #   map_event_counts, pivot_status, q1_pricing_summary,
 #   q3_shipping_priority, q4_order_priority, q7_volume_shipping,
 #   q10_returned_items, q14_promo_effect, q16_supplier_cnt,

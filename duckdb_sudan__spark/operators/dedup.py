@@ -1372,3 +1372,46 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_source_matrix — where do duplicates come from?
+# ---------------------------------------------------------------------------
+
+CROSS_SOURCE_ORACLE = f"""
+WITH pairs AS ({_EDGES_SQL}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p JOIN src a ON a.doc_id = p.id_a JOIN src b ON b.doc_id = p.id_b
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("dedup_cross_source_matrix", CROSS_SOURCE_ORACLE)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts by (source, source) — the provenance
+    matrix a crawl owner reads to find WHICH feeds re-serve each
+    other's content (diagonal = within-source boilerplate, off-
+    diagonal = mirroring between feeds). Source pair is unordered
+    (least/greatest) so A×B and B×A accumulate together. Plan: the
+    exact-tier pair relation (blocked Arrow kernel) + two broadcast-
+    able doc_id lookups on a 2-column pruned scan + one tiny
+    aggregate — bounded by source-pair cardinality."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -564,3 +564,46 @@ def num_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(l_quantity AS BIGINT) div nullif(CAST(l_tax * 100 AS BIGINT), 0)").alias("q_div_tax"),
         F.coalesce(qty % F.nullif(tax100, F.lit(0)), F.lit(-1)).cast("bigint").alias("q_mod_tax"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_avg — quantity-weighted average price per return flag
+# ---------------------------------------------------------------------------
+
+WEIGHTED_AVG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS wavg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg", WEIGHTED_AVG_ORACLE)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-averaged price per return flag — SUM(p*q)/SUM(q) with
+    BOTH sums accumulated as DECIMAL(27,6) (order-independent; the
+    product cast to decimal BEFORE summing per DETERMINISM.md #14)
+    and ONE double division at the end. The aggregate every pricing
+    dashboard computes; one partial-agg shuffle on a 3-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(27,6)")
+    q = F.col("l_quantity").cast("decimal(27,6)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(pq).cast("double").alias("sum_pq"),
+            F.sum(q).cast("double").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("sum_pq") / F.col("total_qty")).alias("wavg_price"),
+            "total_qty",
+            "n_lines",
+        )
+        .orderBy("l_returnflag")
+    )
