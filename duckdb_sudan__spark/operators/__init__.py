@@ -44,6 +44,7 @@ def load_all() -> None:
         olap11,
         olap12,
         olap13,
+        olap14,
         relational,
         similarity,
         sketches,
@@ -53,6 +54,7 @@ def load_all() -> None:
         text3,
         text4,
         text5,
+        text6,
         timeseries,
     )
     from duckdb_sudan__spark.geo import spatial as geo_spatial  # noqa: F401

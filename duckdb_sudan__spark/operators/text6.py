@@ -1,0 +1,186 @@
+"""r7 third text wave: language-model-based quality scoring — the
+CCNet/KenLM-style "score every document under a corpus LM and filter
+the tail" stage that sits between rule gates (text_gopher_filters) and
+learned classifiers (text_quality_classifier) in production pipelines.
+
+Determinism: true cross-entropy needs log2(p) and JVM/glibc libm
+disagree at the last ulp (measured, see text2.py header), so the score
+here is the INTEGER bit-surprisal bitlen(c(w1)+V) - bitlen(c(w1,w2)+1)
+— within 1 bit per term of the exact -log2 of the add-one-smoothed
+bigram probability, monotone-equivalent for ranking/thresholding, and
+bit-identical across engines because bitlen is computed on the binary
+STRING representation (F.conv base-2 / printf('%b')), never through a
+float log. The one emitted double is a single exact int/int division +
+ROUND, repeated verbatim in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# text_perplexity_proxy — per-doc mean bigram bit-surprisal
+# ---------------------------------------------------------------------------
+
+PERPLEXITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE lang = 'en'
+), bg AS (
+  SELECT doc_id, t[s] AS w1, t[s+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS s FROM toks)
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM (
+    SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg
+  )
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+), scored AS (
+  SELECT bg.doc_id,
+         length(printf('%b', c1.c1 + vocab.v)) - length(printf('%b', c12.c12 + 1)) AS bits
+  FROM bg
+  JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+  JOIN c1 ON bg.w1 = c1.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       ROUND(CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_bits
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _bitlen(col):
+    """floor(log2(n)) + 1 for positive bigints, via the base-2 string
+    length — integer-exact, no float log anywhere."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
+@register("text_perplexity_proxy", PERPLEXITY_ORACLE)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every English document under the corpus's own add-one-
+    smoothed bigram LM: per-bigram surprisal approximated as
+    bitlen(c(w1)+V) - bitlen(c(w1,w2)+1) bits (exact -log2 within one
+    bit per term, see module header), aggregated to per-doc total and
+    mean bits — the perplexity-filter stage of CCNet-style pipelines,
+    where the score threshold separates fluent text from boilerplate
+    and garble.
+
+    Plan: ONE corpus scan builds the per-doc bigram relation
+    (map-side explode, no self-join — ngram_lm_counts' shape); the
+    count tables c12/c1 partial-agg off it; V is a broadcast scalar.
+    The score join is bg ⋈ c12 on (w1,w2) — both sides shuffle on the
+    same key, then per-doc partial agg. Stopword-headed w1 skew is
+    absorbed by the pre-aggregated counts (the join build side is the
+    count table, never raw bigram pairs). At 100 TB: two
+    map-combinable shuffles of token-grain data, one of count-grain —
+    the canonical LM-scoring plan; swapping bitlen for true log2 on a
+    real cluster is a one-expression change."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("s"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("s")).alias("w1"),
+            F.element_at("t", F.col("s") + 1).alias("w2"),
+        )
+    )
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .unionAll(bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (_bitlen(F.col("c1") + F.col("v")) - _bitlen(F.col("c12") + 1)).alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+            F.round(
+                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_perplexity_buckets — the filter decision the proxy feeds
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 4  # quartile buckets over mean_bits, CCNet's head/middle/tail +1
+
+PPL_BUCKETS_ORACLE = f"""
+WITH scored AS ({PERPLEXITY_ORACLE.replace("ORDER BY doc_id", "")}),
+ranked AS (
+  SELECT doc_id, n_bigrams, total_bits, mean_bits,
+         ntile({PPL_BUCKETS}) OVER (ORDER BY mean_bits, doc_id) AS bucket
+  FROM scored
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       MIN(mean_bits) AS min_bits,
+       MAX(mean_bits) AS max_bits
+FROM ranked
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("corpus_perplexity_buckets", PPL_BUCKETS_ORACLE)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split, one bucket finer: quartile the
+    corpus by mean bit-surprisal (ntile over (mean_bits, doc_id) — the
+    doc_id tiebreak makes the split total-order deterministic) and
+    report per-bucket doc and bigram mass — the relation a
+    perplexity-filtered training mix samples from (keep head+middle,
+    drop tail).
+
+    Plan: the proxy's scoring plan plus ONE global ntile window over
+    the per-doc score relation (docs-grain, far smaller than tokens)
+    and a final 4-row aggregate. A global ORDER BY window is a single-
+    partition sort of doc-grain scores; at 100 TB you'd swap ntile for
+    approx quantile cutpoints (sketch_quantiles) — documented, not
+    needed at test SF."""
+    from pyspark.sql.window import Window
+
+    scored = text_perplexity_proxy(spark, sf_dir)
+    ranked = scored.select(
+        "doc_id", "n_bigrams", "mean_bits",
+        F.ntile(PPL_BUCKETS).over(Window.orderBy("mean_bits", "doc_id")).alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.min("mean_bits").alias("min_bits"),
+            F.max("mean_bits").alias("max_bits"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_docs", "n_bigrams", "min_bits", "max_bits")
+        .orderBy("bucket")
+    )
