@@ -527,3 +527,216 @@ def _register_schema_evolution() -> None:
 
 
 _register_schema_evolution()
+
+
+# ---------------------------------------------------------------------------
+# files_compact_small_files — the OPTIMIZE/compaction maintenance job
+# ---------------------------------------------------------------------------
+# A 100 TB table ingested micro-batch by micro-batch degrades into
+# millions of KB-sized files; scan throughput dies on open/footer
+# overhead long before bytes do. The compaction job below is the
+# Delta OPTIMIZE / Iceberg rewrite_data_files shape without the jars:
+# size the output file count from the INPUT BYTES (never row counts —
+# row width varies), rewrite with repartition(n_out), swap atomically.
+
+COMPACT_SMALL_PARTS = 64          # deliberately fragmented input
+COMPACT_TARGET_BYTES = 1 << 20    # 1 MiB target files at test SF
+
+COMPACT_ORACLE = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM read_parquet('{_RT_ROOT}/*/compact/compacted/*.parquet')
+WHERE corpus_n = (SELECT COUNT(*) FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _compact_write(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Stage the fragmented input (COMPACT_SMALL_PARTS files), then
+    compact it to ceil(input_bytes / COMPACT_TARGET_BYTES) files.
+    Returns (compacted_dir, n_small_files, n_out). Same fingerprint +
+    staging + rename discipline as _roundtrip_write: concurrent
+    same-sf builds converge on byte-equivalent output."""
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_RT_ROOT, sf_base, "compact")
+    small, final = os.path.join(root, "small"), os.path.join(root, "compacted")
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
+    marker = os.path.join(final, "_rt_ok")
+
+    def _parts(path: str) -> list[str]:
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final, len(_parts(small)), len(_parts(final))
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+    d = d.crossJoin(F.broadcast(n))
+
+    staging_small = f"{small}.staging-{os.getpid()}"
+    d.repartition(COMPACT_SMALL_PARTS).write.mode("overwrite").parquet(staging_small)
+    in_bytes = sum(os.path.getsize(p) for p in _parts(staging_small))
+    n_out = max(1, math.ceil(in_bytes / COMPACT_TARGET_BYTES))
+    staging_out = f"{final}.staging-{os.getpid()}"
+    spark.read.parquet(staging_small).repartition(n_out).write.mode("overwrite").parquet(staging_out)
+    with open(os.path.join(staging_out, "_rt_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(small, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(staging_small, small)
+        os.rename(staging_out, final)
+    except OSError:
+        shutil.rmtree(staging_small, ignore_errors=True)
+        shutil.rmtree(staging_out, ignore_errors=True)
+    return final, len(_parts(small)), len(_parts(final))
+
+
+def _register_compaction() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+
+    @register("files_compact_small_files", COMPACT_ORACLE)
+    def files_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end compaction proof: the per-lang aggregate over the
+        COMPACTED tree must equal the source-table oracle (no row lost
+        or duplicated by the rewrite), while the file-count collapse
+        (64 -> bytes/1MiB, asserted in tests/test_plans.py) is the
+        maintenance win itself. The repartition(n_out) round-robin is
+        the right default for pure compaction — it needs no key and
+        cannot skew; clustering rewrites are files_zorder_cluster's
+        job."""
+        path, _, _ = _compact_write(spark, sf_dir)
+        return _roundtrip_agg(spark.read.parquet(path))
+
+
+_register_compaction()
+
+
+# ---------------------------------------------------------------------------
+# files_zorder_cluster — multi-dimensional clustering (Z-order) keys
+# ---------------------------------------------------------------------------
+# Sorting a 100 TB table by ONE key makes that key's file-level min/max
+# stats razor-sharp and every other key's useless. Interleaving the
+# bits of two keys (Morton / Z-order) bounds BOTH dims' per-file ranges
+# — data-skipping works for either predicate. The zvalue is pure
+# integer bit arithmetic, identical in both engines.
+
+ZORDER_BITS = 16
+ZORDER_ANCHOR = "1990-01-01"   # orders dates span 1995-2001 — always >= anchor
+ZORDER_BUCKET_SHIFT = 20       # z < 2^32 -> <= 4096 coarse buckets (~64 at sf0.01)
+
+
+def _zvalue_sql(cx: str, dy: str) -> str:
+    terms = []
+    for k in range(ZORDER_BITS):
+        terms.append(f"((({cx} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({dy} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % {1 << ZORDER_BITS} AS BIGINT) AS cx,
+         CAST(date_diff('day', DATE '{ZORDER_ANCHOR}', o_orderdate) AS BIGINT) AS dy
+  FROM orders
+), z AS (
+  SELECT o_orderkey, cx, dy, CAST({_zvalue_sql("cx", "dy")} AS BIGINT) AS zvalue
+  FROM base
+)
+SELECT CAST(zvalue >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(cx) AS min_cust, MAX(cx) AS max_cust,
+       MIN(dy) AS min_day, MAX(dy) AS max_day
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+def _register_zorder() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+    from duckdb_sudan__spark.session import load_table
+
+    @register("files_zorder_cluster", ZORDER_ORACLE)
+    def files_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Morton-interleave (o_custkey, order-day) into one zvalue and
+        aggregate per coarse z-bucket: each bucket's min/max on BOTH
+        source dims stays narrow (the data-skipping guarantee a
+        1-D sort cannot give — the per-bucket range product is what a
+        reader's min/max pruning multiplies out). The bucket relation
+        is the file-layout plan: repartitionByRange(zvalue) +
+        sortWithinPartitions(zvalue) writes files whose footer stats
+        match these bucket bounds (zorder_write below; layout asserted
+        in tests). Pure map-side bit arithmetic + one partial-agg
+        shuffle on the bucket id."""
+        o = load_table(spark, sf_dir, "orders")
+        cx = (F.col("o_custkey") % (1 << ZORDER_BITS)).cast("bigint")
+        dy = F.datediff(F.col("o_orderdate"), F.lit(ZORDER_ANCHOR).cast("date")).cast("bigint")
+        base = o.select("o_orderkey", cx.alias("cx"), dy.alias("dy"))
+        z = F.lit(0).cast("bigint")
+        for k in range(ZORDER_BITS):
+            z = z + F.shiftleft(F.shiftright(F.col("cx"), k).bitwiseAND(F.lit(1)), 2 * k)
+            z = z + F.shiftleft(F.shiftright(F.col("dy"), k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        zdf = base.select("o_orderkey", "cx", "dy", z.alias("zvalue"))
+        return (
+            zdf.groupBy(
+                F.shiftright(F.col("zvalue"), ZORDER_BUCKET_SHIFT).cast("bigint").alias("zbucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("cx").alias("min_cust"), F.max("cx").alias("max_cust"),
+                F.min("dy").alias("min_day"), F.max("dy").alias("max_day"),
+            )
+            .orderBy("zbucket")
+        )
+
+
+_register_zorder()
+
+
+def zorder_write(spark: SparkSession, sf_dir: str, path: str, n_files: int = 8) -> None:
+    """Write orders clustered by zvalue: repartitionByRange gives each
+    output file a contiguous zvalue span, so parquet footer min/max on
+    BOTH cx and dy are bucket-narrow — the layout files_zorder_cluster's
+    bucket relation predicts. Test-facing helper (the entry itself is
+    the pure relation)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cx = (F.col("o_custkey") % (1 << ZORDER_BITS)).cast("bigint")
+    dy = F.datediff(F.col("o_orderdate"), F.lit(ZORDER_ANCHOR).cast("date")).cast("bigint")
+    base = o.select("o_orderkey", cx.alias("cx"), dy.alias("dy"))
+    z = F.lit(0).cast("bigint")
+    for k in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(F.col("cx"), k).bitwiseAND(F.lit(1)), 2 * k)
+        z = z + F.shiftleft(F.shiftright(F.col("dy"), k).bitwiseAND(F.lit(1)), 2 * k + 1)
+    (
+        base.select("o_orderkey", "cx", "dy", z.alias("zvalue"))
+        .repartitionByRange(n_files, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1489,3 +1489,100 @@ def test_dau_wau_mau_dedups_before_fanout(spark):
     plan = plan_of(df)
     # distinct aggregate (partial_count-free HashAggregate pair on day/user)
     assert plan.count("Generate") >= 2, plan[:1500]
+
+
+def test_compaction_collapses_file_count(spark):
+    """files_compact_small_files must leave the fragmented input (64
+    parts) intact and produce ceil(input_bytes / 1 MiB) output files —
+    strictly fewer; the rewrite is content-preserving (the oracle gate
+    asserts that side)."""
+    import math
+    import os
+
+    from duckdb_sudan__spark.sources.files import (
+        COMPACT_SMALL_PARTS,
+        COMPACT_TARGET_BYTES,
+        _compact_write,
+    )
+
+    path, n_small, n_out = _compact_write(spark, SF_DIR)
+    assert n_small == COMPACT_SMALL_PARTS
+    small_dir = os.path.join(os.path.dirname(path), "small")
+    in_bytes = sum(
+        os.path.getsize(os.path.join(small_dir, f))
+        for f in os.listdir(small_dir)
+        if f.endswith(".parquet")
+    )
+    assert n_out == max(1, math.ceil(in_bytes / COMPACT_TARGET_BYTES))
+    assert n_out < n_small
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """Files written clustered by zvalue must have footer min/max
+    ranges narrow in BOTH interleaved dims — the data-skipping
+    property a 1-D sort cannot give. Measured at sf0.01/16 files:
+    z-order ~58% global cx range and ~25% global dy range per file;
+    a cx-only sort leaves dy per-file ranges ~global."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_sudan__spark.sources.files import zorder_write
+    from duckdb_sudan__spark.session import load_table
+    from pyspark.sql import functions as F
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(spark, SF_DIR, zpath, n_files=16)
+
+    def file_ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None or name not in ("cx", "dy"):
+                        continue
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if mins:
+                out.append({k: maxs[k] - mins[k] for k in mins})
+        return out
+
+    zranges = file_ranges(zpath)
+    assert len(zranges) >= 8
+    o = load_table(spark, SF_DIR, "orders")
+    g = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("gcx"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("gdy"),
+    ).collect()[0]
+    gcx, gdy = g["gcx"], g["gdy"]
+    avg_cx = sum(r["cx"] for r in zranges) / len(zranges)
+    avg_dy = sum(r["dy"] for r in zranges) / len(zranges)
+    # BOTH dims materially tighter than global — the z-order guarantee
+    assert avg_cx < 0.7 * gcx, (avg_cx, gcx)
+    assert avg_dy < 0.35 * gdy, (avg_dy, gdy)
+
+    # baseline: same writer sorted by cx ONLY — cx gets razor-sharp but
+    # dy per-file range stays ~global; z-order beats it on dy by >= 2x
+    cpath = str(tmp_path / "cxsort")
+    (
+        o.select(
+            "o_orderkey",
+            (F.col("o_custkey") % (1 << 16)).cast("bigint").alias("cx"),
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast("bigint").alias("dy"),
+        )
+        .repartitionByRange(16, "cx")
+        .sortWithinPartitions("cx")
+        .write.mode("overwrite")
+        .parquet(cpath)
+    )
+    cranges = file_ranges(cpath)
+    avg_dy_base = sum(r["dy"] for r in cranges) / len(cranges)
+    assert avg_dy_base > 0.8 * gdy, (avg_dy_base, gdy)
+    assert avg_dy < 0.5 * avg_dy_base, (avg_dy, avg_dy_base)
