@@ -1056,3 +1056,94 @@ def dedup_translation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "lang_a", "lang_b", "cos")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_kmeans_lloyd — DISTRIBUTED Lloyd iterations over the full corpus
+# ---------------------------------------------------------------------------
+# ann_ivf_cosine trains its centroids on a driver-side capped sample
+# (fine for coarse quantization); this entry is the full-data k-means
+# a clustering/IVF-training job actually runs at 100 TB: per iteration
+# ONE Arrow map stage assigns every vector to its nearest centroid and
+# ONE map-combinable aggregate produces the K x dim component sums the
+# driver folds into the next model. Data never leaves the executors —
+# only the O(K·dim) model moves (broadcast out, aggregate back).
+
+KMEANS_K = 8
+KMEANS_LLOYD_ITERS = 4
+
+
+def kmeans_lloyd_history(spark: SparkSession, sf_dir: str):
+    """Run KMEANS_LLOYD_ITERS distributed Lloyd rounds; returns
+    (summary DataFrame, per-iteration inertia list). Init is the K
+    lowest-vec_id vectors (deterministic, orderBy + limit — a model-
+    sized collect). Assignment = squared-L2 argmin via one Arrow
+    kernel; update = posexplode + groupBy(cluster, pos) SUM — the
+    partial-agg shuffle is K·dim rows, the collect is the model, and
+    the inertia comes from the same aggregate (no extra pass)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = e.orderBy("vec_id").limit(KMEANS_K).collect()
+    cent = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seed_rows])
+    history: list[float] = []
+    assigned = None
+    for _ in range(KMEANS_LLOYD_ITERS):
+        cent_b = spark.sparkContext.broadcast(cent)
+
+        @F.pandas_udf("struct<cluster: int, sqdist: double>")
+        def assign(embs: pd.Series) -> pd.DataFrame:
+            c = cent_b.value
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, blockwise
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            best = np.argmin(d2, axis=1)
+            return pd.DataFrame(
+                {"cluster": best.astype(np.int32), "sqdist": d2[np.arange(len(x)), best]}
+            )
+
+        assigned = e.select(
+            "vec_id", "embedding", assign(F.col("embedding")).alias("a")
+        ).select("vec_id", "embedding", F.col("a.cluster").alias("cluster"), F.col("a.sqdist").alias("sqdist"))
+        upd = (
+            assigned.select("cluster", "sqdist", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("pos") == 0, F.col("sqdist")).otherwise(0.0)).alias("inertia_part"),
+            )
+            .collect()
+        )
+        history.append(sum(r.inertia_part for r in upd))
+        new_cent = cent.copy()
+        counts = {}
+        sums = np.zeros_like(cent)
+        for r in upd:
+            sums[r.cluster, r.pos] = r.s
+            counts[r.cluster] = r.n
+        for c in range(KMEANS_K):
+            if counts.get(c):
+                new_cent[c] = sums[c] / counts[c]
+        cent = new_cent
+    summary = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sqdist").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+    return summary, history, cent
+
+
+@register("emb_kmeans_lloyd")  # rows-only: iterative training isn't SQL-expressible
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + inertia after KMEANS_LLOYD_ITERS distributed
+    Lloyd rounds (see kmeans_lloyd_history). Property-tested: inertia
+    non-increasing across iterations, final assignment consistent with
+    a local numpy recompute at sf0.001 (tests/test_properties.py)."""
+    summary, _, _ = kmeans_lloyd_history(spark, sf_dir)
+    return summary

@@ -201,3 +201,102 @@ def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_daily_sketches", "approx_users_unioned", "approx_users_direct")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_countmin — Count-Min frequency estimates, exact-deterministic
+# ---------------------------------------------------------------------------
+# The mergeable fixed-size counter table for "how often does X occur"
+# at stream/corpus scale: d hash rows x w buckets of bigint counts,
+# updated map-side, merged by +. Unlike HLL register bytes, the whole
+# construction here is md5-hex integer arithmetic — identical in both
+# engines — so the ESTIMATES themselves carry a SQL oracle: estimate =
+# min over rows of the bucket counter, always >= the true count.
+
+CMS_ROWS = 4
+CMS_WIDTH = 256
+CMS_PROBES = 30  # top-N exact tokens, deterministic (n DESC, tok) order
+
+CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cms AS (
+  SELECT r, CAST(CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 4) AS INTEGER) % {CMS_WIDTH} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok, unnest([0, 1, 2, 3]) AS t(r)
+  GROUP BY r, bucket
+), probes AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM tok GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {CMS_PROBES}
+), est AS (
+  SELECT p.tok, p.exact_n, MIN(c.n) AS cms_est
+  FROM probes p
+  CROSS JOIN unnest([0, 1, 2, 3]) AS t(r)
+  JOIN cms c
+    ON c.r = t.r
+   AND c.bucket = CAST(CAST('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|' || p.tok), 1, 4) AS INTEGER) % {CMS_WIDTH} AS BIGINT)
+  GROUP BY p.tok, p.exact_n
+)
+SELECT tok, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, tok
+"""
+
+
+def _cms_bucket(r: int, tok_col):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(r)), F.lit("|"), tok_col)), 1, 4), 16, 10
+        ).cast("bigint") % CMS_WIDTH
+    )
+
+
+@register("sketch_countmin", CMS_ORACLE)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, probed with the
+    top-30 exact tokens: build the d x w counter table with ONE
+    map-side explode (token -> d (row, bucket) updates) and a
+    partial-agg shuffle bounded by d*w = 1024 rows, then answer each
+    probe with min over its d buckets. The CM guarantee (estimate >=
+    truth; overcount <= 2N/w w.h.p.) is visible in the emitted
+    `overcount` column and property-tested. At 100 TB the sketch IS
+    the shuffle: a KB-sized mergeable relation regardless of corpus
+    size — the frequency analogue of sketch_hll_partitioned_union."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    updates = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), _cms_bucket(r, F.col("tok")).alias("bucket"))
+                for r in range(CMS_ROWS)
+            ])
+        ).alias("u")
+    ).select(F.col("u.r").alias("r"), F.col("u.bucket").alias("bucket"))
+    cms = updates.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    probes = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(CMS_PROBES)
+    )
+    probe_buckets = probes.select(
+        "tok", "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), _cms_bucket(r, F.col("tok")).alias("bucket"))
+                for r in range(CMS_ROWS)
+            ])
+        ).alias("u"),
+    ).select("tok", "exact_n", F.col("u.r").alias("r"), F.col("u.bucket").alias("bucket"))
+    est = (
+        probe_buckets.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "tok", "exact_n",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "tok")

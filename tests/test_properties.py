@@ -368,3 +368,69 @@ def test_interval_grid_bucketing_exactly_once(a_ivs, b_ivs):
             if alo <= bhi and blo <= ahi
         ]
         assert sorted(got) == sorted(want)  # no duplicates, no misses
+
+
+def test_kmeans_lloyd_inertia_monotone_and_matches_local(spark):
+    """Distributed Lloyd == the textbook algorithm: (1) the
+    per-iteration inertia sequence never increases; (2) replaying the
+    same seeded iterations in local numpy on the same data reproduces
+    the final centroids and per-cluster counts."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_LLOYD_ITERS,
+        kmeans_lloyd_history,
+    )
+    from duckdb_sudan__spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    summary, hist, cent = kmeans_lloyd_history(spark, sf)
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1)), hist
+
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    c = x[:KMEANS_K].copy()
+    for _ in range(KMEANS_LLOYD_ITERS):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for k in range(KMEANS_K):
+            if (a == k).any():
+                c[k] = x[a == k].mean(axis=0)
+    # final distributed assignment was taken BEFORE the last update —
+    # recompute the local assignment against the pre-update model
+    c_pre = x[:KMEANS_K].copy()
+    for _ in range(KMEANS_LLOYD_ITERS - 1):
+        d2 = ((x[:, None, :] - c_pre[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for k in range(KMEANS_K):
+            if (a == k).any():
+                c_pre[k] = x[a == k].mean(axis=0)
+    d2 = ((x[:, None, :] - c_pre[None, :, :]) ** 2).sum(axis=2)
+    a_final = np.argmin(d2, axis=1)
+    want_counts = {k: int((a_final == k).sum()) for k in range(KMEANS_K) if (a_final == k).any()}
+    got_counts = {r.cluster: r.n_vecs for r in summary.collect()}
+    assert got_counts == want_counts
+    assert np.allclose(cent, c, atol=1e-9)
+
+
+def test_countmin_never_undercounts_and_bounded(spark, duck):
+    """CM guarantee on the shipped relation: estimate >= exact for
+    every probe, and overcount <= 2N/w for at least 3 of the 4 rows'
+    min (here: assert the reported min-estimate is within 4N/w — a
+    loose deterministic bound that would catch a broken hash or a
+    dropped update immediately)."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.sketches import CMS_WIDTH
+
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["sketch_countmin"](spark, SF_DIR).collect()
+    assert rows
+    n_total = duck.execute(
+        "SELECT COUNT(*) FROM (SELECT unnest(string_split(text,' ')) FROM documents)"
+    ).fetchone()[0]
+    for r in rows:
+        assert r.cms_est >= r.exact_n, r
+        assert r.overcount <= 4 * n_total / CMS_WIDTH, (r, n_total)
