@@ -179,3 +179,27 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained = spark.read.parquet(os.path.join(pairs_dir, "batch-*"))
         out = spark.createDataFrame(drained.collect(), drained.schema)
     return out.orderBy("id_a", "id_b")
+
+
+@register("stream_topk_trending")  # rows-only: ≡ batch top-k recompute (tested)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: hourly tumbling counts maintained BY THE
+    STREAM (watermarked windowed agg — the only stateful stage), with
+    the per-window top-3 rank applied as a view over the drained sink.
+    Ranking downstream of the stateful agg is the production shape:
+    append-mode streams cannot stack a rank window on an open agg, and
+    the sink-side rank costs one window over the tiny (window x type)
+    relation. Drained result ≡ the batch tumbling top-3 (asserted in
+    tests/test_sources_streaming.py)."""
+    from pyspark.sql.window import Window
+
+    base = run_stream_to_memory(spark, sf_dir, "tumbling")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), "event_type")
+    return (
+        base.select(
+            "window_start", "event_type", "n_events",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+        .orderBy("window_start", "rank")
+    )

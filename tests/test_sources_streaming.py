@@ -777,3 +777,36 @@ def test_incremental_index_commit_is_atomic_and_replay_safe(spark, tmp_path):
     assert dedup._read_index_manifest(index_dir) == ["delta-00000", "delta-00001"]
     assert n_indexed() == 11
     assert sorted(map(tuple, spark.read.parquet(f"{pairs_dir}/batch-00001").collect())) == p1
+
+
+def test_stream_topk_trending_matches_batch(spark):
+    """The drained trending top-3 per hour must equal the batch
+    recompute (same tumbling boundaries, same (n DESC, type) tiebreak)
+    — the stream adds incremental state, never different answers."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+
+    operators.load_all()
+    stream_rows = sorted(
+        map(tuple, QUERIES["stream_topk_trending"](spark, SF_DIR).collect())
+    )
+    e = load_table(spark, SF_DIR, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), "event_type")
+    batch = (
+        counts.select(
+            "window_start", "event_type", "n_events",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+    )
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert stream_rows == batch_rows
