@@ -144,9 +144,12 @@ def _sudan_oracles() -> dict[str, str]:
 #   ev_dau_wau_mau, cte_reused_aggregate, str_funcs2,
 #   num_funcs_parity, num_try_arith, dt_funcs2, sudan_state_areas,
 #   sudan_wb_yoy, pipeline_quality_report, dedup_cross_source_matrix,
-#   agg_weighted_avg
-# then the remaining r4 rows fill the rest (21 r7-wave + 29 of the 37
-# r4 rows; the 8 left-over r4 rows + rotation debt go to r9):
+#   agg_weighted_avg, ev_ab_test_lift, ts_ema_smoothing,
+#   ts_changepoint_cusum, text_perplexity_proxy,
+#   corpus_perplexity_buckets, files_compact_small_files,
+#   files_zorder_cluster, sketch_countmin
+# then the remaining r4 rows fill the rest (29 r7-wave + 21 of the 37
+# r4 rows; the 16 left-over r4 rows + rotation debt go to r9):
 #   map_event_counts, pivot_status, q1_pricing_summary,
 #   q3_shipping_priority, q4_order_priority, q7_volume_shipping,
 #   q10_returned_items, q14_promo_effect, q16_supplier_cnt,

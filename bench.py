@@ -62,6 +62,9 @@ HEADLINE = [
     # r7: the hashed-bigram linear quality gate — one JVM map stage,
     # keeps the zero-Python classifier path visible per-round
     "text_quality_classifier",
+    # r7w2: LM bit-surprisal scoring — token-grain explode + two
+    # count-grain shuffles; the perplexity-filter stage at corpus scale
+    "text_perplexity_proxy",
 ]
 
 

@@ -1415,3 +1415,115 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — ASYMMETRIC overlap (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+# Jaccard misses the "short doc verbatim inside a long doc" case by
+# construction (the union term swamps the intersection), which is why
+# the ngram tier blocks on len_bucket at all. Containment
+# |Sa ∩ Sb| / min(|Sa|,|Sb|) is the quote/embedding/boilerplate-
+# inclusion detector, and it must pair across DIFFERENT lengths — so
+# candidates come from a shared-shingle join, not a length block. Two
+# scale guards make that join safe: shingles are token 5-grams
+# (high-entropy keys) and any shingle with document frequency > DF_CAP
+# is excluded from pairing AND from the overlap space (a df-capped
+# shingle is corpus boilerplate; pair fan-out is bounded by
+# sum df^2 <= DF_CAP * total shingle occurrences).
+
+CONTAIN_K = 5       # token 5-gram shingles
+CONTAIN_DF_CAP = 64  # hot-shingle exclusion bound
+CONTAIN_TAU = 0.5
+
+CONTAINMENT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[s:s+{CONTAIN_K - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, length(toks) - {CONTAIN_K - 1})) AS s
+        FROM tok WHERE length(toks) >= {CONTAIN_K})
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {CONTAIN_DF_CAP}
+), shr AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shr GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN s.id_a ELSE s.id_b END AS id_small,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN s.id_b ELSE s.id_a END AS id_big,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small,
+       CAST(greatest(sa.n_sh, sb.n_sh) AS BIGINT) AS n_big,
+       s.n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE CAST(s.n_shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= {CONTAIN_TAU}
+ORDER BY id_small, id_big
+"""
+
+
+@register("dedup_containment", CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs >= CONTAIN_TAU with the contained (smaller
+    shingle-set) doc first. The intersection is COUNTED, never
+    materialized as lists: the shared-shingle equi-join grouped by
+    (id_a, id_b) yields |Sa ∩ Sb| directly (each distinct shared
+    shingle is one joined row), so the whole tier is three
+    map-combinable aggregates + one equi-join — the shape that
+    survives 100 TB, unlike per-pair list_intersect. The DF_CAP
+    exclusion is the same hot-key argument as the banded tiers'
+    sub-salt guard, applied symmetrically to pairing and scoring so
+    the score stays a true containment over the filtered space."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= CONTAIN_K
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - CONTAIN_K)).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", F.col("s") + 1, CONTAIN_K), " ").alias("shingle"),
+        )
+        .distinct()
+    )
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= CONTAIN_DF_CAP
+    ).select("shingle")
+    shr = sh.join(rare, "shingle", "leftsemi")
+    sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = shr.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = shr.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = shared.join(sa, "id_a").join(sb, "id_b")
+    n_small = F.least(F.col("n_a"), F.col("n_b"))
+    contain = F.col("n_shared").cast("double") / n_small.cast("double")
+    return (
+        scored.where(contain >= CONTAIN_TAU)
+        .select(
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+            n_small.cast("bigint").alias("n_small"),
+            F.greatest(F.col("n_a"), F.col("n_b")).cast("bigint").alias("n_big"),
+            "n_shared",
+            F.round(contain, 6).alias("containment"),
+        )
+        .orderBy("id_small", "id_big")
+    )

@@ -34,6 +34,42 @@ from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.streaming.events import events_stream
 
 
+
+_SINK_ROOT = "/root/repo/tmp/sinks"
+
+
+def _persist_result(df: DataFrame, sf_dir: str, name: str, fingerprint: str,
+                    partition_by: str | None = None) -> str:
+    """Persist a drained-sink relation under tmp/sinks/<sf>/<name> with
+    the repo-wide fingerprint + staging + rename discipline — the
+    executor-side replacement for the old collect()-materialization
+    (the rows never visit the driver; the 'copy out of the temp dir'
+    is a Spark write). Returns the final path; a current fingerprint
+    marker skips the rewrite so interleaved harnesses never delete a
+    directory another may be mid-read on."""
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    final = os.path.join(_SINK_ROOT, sf_base, name)
+    marker = os.path.join(final, "_sink_ok")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final
+    staging = f"{final}.staging-{os.getpid()}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+    with open(os.path.join(staging, "_sink_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        # concurrent same-sf build won the rename; content-equivalent
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
 def latest_per_user(df: DataFrame) -> DataFrame:
     """Latest-wins on user_id, ordered by (ts, event_id) — event_id
     breaks exact-timestamp ties deterministically."""
@@ -186,10 +222,11 @@ def stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         q.stop()
-        # materialize before the TemporaryDirectory vanishes
-        rows = spark.read.parquet(target)
-        out = spark.createDataFrame(rows.collect(), rows.schema)
-    return out.orderBy("user_id")
+        # persist executor-side before the TemporaryDirectory vanishes
+        # (a Spark write, not a driver collect — see _persist_result)
+        fp = f"v1:{os.path.getmtime(os.path.join(sf_dir, 'events.parquet'))}"
+        final = _persist_result(spark.read.parquet(target), sf_dir, "latest_by_user", fp)
+    return spark.read.parquet(final).orderBy("user_id")
 
 
 @register("stream_sink_partitioned")  # rows-only: native file sink round-trip
@@ -213,7 +250,15 @@ def stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         q.stop()
-        back = spark.read.parquet(out_dir)
-        counts = back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-        out = spark.createDataFrame(counts.collect(), counts.schema)
-    return out.orderBy("event_type")
+        # persist the partitioned tree executor-side, keeping the
+        # event_type layout so the count below is a partition-pruned read
+        fp = f"v1:{os.path.getmtime(os.path.join(sf_dir, 'events.parquet'))}"
+        final = _persist_result(
+            spark.read.parquet(out_dir), sf_dir, "by_type", fp, partition_by="event_type"
+        )
+    back = spark.read.parquet(final)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

@@ -1586,3 +1586,51 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
     avg_dy_base = sum(r["dy"] for r in cranges) / len(cranges)
     assert avg_dy_base > 0.8 * gdy, (avg_dy_base, gdy)
     assert avg_dy < 0.5 * avg_dy_base, (avg_dy, avg_dy_base)
+
+
+def test_perplexity_proxy_stays_jvm_and_join_shaped(spark):
+    """LM scoring must be pure JVM (no Python eval anywhere) and the
+    score join must be a real equi-join — the only nested-loop
+    allowed is the broadcast of the 1-row vocab scalar."""
+    df = QUERIES["text_perplexity_proxy"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("ArrowEvalPython" in n or "BatchEvalPython" in n for n in nodes), nodes
+    assert not any(n == "CartesianProduct" for n in nodes), nodes
+    assert any("Join" in n for n in nodes), nodes
+
+
+def test_ema_fuses_all_lags_into_one_window(spark):
+    """All 8 lag() calls share one window spec, so the plan must carry
+    exactly ONE Window node — 8 sorts would be the naive shape."""
+    df = QUERIES["ts_ema_smoothing"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n.startswith("Window")) == 1, nodes
+
+
+def test_cusum_broadcasts_type_stats(spark):
+    """The per-type stats relation (5 rows) joins back by broadcast,
+    never a shuffle join of the daily curve."""
+    df = QUERIES["ts_changepoint_cusum"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+
+
+def test_countmin_probe_join_is_broadcast(spark):
+    """The d*w-bounded sketch table must be the broadcast build side of
+    the probe join — the probe relation is 30 rows, the sketch 1024;
+    neither may shuffle the token stream a second time."""
+    df = QUERIES["sketch_countmin"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any(n == "CartesianProduct" for n in nodes), nodes
+
+
+def test_zorder_scan_prunes_to_three_columns(spark):
+    """The bucket aggregate needs only (o_custkey, o_orderdate);
+    Catalyst must prune every other orders column from the scan —
+    including o_orderkey, which the pre-aggregate projection carries
+    but the aggregate never consumes."""
+    df = QUERIES["files_zorder_cluster"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "o_custkey" in plan and "o_orderdate" in plan
+    assert "o_totalprice" not in plan and "o_comment" not in plan
