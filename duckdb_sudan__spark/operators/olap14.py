@@ -263,3 +263,72 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_runtime_filter — runtime semi-join reduction (Bloom)
+# ---------------------------------------------------------------------------
+
+BLOOM_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("join_bloom_runtime_filter", BLOOM_ORACLE)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third runtime-pruning tier after static pushdown and DPP:
+    when the selective dim side of a SHUFFLE join is too big to
+    broadcast (the normal state at 100 TB), Spark's InjectRuntimeFilter
+    builds a Bloom filter from the dim keys and applies might_contain()
+    on the fact side BEFORE its shuffle — fact rows that cannot match
+    never leave the map stage. The rule deliberately skips joins it
+    would rather broadcast, so this entry pins the shuffle-join regime
+    explicitly (autoBroadcastJoinThreshold=-1 for the query, restored
+    after planning) — at scale that regime is reached naturally and no
+    conf is touched. Result is layout/strategy-agnostic (plain join ⋈
+    agg, oracled); the might_contain injection is pinned by a plan
+    test. Integer-cents revenue for hash exactness."""
+    from duckdb_sudan__spark.session import load_table as _lt
+
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+    )
+    try:
+        li = _lt(spark, sf_dir, "lineitem")
+        o = _lt(spark, sf_dir, "orders")
+        dim = o.where(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+        ).select("o_orderkey")
+        out = (
+            li.join(dim, li.l_orderkey == dim.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # force plan resolution under the pinned confs (the optimized
+        # plan is cached on the DataFrame's QueryExecution)
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_thr,
+        )

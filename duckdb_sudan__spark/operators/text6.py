@@ -184,3 +184,64 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("bigint").alias("bucket"), "n_docs", "n_bigrams", "min_bits", "max_bits")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_train_valid — deterministic 3-way holdout split
+# ---------------------------------------------------------------------------
+
+SPLIT_VALID_PCT = 1  # % to valid
+SPLIT_TEST_PCT = 1   # % to test; rest is train
+
+SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT source, lang,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket,
+         length(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < {SPLIT_VALID_PCT} THEN 'valid'
+            WHEN bucket < {SPLIT_VALID_PCT + SPLIT_TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("dataset_split_train_valid", SPLIT_ORACLE)
+def dataset_split_train_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test holdout: md5(doc_id || ':split')
+    mod 100 buckets, first 1% valid / next 1% test — the assignment is
+    content- and cluster-size-independent, so re-running the pipeline
+    after adding data NEVER moves an old document across splits (the
+    leakage-safety property random splits lose). The ':split' salt
+    decorrelates from every other md5 assignment in the repo (shards,
+    A/B variants, samplers). Pure map + one partial-agg shuffle to the
+    (source, split) manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 4),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_VALID_PCT, "valid")
+        .when(bucket < SPLIT_VALID_PCT + SPLIT_TEST_PCT, "test")
+        .otherwise("train")
+    )
+    return (
+        d.select(
+            "source", split.alias("split"), F.size(F.split("text", " ")).alias("n_toks")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )

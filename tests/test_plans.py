@@ -1634,3 +1634,13 @@ def test_zorder_scan_prunes_to_three_columns(spark):
     plan = plan_of(df)
     assert "o_custkey" in plan and "o_orderdate" in plan
     assert "o_totalprice" not in plan and "o_comment" not in plan
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """In the pinned shuffle-join regime the optimizer must inject a
+    Bloom runtime filter: might_contain(...) applied on the fact side
+    BEFORE its shuffle (the map-side semi-join reduction that matters
+    when the dim is too big to broadcast)."""
+    df = QUERIES["join_bloom_runtime_filter"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "might_contain" in opt or "bloom" in opt, opt[:2000]
