@@ -332,3 +332,58 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             saved_thr,
         )
+
+
+# ---------------------------------------------------------------------------
+# agg_entropy_bits — log-free Shannon-entropy companion to Gini
+# ---------------------------------------------------------------------------
+
+ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY lang, source
+), agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(SUM(cnt * length(printf('%b', cnt))) AS BIGINT) AS sum_cnt_bits
+  FROM c GROUP BY lang
+)
+SELECT lang, n_sources, total,
+       CAST(total * length(printf('%b', total)) - sum_cnt_bits AS BIGINT) AS entropy_scaled_bits,
+       ROUND(CAST(total * length(printf('%b', total)) - sum_cnt_bits AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS mean_bits
+FROM agg
+ORDER BY lang
+"""
+
+
+@register("agg_entropy_bits", ENTROPY_ORACLE)
+def agg_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy diversity of each language's source mix, in the
+    same log-free integer form as text_perplexity_proxy: per-source
+    surprisal log2(total/cnt) approximated by bitlen(total)−bitlen(cnt)
+    (within 1 bit per term), weighted by cnt — entropy_scaled_bits =
+    total·bitlen(total) − Σ cnt·bitlen(cnt), ALL bigint arithmetic.
+    agg_gini_diversity ships the polynomial diversity measure because
+    true entropy() is libm-unstable across engines (its docstring);
+    this entry closes that gap with an oracled entropy in bit units —
+    the number a training-mix dashboard actually labels 'entropy'.
+    Two map-combinable aggregations, no join, no window."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def bitlen(col):
+        return F.length(F.conv(col.cast("string"), 10, 2)).cast("bigint")
+
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("cnt") * bitlen(F.col("cnt"))).cast("bigint").alias("sum_cnt_bits"),
+    )
+    scaled = F.col("total") * bitlen(F.col("total")) - F.col("sum_cnt_bits")
+    return agg.select(
+        "lang", "n_sources", "total",
+        scaled.cast("bigint").alias("entropy_scaled_bits"),
+        F.round(scaled.cast("double") / F.col("total").cast("double"), 6).alias("mean_bits"),
+    ).orderBy("lang")
