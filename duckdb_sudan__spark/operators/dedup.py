@@ -1432,6 +1432,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle is corpus boilerplate; pair fan-out is bounded by
 # sum df^2 <= DF_CAP * total shingle occurrences).
 
+# live persist() handle from the CURRENT dedup_containment invocation,
+# released at the start of the next one (the emb_knn_graph pattern) —
+# the df-capped shingle relation feeds FOUR consumers (sizes + both
+# join sides + the df filter's input); without the cache each one
+# recompiles the explode+distinct subtree (16 compiled exchanges).
+_CONTAIN_CACHE_HANDLES: list[DataFrame] = []
+
 CONTAIN_K = 5       # token 5-gram shingles
 CONTAIN_DF_CAP = 64  # hot-shingle exclusion bound
 CONTAIN_TAU = 0.5
@@ -1497,10 +1504,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    while _CONTAIN_CACHE_HANDLES:
+        _CONTAIN_CACHE_HANDLES.pop().unpersist()
+    sh = sh.persist()
+    _CONTAIN_CACHE_HANDLES.append(sh)
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= CONTAIN_DF_CAP
     ).select("shingle")
-    shr = sh.join(rare, "shingle", "leftsemi")
+    shr = sh.join(rare, "shingle", "leftsemi").persist()
+    _CONTAIN_CACHE_HANDLES.append(shr)
     sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     a = shr.select(F.col("doc_id").alias("id_a"), "shingle")
     b = shr.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -1644,3 +1644,12 @@ def test_bloom_runtime_filter_injected(spark):
     df = QUERIES["join_bloom_runtime_filter"](spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
     assert "might_contain" in opt or "bloom" in opt, opt[:2000]
+
+
+def test_containment_caches_shingle_relation(spark):
+    """The df-capped shingle relation feeds four consumers; each must
+    read the CACHE (InMemoryTableScan), not recompile the
+    explode+distinct subtree."""
+    df = QUERIES["dedup_containment"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
