@@ -17,6 +17,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 
 
+def sf_cache_key(sf_dir: str) -> str:
+    """Cache-directory key for an sf_dir: basename PLUS a hash of the
+    normalized absolute path — two distinct datasets whose directories
+    share a basename (e.g. two checkouts each holding an sf0.1) must
+    never share one tmp cache dir and thrash rebuilds via the mtime
+    fingerprint (ADVICE r7; same pattern as dedup._index_cache_dir).
+    The oracle globs keep matching: their sf path component is `*` and
+    the corpus_n row discriminator isolates each dataset's rows."""
+    import hashlib
+    import os
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    return f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+
+
 def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
@@ -139,7 +154,7 @@ def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
     from duckdb_sudan__spark.session import load_table
 
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sf_base = sf_cache_key(sf_dir)
     sub = {"csv": "csv", "json": "jsonl", "parquet": "parquet"}[fmt]
     final = os.path.join(_RT_ROOT, sf_base, sub)
     src = os.path.join(sf_dir, "documents.parquet")
@@ -288,7 +303,7 @@ def _stage_events_by_day(spark: SparkSession, sf_dir: str) -> str:
 
     from duckdb_sudan__spark.session import load_table
 
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sf_base = sf_cache_key(sf_dir)
     final = os.path.join(_DPP_ROOT, sf_base)
     src = os.path.join(sf_dir, "events.parquet")
     fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
@@ -391,7 +406,7 @@ ORDER BY c.c_mktsegment
         import os
         import shutil
 
-        sfb = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        sfb = sf_cache_key(sf_dir).replace(".", "_").replace("-", "_")
         to, tc = f"orders_bkt_{sfb}", f"customer_bkt_{sfb}"
         src_mtime = str(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
         stamp_key = f"spark.graft.bucketed.{sfb}"
@@ -465,7 +480,7 @@ def _schema_evo_write(spark: SparkSession, sf_dir: str) -> str:
 
     from duckdb_sudan__spark.session import load_table
 
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sf_base = sf_cache_key(sf_dir)
     final = os.path.join(_RT_ROOT, sf_base, "schema_evo")
     src = os.path.join(sf_dir, "documents.parquet")
     fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
@@ -566,7 +581,7 @@ def _compact_write(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
 
     from duckdb_sudan__spark.session import load_table
 
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sf_base = sf_cache_key(sf_dir)
     root = os.path.join(_RT_ROOT, sf_base, "compact")
     small, final = os.path.join(root, "small"), os.path.join(root, "compacted")
     src = os.path.join(sf_dir, "documents.parquet")

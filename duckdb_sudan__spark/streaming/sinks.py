@@ -35,6 +35,8 @@ from duckdb_sudan__spark.streaming.events import events_stream
 
 
 
+from duckdb_sudan__spark.sources.files import sf_cache_key
+
 _SINK_ROOT = "/root/repo/tmp/sinks"
 
 
@@ -47,7 +49,7 @@ def _persist_result(df: DataFrame, sf_dir: str, name: str, fingerprint: str,
     is a Spark write). Returns the final path; a current fingerprint
     marker skips the rewrite so interleaved harnesses never delete a
     directory another may be mid-read on."""
-    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    sf_base = sf_cache_key(sf_dir)
     final = os.path.join(_SINK_ROOT, sf_base, name)
     marker = os.path.join(final, "_sink_ok")
     if os.path.exists(marker):
