@@ -31,6 +31,7 @@ def load_all() -> None:
     from duckdb_sudan__spark.operators import (  # noqa: F401
         analytic,
         dedup,
+        graph,
         multimodal,
         olap2,
         olap3,
@@ -45,6 +46,7 @@ def load_all() -> None:
         olap12,
         olap13,
         olap14,
+        olap15,
         relational,
         similarity,
         sketches,
