@@ -1653,3 +1653,59 @@ def test_containment_caches_shingle_relation(spark):
     df = QUERIES["dedup_containment"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+
+
+def test_stl_broadcasts_seasonal_and_reuses_daily_aggregate(spark):
+    """The ≤|types|·7-row seasonal relation joins back broadcast, and
+    the seasonal branch's recompiled daily-aggregate subtree must be
+    deduplicated at runtime (ReusedExchange) — the events fact is
+    SCANNED AND AGGREGATED ONCE; only the cheap Window over the tiny
+    day×type relation runs per branch."""
+    df = QUERIES["ts_stl_decompose"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:1500]
+
+
+def test_winsorized_joins_cuts_broadcast(spark):
+    """The 5-row cutpoint relation must be the broadcast build side;
+    the fact reaches the counts aggregate through a partial
+    (map-side-combining) HashAggregate pair and is never shuffled
+    raw."""
+    df = QUERIES["agg_winsorized_trimmed"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any(n == "CartesianProduct" for n in nodes), nodes
+    assert sum(1 for n in nodes if n.startswith("HashAggregate")) >= 2, nodes
+
+
+def test_reservoir_sample_is_two_phase_not_window(spark):
+    """The fixed-k sample must use the two-phase top-k merge — NO
+    Window node (a per-lang window sort concentrates the corpus on
+    |langs| reducers)."""
+    df = QUERIES["sample_reservoir_per_group"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n.startswith("Window") for n in nodes), nodes
+    assert sum(1 for n in nodes if "Aggregate" in n) >= 2, nodes
+
+
+def test_kmv_sketch_is_two_phase_not_window(spark):
+    """All three k-minimum sketches merge via the two-phase pattern in
+    ONE pass over the distinct-user relation — no Window sort, no
+    cartesian."""
+    df = QUERIES["sketch_kmv_set_ops"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n.startswith("Window") for n in nodes), nodes
+    assert not any(n == "CartesianProduct" for n in nodes), nodes
+
+
+def test_list_parity_is_map_only_jvm(spark):
+    """Every array accessor is a JVM collection expression: no Python
+    eval, no Join; the only Exchange is the presentation sort's range
+    partitioning."""
+    df = QUERIES["list_funcs_parity"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("EvalPython" in n for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
