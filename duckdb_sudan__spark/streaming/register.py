@@ -203,3 +203,60 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("window_start", "rank")
     )
+
+
+@register("stream_quality_gate")  # rows-only: ≡ batch text_quality_classifier (tested)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier quality gate as a STREAMING filter — the shape
+    an ingestion pipeline actually deploys it in: documents arrive as
+    a file stream (maxFilesPerTrigger=1 → one micro-batch per shard
+    file), each micro-batch is scored by the SAME map-only JVM
+    expression as the batch entry (hashed-bigram linear classifier,
+    text5._qc_score_sum_expr — no Python eval, no state, no shuffle),
+    and keep/drop decisions append to the sink as they happen.
+    Stateless map ⇒ append mode with no watermark: every drained run
+    equals the batch text_quality_classifier relation exactly
+    (asserted in tests/test_sources_streaming.py) — the strongest
+    equivalence a streaming twin can have, because no state-expiry
+    timing is involved at all."""
+    import os
+    import tempfile
+
+    from duckdb_sudan__spark.operators.text5 import _qc_score_sum_expr
+    from duckdb_sudan__spark.session import load_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "docs")
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        scored = (
+            stream.select(
+                "doc_id", "lang",
+                F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+                toks.alias("toks"),
+            )
+            .select("doc_id", "lang", "n_bigrams", _qc_score_sum_expr().alias("score_sum"))
+            .select(
+                "doc_id", "lang", "n_bigrams", "score_sum",
+                (F.col("score_sum") >= 0).alias("keep"),
+            )
+        )
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("stream_quality_gate_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        drained = spark.table("stream_quality_gate_sink")
+        out = spark.createDataFrame(drained.collect(), drained.schema)
+    return out.orderBy("doc_id")

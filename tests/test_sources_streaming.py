@@ -810,3 +810,16 @@ def test_stream_topk_trending_matches_batch(spark):
     )
     batch_rows = sorted(map(tuple, batch.collect()))
     assert stream_rows == batch_rows
+
+
+def test_stream_quality_gate_matches_batch(spark):
+    """The streaming classifier gate is a stateless map, so the
+    drained stream must equal the batch relation EXACTLY — same rows,
+    same scores, same keep bits."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    got = sorted(map(tuple, QUERIES["stream_quality_gate"](spark, SF_DIR).collect()))
+    want = sorted(map(tuple, QUERIES["text_quality_classifier"](spark, SF_DIR).collect()))
+    assert got == want
