@@ -150,9 +150,10 @@ def _sudan_oracles() -> dict[str, str]:
 #   files_zorder_cluster, sketch_countmin, dedup_containment,
 #   join_bloom_runtime_filter, dataset_split_train_valid,
 #   agg_entropy_bits, ts_stl_decompose, agg_winsorized_trimmed,
-#   sample_reservoir_per_group, sketch_kmv_set_ops, list_funcs_parity
-# then the remaining r4 rows fill the rest (38 r7-wave + 12 of the 37
-# r4 rows; the 25 left-over r4 rows + rotation debt go to r9):
+#   sample_reservoir_per_group, sketch_kmv_set_ops, list_funcs_parity,
+#   ts_holt_linear
+# then the remaining r4 rows fill the rest (39 r7-wave + 11 of the 37
+# r4 rows; the 26 left-over r4 rows + rotation debt go to r9):
 #   map_event_counts, pivot_status, q1_pricing_summary,
 #   q3_shipping_priority, q4_order_priority, q7_volume_shipping,
 #   q10_returned_items, q14_promo_effect, q16_supplier_cnt,

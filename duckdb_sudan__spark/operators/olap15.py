@@ -482,3 +482,104 @@ def list_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear — Holt's linear (double exponential) smoothing
+# ---------------------------------------------------------------------------
+
+HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y_um,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(date_trunc('day', ts) AS TIMESTAMP)) AS i
+  FROM events GROUP BY 1, 2
+), holt AS (
+  SELECT event_type, day, i, y_um, y_um AS level_um, CAST(0 AS BIGINT) AS trend_um
+  FROM daily WHERE i = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.i, d.y_um,
+         CAST(floor(CAST(d.y_um + h.level_um + h.trend_um AS DOUBLE) / 2.0) AS BIGINT),
+         CAST(floor(CAST(h.trend_um
+              + (CAST(floor(CAST(d.y_um + h.level_um + h.trend_um AS DOUBLE) / 2.0) AS BIGINT)
+                 - h.level_um) AS DOUBLE) / 2.0) AS BIGINT)
+  FROM daily d JOIN holt h ON h.event_type = d.event_type AND d.i = h.i + 1
+)
+SELECT event_type, day,
+       level_um, trend_um,
+       CAST(level_um AS DOUBLE) / 1000000.0 AS level,
+       CAST(trend_um AS DOUBLE) / 1000000.0 AS trend,
+       CAST(level_um + trend_um AS DOUBLE) / 1000000.0 AS forecast_next
+FROM holt ORDER BY event_type, day
+"""
+
+
+def _holt_kernel(pdf):
+    """Per-type Holt recursion with dyadic α=β=1/2 over INTEGER
+    micro-unit state, replicating the oracle's recursive CTE op
+    sequence verbatim: level' = ⌊(y + level + trend)/2⌋, trend' =
+    ⌊(trend + (level' − level))/2⌋ — floor-halving of exact integers
+    (Python // floors; the oracle spells floor()/2.0 explicitly, and
+    the operands stay < 2^53 so its double detour is exact). Integer
+    state ⇒ NO presentation rounding anywhere — the free-double
+    version of this recursion produces shallow dyadic rationals whose
+    decimal expansions tie exactly at the 6th digit, where Spark's
+    HALF_UP and DuckDB's multiply-nearbyint ROUND paths disagree
+    (measured at sf0.1)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    y = [int(v) for v in pdf["y_um"]]
+    levels, trends = [], []
+    lv, tr = y[0], 0
+    levels.append(lv), trends.append(tr)
+    for t in range(1, len(y)):
+        nl = (y[t] + lv + tr) // 2
+        tr = (tr + (nl - lv)) // 2
+        lv = nl
+        levels.append(lv), trends.append(tr)
+    return pd.DataFrame(
+        {"event_type": pdf["event_type"], "day": pdf["day"],
+         "level_um": levels, "trend_um": trends}
+    )
+
+
+@register("ts_holt_linear", HOLT_ORACLE)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    per-type totals, with the one-step-ahead forecast level+trend —
+    the trend-aware upgrade of ts_ema_smoothing every capacity
+    forecast starts from. The COUPLED two-state recursion has no
+    window-function closed form (unlike single EMA's lag expansion),
+    so this entry is the repo's bridge case: a recursive CTE in the
+    oracle ⇄ a per-group Arrow kernel in Spark, kept bit-identical by
+    QUANTIZED state — dyadic α=β=1/2 as integer floor-halving of
+    micro-units (the dither-free quantized smoother embedded systems
+    ship for exactly this reproducibility reason). No ROUND is
+    emitted at all: the integer state IS the contract, and the three
+    presentation doubles are single divisions of exact ints
+    (DETERMINISM.md; a free-double dyadic recursion decimal-ties at
+    the 6th digit where the engines' rounding modes split — measured).
+
+    Plan: one partial-agg shuffle of the fact to the day×type grain,
+    then ONE ArrowEvalPython over that tiny aggregate (bounded by
+    days×types, not row count — the same applyInPandas posture as
+    emb_knn_graph's cells)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("y_um"))
+    )
+    smoothed = daily.groupBy("event_type").applyInPandas(
+        _holt_kernel, "event_type string, day timestamp, level_um long, trend_um long"
+    )
+    return (
+        smoothed.select(
+            "event_type", "day", "level_um", "trend_um",
+            (F.col("level_um").cast("double") / F.lit(1_000_000.0)).alias("level"),
+            (F.col("trend_um").cast("double") / F.lit(1_000_000.0)).alias("trend"),
+            ((F.col("level_um") + F.col("trend_um")).cast("double") / F.lit(1_000_000.0)).alias("forecast_next"),
+        )
+        .orderBy("event_type", "day")
+    )

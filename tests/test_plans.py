@@ -1709,3 +1709,13 @@ def test_list_parity_is_map_only_jvm(spark):
     nodes = plan_nodes(df)
     assert not any("EvalPython" in n for n in nodes), nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+def test_holt_kernel_is_one_arrow_stage_on_aggregate(spark):
+    """The Holt recursion runs as ONE ArrowEvalPython/FlatMapGroups
+    stage over the day×type aggregate — the fact reaches it through a
+    partial HashAggregate pair, never raw."""
+    df = QUERIES["ts_holt_linear"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "FlatMapGroupsInPandas" in n) == 1, nodes
+    assert sum(1 for n in nodes if n.startswith("HashAggregate")) >= 2, nodes
