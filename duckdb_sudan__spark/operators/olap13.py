@@ -17,6 +17,11 @@ from pyspark.sql.window import Window
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.session import load_table
 
+# cte_reused_aggregate's materialized-CTE cache, released on the next
+# invocation (same handle-list discipline as dedup._CONTAIN_CACHE_HANDLES
+# — repeated calls in one process must not accumulate cached relations).
+_CTE_CACHE_HANDLES: list[DataFrame] = []
+
 # ---------------------------------------------------------------------------
 # ev_multitouch_attribution — linear credit across pre-purchase views
 # ---------------------------------------------------------------------------
@@ -202,8 +207,7 @@ mau AS (
   WHERE m_day <= (SELECT hi FROM bounds)
   GROUP BY m_day
 )
-SELECT d.day, d.dau, w.wau, m.mau,
-       ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+SELECT d.day, d.dau, w.wau, m.mau
 FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
 ORDER BY d.day
 """
@@ -221,7 +225,12 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. Window-end days past the corpus horizon are dropped;
     early days aggregate partial windows (industry convention).
     Plan: one distinct shuffle on (day, user), two explode+distinct
-    aggregates, three broadcastable day-level joins."""
+    aggregates, three broadcastable day-level joins. Emits the
+    INTEGER dau/wau/mau columns only — the DAU/MAU stickiness ratio
+    is left to the consumer because dau/mau reduces to denominators
+    up to 2^7·5^7, where ROUND(x, 6) hits true .XXXXXX5 ties and
+    Spark HALF_UP disagrees with DuckDB half-even (ADVICE r7;
+    DETERMINISM.md)."""
     e = load_table(spark, sf_dir, "events")
     day_users = e.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
@@ -249,13 +258,7 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(rolling(7, "wau"), "day")
         .join(rolling(28, "mau"), "day")
-        .select(
-            "day",
-            "dau",
-            "wau",
-            "mau",
-            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
-        )
+        .select("day", "dau", "wau", "mau")
         .orderBy("day")
     )
 
@@ -312,7 +315,10 @@ def cte_reused_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    while _CTE_CACHE_HANDLES:
+        _CTE_CACHE_HANDLES.pop().unpersist()
     rev.cache()
+    _CTE_CACHE_HANDLES.append(rev)
     totals = rev.agg(
         F.sum("revenue").alias("total"), F.avg("revenue").alias("avg_rev")
     )

@@ -259,10 +259,17 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     which thresholds a FRACTION rather than pinning a count.
 
     Plan: the two-phase top-k posture (agg_topk_orders): phase 1
-    prunes to a local k-minimum per (lang, input-partition) — the
+    SHIPS only a local k-minimum per (lang, input-partition) — the
     full corpus never concentrates on |langs| reducers — and phase 2
     merges the ≤k·partitions survivors per language. Correct because
     a global k-minimum element is a local k-minimum of its partition.
+    State honesty: phase 1's collect_list buffers one input
+    partition's (md5, id) structs before sort_array+slice evaluates,
+    so per-TASK memory is O(partition rows), not O(k) — the pruning
+    bounds the post-shuffle PAYLOAD, which is the 100 TB lever
+    (reducer concentration), while partition-sized task buffers are
+    already the scan-batch regime. A strictly O(k)-state local pass
+    would need an Arrow kernel; not worth leaving the JVM here.
     md5 hex is lowercase on both engines, so lexicographic order
     agrees."""
     d = load_table(spark, sf_dir, "documents")
@@ -372,8 +379,10 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one partial-agg shuffle to the distinct-user grain with
     per-set membership flags, then the two-phase k-minimum merge
     (local k smallest per input partition → global k) — the same
-    no-concentration posture as sample_reservoir_per_group; the
-    result is a single row."""
+    no-concentration posture as sample_reservoir_per_group, with the
+    same state-honesty caveat (phase 1's task buffer is one input
+    partition, only the shuffled payload is O(k)); the result is a
+    single row."""
     e = load_table(spark, sf_dir, "events")
     users = (
         e.where(F.col("event_type").isin("click", "view"))

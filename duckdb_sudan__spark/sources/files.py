@@ -32,6 +32,34 @@ def sf_cache_key(sf_dir: str) -> str:
     return f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
+def _prune_stale_siblings(root: str, sf_base: str) -> None:
+    """Remove cache dirs under `root` that share sf_base's BASENAME but
+    carry a different path hash (plus any pre-hash bare-basename dir
+    from the old layout). Without this, two checkouts of the SAME
+    dataset (same basename, same corpus_n) would each stage a sibling
+    dir, the static oracle glob would match BOTH, and DuckDB would
+    double-count rows the Spark side reads once (ADVICE r7, medium).
+    Invariant after every stage: at most ONE cache dir per basename,
+    so the glob + corpus_n discriminator is exact again. Trade-off: a
+    harness reading the same-basename dataset from a DIFFERENT
+    checkout concurrently loses its cache dir mid-read — relocating a
+    live testdata tree mid-run is outside the concurrency contract
+    (distinct SFs, the supported case, have distinct basenames and are
+    never pruned)."""
+    import os
+    import shutil
+
+    base = sf_base.rsplit("-", 1)[0]
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        stale = name == base or (
+            name.startswith(f"{base}-") and name != sf_base and ".staging-" not in name
+        )
+        if stale:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
@@ -155,6 +183,7 @@ def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     from duckdb_sudan__spark.session import load_table
 
     sf_base = sf_cache_key(sf_dir)
+    _prune_stale_siblings(_RT_ROOT, sf_base)
     sub = {"csv": "csv", "json": "jsonl", "parquet": "parquet"}[fmt]
     final = os.path.join(_RT_ROOT, sf_base, sub)
     src = os.path.join(sf_dir, "documents.parquet")
@@ -304,6 +333,7 @@ def _stage_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     from duckdb_sudan__spark.session import load_table
 
     sf_base = sf_cache_key(sf_dir)
+    _prune_stale_siblings(_DPP_ROOT, sf_base)
     final = os.path.join(_DPP_ROOT, sf_base)
     src = os.path.join(sf_dir, "events.parquet")
     fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
@@ -481,6 +511,7 @@ def _schema_evo_write(spark: SparkSession, sf_dir: str) -> str:
     from duckdb_sudan__spark.session import load_table
 
     sf_base = sf_cache_key(sf_dir)
+    _prune_stale_siblings(_RT_ROOT, sf_base)
     final = os.path.join(_RT_ROOT, sf_base, "schema_evo")
     src = os.path.join(sf_dir, "documents.parquet")
     fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
@@ -582,6 +613,7 @@ def _compact_write(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
     from duckdb_sudan__spark.session import load_table
 
     sf_base = sf_cache_key(sf_dir)
+    _prune_stale_siblings(_RT_ROOT, sf_base)
     root = os.path.join(_RT_ROOT, sf_base, "compact")
     small, final = os.path.join(root, "small"), os.path.join(root, "compacted")
     src = os.path.join(sf_dir, "documents.parquet")

@@ -146,9 +146,15 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest), its pairs land in an idempotent per-batch dir, and its
     signatures commit into the index via the atomic manifest swap.
     Drained output equals the one-shot batch dedup_incremental exactly
-    (asserted in tests/test_sources_streaming.py), and a crash between
-    delta write and manifest commit is replay-safe (crash-window
-    test)."""
+    WHILE no shard band-bucket exceeds BUCKET_CAP (the equality
+    regime, true of the served corpora): batch subsalts the whole-
+    shard self-join (dropping cross-sub pairs in hot buckets) while
+    streaming routes cross-batch shard pairs through the unsalted
+    corpus join, so on a bucket-skewed shard the streaming twin can
+    emit pairs the batch entry's subsalt guard drops (asserted with
+    this regime qualifier in tests/test_sources_streaming.py). A crash
+    between delta write and manifest commit is replay-safe
+    (crash-window test)."""
     import os
     import tempfile
 

@@ -1241,10 +1241,10 @@ def test_parquet_roundtrip_writes_hive_partitions(spark, tmp_path):
     import glob
     import os
 
-    from duckdb_sudan__spark.sources.files import _RT_ROOT
+    from duckdb_sudan__spark.sources.files import _RT_ROOT, sf_cache_key
 
     QUERIES["files_parquet_roundtrip"](spark, SF_DIR).collect()
-    base = os.path.join(_RT_ROOT, "sf0.01", "parquet")
+    base = os.path.join(_RT_ROOT, sf_cache_key(SF_DIR), "parquet")
     dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(base, "lang=*")))
     assert dirs and all(d.startswith("lang=") for d in dirs)
 

@@ -103,6 +103,30 @@ def test_file_roundtrip(spark):
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_prune_stale_siblings_removes_same_basename_other_hash(tmp_path):
+    """ADVICE r7 (medium): a sibling cache dir with the SAME basename
+    but a different path hash (second checkout of the same dataset, or
+    the old pre-hash layout) must be pruned at staging, else the
+    static oracle glob matches both dirs and double-counts. Different
+    basenames (other SFs) must survive."""
+    import os
+
+    from duckdb_sudan__spark.sources.files import _prune_stale_siblings, sf_cache_key
+
+    root = str(tmp_path)
+    sf_dir = str(tmp_path / "data" / "sf0.01")
+    key = sf_cache_key(sf_dir)
+    for name in (key, "sf0.01-deadbeef", "sf0.01", "sf0.1-cafe0123", f"{key}.staging-99"):
+        os.makedirs(os.path.join(root, name, "csv"), exist_ok=True)
+    _prune_stale_siblings(root, key)
+    left = sorted(os.listdir(root))
+    assert key in left                       # our own dir survives
+    assert "sf0.01-deadbeef" not in left     # poisoned twin pruned
+    assert "sf0.01" not in left              # legacy layout pruned
+    assert "sf0.1-cafe0123" in left          # other SF untouched
+    assert f"{key}.staging-99" in left       # in-flight staging untouched
+
+
 def test_stream_tumbling_matches_batch(spark):
     """Streaming tumbling agg == batch ev_tumbling (no late data in a
     replayed static file, so watermark drops nothing)."""
