@@ -167,32 +167,44 @@ def _sudan_oracles() -> dict[str, str]:
 #   unpivot_nation_counts, w1_window_rank, w2_window_running,
 #   w4_value_windows
 _WINDOW_PRIORITY = [
-    # -- 1-15: r6-wave OLAP window/aggregate/join (olap11/olap12/olap5) --
-    "win_lead_lag", "join_full_outer", "groupby_all_sales",
-    "select_exclude_replace", "agg_mad_robust", "ev_asof_tolerance",
-    "pivot_multi_agg", "ev_anomaly_zscore", "rollup_share_of_parent",
-    "win_gaps_islands", "ev_concurrency_curve", "str_format_parity",
-    "agg_corr_matrix", "win_pareto_abc", "ev_funnel_rates",
-    # -- 16-24: r6-wave joins / setops / timeseries (olap12) -------------
-    "join_scd2_lookup", "ts_gapfill_interpolate", "win_sliding_median",
-    "join_interval_overlap", "ev_top_paths", "join_relational_division",
-    "ts_seasonal_naive", "ev_session_bounce_rate",
-    "setops_not_in_null_semantics",
-    # -- 25-36: r6-wave LLM-pipeline (text4, dedup, similarity, olap12) --
-    "ann_mips_dot", "emb_matryoshka_truncate", "bpe_pair_counts",
-    "corpus_dedup_rate_by_source", "text_gopher_filters",
-    "vocab_coverage_rate", "dataset_epoch_interleave",
-    "decontaminate_embedding", "dedup_canonical_docs",
-    "dedup_translation_pairs", "corpus_vocab_growth",
-    "pipeline_decontaminate_report",
-    # -- 37-39: r6-wave sources (files) ----------------------------------
-    "files_parquet_roundtrip", "files_dpp_partitioned_join",
-    "files_bucketed_join",
-    # -- 40-50: the 11 alphabetically-first stale-r4 rows ----------------
-    "agg_argmax", "agg_bitwise", "agg_bool", "agg_median", "cte_topn",
-    "cube_sales", "distinct_types", "ev_funnel", "ev_retention_cohorts",
-    "list_lambda_docs", "listagg_nations",
+    # ================= r8 window (the committed r7-close plan) =========
+    # -- 1-39: ALL oracled entries ADDED in r7 (dual-SF dual-mode
+    #          verified locally on registration, never driver-checked) --
+    "dedup_repeated_spans", "text_quality_classifier",
+    "quality_keep_rates_by_lang", "span_dedup_cut_rate",
+    "dedup_cluster_size_histogram", "ts_yoy_growth",
+    "sample_quality_weighted", "files_schema_evolution",
+    "ev_multitouch_attribution", "ev_conversion_lag_quantiles",
+    "ev_dau_wau_mau", "cte_reused_aggregate", "str_funcs2",
+    "num_funcs_parity", "num_try_arith", "dt_funcs2",
+    "sudan_state_areas", "sudan_wb_yoy", "pipeline_quality_report",
+    "dedup_cross_source_matrix", "agg_weighted_avg", "ev_ab_test_lift",
+    "ts_ema_smoothing", "ts_changepoint_cusum", "text_perplexity_proxy",
+    "corpus_perplexity_buckets", "files_compact_small_files",
+    "files_zorder_cluster", "sketch_countmin", "dedup_containment",
+    "join_bloom_runtime_filter", "dataset_split_train_valid",
+    "agg_entropy_bits", "ts_stl_decompose", "agg_winsorized_trimmed",
+    "sample_reservoir_per_group", "sketch_kmv_set_ops",
+    "list_funcs_parity", "ts_holt_linear",
+    # -- 40-50: the 11 first (in the r7-close listing order) of the 37
+    #           stale-r4 rows; the 26 left-overs are the r9 window ------
+    "map_event_counts", "pivot_status", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
+    "q10_returned_items", "q14_promo_effect", "q16_supplier_cnt",
+    "q17_small_qty", "q18_large_orders",
 ]
+
+# r9 window priority, computed at r8 open: first any oracled entries
+# ADDED in r8 (dual-SF dual-mode verified on registration), then the 26
+# remaining r4-stale rows:
+#   q19_disjunctive, q20_heavy_shippers, q21_waiting_supplier,
+#   qualify_top_orders, recursive_cte_chain, rollup_sales,
+#   setops_customers, sudan_boundaries_state, sudan_fao, sudan_geocode,
+#   sudan_ilo, sudan_providers, sudan_search, sudan_states,
+#   sudan_unhcr, sudan_wb_indicators, sudan_who, sudan_who_indicators,
+#   sudan_worldbank, tok_positions, ts_locf_fill, ts_ohlc_hourly,
+#   unpivot_nation_counts, w1_window_rank, w2_window_running,
+#   w4_value_windows
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
