@@ -1147,3 +1147,135 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     a local numpy recompute at sf0.001 (tests/test_properties.py)."""
     summary, _, _ = kmeans_lloyd_history(spark, sf_dir)
     return summary
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_clusters — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+# The production dedup tier ABOVE near-dup: documents that are not
+# textual copies but say the same thing land close in embedding space,
+# and pruning them shrinks a crawl corpus 2-4x at equal model quality.
+# The tractability bound that makes this runnable at 100 TB is the
+# SemDeDup composition itself: train k-means (emb_kmeans_lloyd's
+# distributed Lloyd — only the O(K·dim) model crosses the driver),
+# assign every vector once, then generate cosine pairs ONLY INSIDE a
+# cluster — pairing cost is sum(|cluster|^2), never |corpus|^2, and
+# each cluster's decision runs in one Arrow task (groupBy(cluster) ->
+# applyInPandas: ONE shuffle on the cluster id, no join anywhere —
+# plan-pinned). At 100 TB you raise K so max|cluster| stays
+# task-sized; skew in cluster sizes degrades to a slow task, not a
+# blow-up (and an oversized cluster could be sub-blocked exactly like
+# dedup_embedding's label blocks).
+#
+# Keep/drop rule (dedup_canonical_docs' policy transplanted to
+# embedding space): within each within-cluster τ-component the
+# CANONICAL member is the one closest to the trained centroid (most
+# representative copy — the embedding analogue of keep-the-richest;
+# ties break to the lowest vec_id), everything else is marked drop.
+# Components, not raw pairs, so the decision is stable under pair
+# enumeration order (a drop row names its kept canonical).
+#
+# Rows-only: k-means training is iterative (no SQL oracle possible —
+# same class as emb_kmeans_lloyd); equivalence vs a straight-line
+# local numpy replay of assign+pair+union-find is pinned exact in
+# tests/test_properties.py, and the no-join single-shuffle shape in
+# tests/test_plans.py.
+
+SEMDEDUP_TAU = 0.35  # ~10-25% drop rate on the served corpora (calibrated)
+
+
+def _semdedup_decide(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cluster SemDeDup decision (runs once per cluster inside
+    applyInPandas; module-level so the numpy-replay test drives the
+    IDENTICAL code path locally). Deterministic: members sorted by
+    vec_id, cosine from one float64 Gram matrix, union-find over
+    τ-edges, canonical = argmin (sqdist, vec_id) per component."""
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    sq = pdf["sqdist"].to_numpy(dtype=np.float64)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.sqrt((X * X).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (X @ X.T) / np.outer(norms, norms)
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ii, jj = np.nonzero(np.triu(cos >= SEMDEDUP_TAU, k=1))
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    canon = np.empty(n, dtype=np.int64)
+    group = np.empty(n, dtype=np.int64)
+    for r in np.unique(roots):
+        m = roots == r
+        mi = np.nonzero(m)[0]
+        best = mi[np.lexsort((ids[mi], sq[mi]))[0]]
+        canon[m] = ids[best]
+        group[m] = ids[mi[0]]  # members sorted by vec_id -> min id
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster": pdf["cluster"].to_numpy(dtype=np.int32),
+            "group_id": group,
+            "canonical_id": canon,
+            "is_canonical": ids == canon,
+        }
+    )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str, cent: np.ndarray | None = None) -> DataFrame:
+    """assign -> per-cluster decide, against `cent` (or train via
+    kmeans_lloyd_history when None). Assignment is the same blockwise
+    ||x||²-2x·c+||c||² Arrow kernel as training (row-independent, so
+    batching never changes a row's result)."""
+    if cent is None:
+        _, _, cent = kmeans_lloyd_history(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_b = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("struct<cluster: int, sqdist: double>")
+    def assign(embs: pd.Series) -> pd.DataFrame:
+        c = cent_b.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        best = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cluster": best.astype(np.int32), "sqdist": d2[np.arange(len(x)), best]}
+        )
+
+    assigned = e.select(
+        "vec_id", "embedding", assign(F.col("embedding")).alias("a")
+    ).select(
+        "vec_id", "embedding",
+        F.col("a.cluster").alias("cluster"), F.col("a.sqdist").alias("sqdist"),
+    )
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(
+            _semdedup_decide,
+            "vec_id long, cluster int, group_id long, canonical_id long, is_canonical boolean",
+        )
+        .orderBy("cluster", "vec_id")
+    )
+
+
+@register("dedup_semantic_clusters")  # rows-only: iterative k-means upstream
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop relation over the embeddings table: one row
+    per vector with its cluster, its within-cluster τ-component, the
+    component's canonical member and the keep flag — the relation a
+    semantic-pruning job feeds to the deletion step (exactly like
+    dedup_canonical_docs for textual near-dups)."""
+    return semantic_dedup(spark, sf_dir)

@@ -1719,3 +1719,21 @@ def test_holt_kernel_is_one_arrow_stage_on_aggregate(spark):
     nodes = plan_nodes(df)
     assert sum(1 for n in nodes if "FlatMapGroupsInPandas" in n) == 1, nodes
     assert sum(1 for n in nodes if n.startswith("HashAggregate")) >= 2, nodes
+
+
+def test_semantic_dedup_pairs_only_inside_clusters(spark):
+    """The SemDeDup tractability bound in the plan: after the Arrow
+    assignment stage there is exactly ONE shuffle (on the cluster id)
+    feeding one FlatMapGroupsInPandas, and NO join anywhere — pairwise
+    cosine work can only happen inside a cluster's task."""
+    from duckdb_sudan__spark.operators.similarity import kmeans_lloyd_history, semantic_dedup
+
+    _, _, cent = kmeans_lloyd_history(spark, SF_DIR)
+    df = semantic_dedup(spark, SF_DIR, cent=cent)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n or "CartesianProduct" in n for n in nodes), nodes
+    assert any("FlatMapGroupsInPandas" in n for n in nodes)
+    shuffles = [n for n in nodes if "Exchange" in n and "Sort" not in n]
+    plan = plan_of(df)
+    # one hashpartitioning exchange on cluster + the output rangepartitioning
+    assert plan.count("hashpartitioning(cluster") == 1, plan

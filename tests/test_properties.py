@@ -434,3 +434,48 @@ def test_countmin_never_undercounts_and_bounded(spark, duck):
     for r in rows:
         assert r.cms_est >= r.exact_n, r
         assert r.overcount <= 4 * n_total / CMS_WIDTH, (r, n_total)
+
+
+def test_semantic_dedup_matches_local_replay(spark):
+    """dedup_semantic_clusters == a straight-line local replay: same
+    trained centroids, same blockwise assignment arithmetic, and the
+    SAME per-cluster decision code (_semdedup_decide) driven locally
+    over pandas groups — the distribution (Arrow batching, shuffle,
+    task placement) must not change a single keep/drop decision."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_sudan__spark.operators.similarity import (
+        _semdedup_decide,
+        kmeans_lloyd_history,
+        semantic_dedup,
+    )
+    from duckdb_sudan__spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    _, _, cent = kmeans_lloyd_history(spark, sf)
+    got = sorted(map(tuple, semantic_dedup(spark, sf, cent=cent).collect()))
+
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    a = np.argmin(d2, axis=1).astype(np.int32)
+    sq = d2[np.arange(len(X)), a]
+    want = []
+    for k in sorted(set(a.tolist())):
+        m = a == k
+        pdf = pd.DataFrame(
+            {
+                "vec_id": ids[m],
+                "embedding": [X[i] for i in np.nonzero(m)[0]],
+                "cluster": a[m],
+                "sqdist": sq[m],
+            }
+        )
+        out = _semdedup_decide(pdf)
+        want.extend(map(tuple, out.itertuples(index=False)))
+    assert got == sorted(want)
+    drops = sum(1 for t in got if not t[4])
+    assert 0 < drops < len(got)  # some dups found, not everything merged

@@ -50,6 +50,10 @@ OPS = [
     # (~linear); CMS is a fixed d×w sketch (the shuffle is constant-
     # size); distributed k-means moves only the K×dim model per round
     "text_perplexity_proxy", "sketch_countmin", "emb_kmeans_lloyd",
+    # r8: SemDeDup — pairing bounded inside k-means clusters, so the
+    # 16× vector set costs ~(16/K·cluster)² per cluster task, spread
+    # across clusters; upstream Lloyd moves only the model
+    "dedup_semantic_clusters",
 ]
 
 
