@@ -1102,3 +1102,55 @@ def test_dataset_token_budget_bpe_matches_recount(spark):
         assert (r.n_docs, r.ws_tokens, r.bpe_tokens) == (n, ws, bpe), r.source
         assert r.bpe_per_ws == round(bpe / ws, 6)
         assert r.bpe_per_ws > 1.0
+
+
+def test_ppm_encode_decode_roundtrip_exact():
+    """decode_ppm(encode_ppm(x)) == x bitwise, including non-square
+    sizes; header comments and multi-whitespace parse; malformed
+    inputs raise — the real-decoder contract mm_decode_ppm rides."""
+    import numpy as np
+    import pytest
+
+    from duckdb_sudan__spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    w, h, back = decode_ppm(encode_ppm(rng))
+    assert (w, h) == (7, 5)
+    assert np.array_equal(back, rng)
+
+    # comments + arbitrary header whitespace
+    weird = b"P6\n# a comment\n  7\t5 # trailing\n255\n" + rng.tobytes()
+    w2, h2, back2 = decode_ppm(weird)
+    assert (w2, h2) == (7, 5) and np.array_equal(back2, rng)
+
+    for bad in (
+        b"P5\n7 5\n255\n" + rng.tobytes(),            # wrong magic
+        b"P6\n7 5\n65535\n" + rng.tobytes() * 2,      # 16-bit maxval
+        encode_ppm(rng)[:-1],                          # truncated raster
+        b"P6\n# no end",                               # unterminated
+    ):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_mm_decode_ppm_matches_local_pixels(spark):
+    """The Spark pipeline's per-doc (width, height, gray_mean, phash)
+    equals a local decode of the same fixture bytes — REAL pixels flow
+    through decode -> grayscale -> resize -> phash."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators.multimodal import (
+        _phash64,
+        _ppm_fixture,
+        decode_ppm,
+    )
+
+    got = {r.doc_id: r for r in QUERIES["mm_decode_ppm"](spark, SF_DIR).collect()}
+    assert len(got) > 0
+    for doc_id in list(got)[:25]:
+        w, h, rgb = decode_ppm(_ppm_fixture(doc_id))
+        gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.gray_mean == float(np.round(gray.mean(), 6))
+        assert r.phash == _phash64(gray)
