@@ -336,3 +336,61 @@ def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "view_ts", "click_ts", "purchase_ts",
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).cast("bigint").alias("funnel_micros"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# ev_asof_native_oracle — the as-of family checked against DuckDB's
+# NATIVE ASOF LEFT JOIN (r7 verdict item 6: the family's other oracles
+# use window-emulation SQL, i.e. the repo's own technique transliterated;
+# this entry pins parity against the reference engine's OPERATOR itself,
+# reference: duckdb ASOF JOIN — src/planner/binder/tableref docs).
+# LEFT variant on purpose: the unmatched leg (purchases with no prior
+# view) is where emulations usually diverge, and no other family member
+# oracles it natively.
+# ---------------------------------------------------------------------------
+
+ASOF_NATIVE_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_micros,
+       v.ts IS NOT NULL AS matched
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+@register("ev_asof_native_oracle", ASOF_NATIVE_ORACLE)
+def ev_asof_native_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of LEFT join: every purchase row survives; view_ts /
+    gap_micros are NULL when the user has no view at-or-before. Same
+    union-marker single-shuffle plan as ev_asof_join (one window over
+    (user_id; ts, kind) — kind 0 = view sorts first at equal ts, which
+    is exactly ASOF's >= bound), minus the matched-only filter."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type").isin("purchase", "view"))
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "view_ts", F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    return (
+        matched.where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "view_ts",
+            (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_micros"),
+            F.col("view_ts").isNotNull().alias("matched"),
+        )
+        .orderBy("event_id")
+    )
