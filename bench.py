@@ -288,6 +288,32 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Cross-engine ratio (r7 verdict item 7): tools/duck_bench.py times
+    # DuckDB on the SAME oracle SQL and writes DUCK_BENCH.json; if that
+    # artifact exists at this SF, ship the ratio over the common query
+    # set so BENCH_r{N}.json carries a tool-computed (not hand-derived)
+    # Spark-vs-oracle-engine number. The artifact's commit field dates
+    # the DuckDB measurement — it is not re-run here because the
+    # quadratic oracles make it a ~90 s add the per-round Spark bench
+    # shouldn't pay.
+    duck_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DUCK_BENCH.json")
+    if os.path.exists(duck_path):
+        try:
+            with open(duck_path) as fh:
+                duck = json.loads(fh.read().strip())
+            if duck.get("sf") == result["sf"]:
+                common = sorted(set(duck.get("queries", {})) & set(timings))
+                if common:
+                    spark_common = round(sum(timings[k] for k in common), 3)
+                    duck_common = round(sum(duck["queries"][k] for k in common), 3)
+                    result["duckdb_common_queries"] = len(common)
+                    result["spark_total_common"] = spark_common
+                    result["duckdb_total_common"] = duck_common
+                    result["ratio_spark_over_duckdb"] = round(spark_common / duck_common, 3)
+                    result["duckdb_measured_at_commit"] = duck.get("commit")
+        except (ValueError, OSError, ZeroDivisionError):
+            pass
+
     # sf1 block: only at the driver's default guard SF (skip during
     # sf0.01 local iteration), disable with SPARK_GRAFT_SF1=0
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
