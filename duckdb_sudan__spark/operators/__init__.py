@@ -47,6 +47,7 @@ def load_all() -> None:
         olap13,
         olap14,
         olap15,
+        olap16,
         relational,
         similarity,
         sketches,

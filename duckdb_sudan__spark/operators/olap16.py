@@ -1,0 +1,452 @@
+"""r8 OLAP/ML wave: cohort LTV curves, event-sequence pattern match,
+drawdown, IQR outlier fences, point-in-time training features, map
+function parity.
+
+Reference parity: the reference engine (DuckDB core) runs these as
+plain SQL over the same tables (window functions:
+duckdb/src/function/window/*, regex: re2 via
+src/function/scalar/string/regexp.cpp, MAP:
+src/function/scalar/map/); each entry's oracle is that SQL. The Spark
+forms below are the shuffle-minimal shapes the repo's conventions
+prescribe (integer-exact money/time units through the hash gate,
+one-shuffle window stacks, aggregate-grain windows instead of
+event-grain self-joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+_UM = "CAST(round(value * 1000000) AS BIGINT)"  # exact micro-units (repo convention)
+
+
+# ---------------------------------------------------------------------------
+# ev_cohort_ltv — cohort lifetime-value curves (cohort week × age week)
+# ---------------------------------------------------------------------------
+
+COHORT_LTV_ORACLE = f"""
+WITH purchases AS (
+  SELECT user_id, ts, {_UM} AS um FROM events WHERE event_type = 'purchase'
+), firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM purchases GROUP BY user_id
+), sized AS (
+  SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY cohort_week
+), aged AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                        CAST(date_trunc('week', p.ts) AS DATE)) / 7 AS BIGINT) AS age_weeks,
+         SUM(p.um) AS revenue_um
+  FROM purchases p JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.age_weeks, s.n_users,
+       CAST(a.revenue_um AS BIGINT) AS revenue_um,
+       CAST(SUM(a.revenue_um) OVER (PARTITION BY a.cohort_week ORDER BY a.age_weeks
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue_um
+FROM aged a JOIN sized s USING (cohort_week)
+ORDER BY cohort_week, age_weeks
+"""
+
+
+@register("ev_cohort_ltv", COHORT_LTV_ORACLE)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV: users cohorted by first-purchase week, revenue
+    accumulated per cohort age (weeks since cohort) — the
+    product-analytics curve behind every retention-payback decision.
+    Money stays in exact micro-units end-to-end (no fp through the
+    hash gate). Plan: one purchase scan feeds BOTH the per-user
+    first-week aggregate and the revenue grain (exchange reuse); the
+    cumulative window runs on the (cohort, age) AGGREGATE — weeks ×
+    cohorts rows, never per-event. The cohort-size join is a
+    broadcast (cohort-week cardinality)."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("um"),
+        )
+    )
+    firsts = p.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sized = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    aged = (
+        p.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum("um").alias("revenue_um"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_users",
+            F.col("revenue_um").cast("bigint").alias("revenue_um"),
+            F.sum("revenue_um").over(w).cast("bigint").alias("cum_revenue_um"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_pattern_match_regex — MATCH_RECOGNIZE-style sequence patterns
+# ---------------------------------------------------------------------------
+# Each user's journey becomes a character string (one char per event,
+# time-ordered) and the funnel pattern is a REGEX over it — the
+# poor-engine's MATCH_RECOGNIZE, and the form both engines can run
+# identically (re2 / java.util.regex agree on this POSIX-safe
+# pattern). Non-overlapping match count = conversion episodes.
+
+_EV_CHARS = "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e' ELSE 'x' END"
+_PATTERN = "v c*p"  # a view, any clicks, then a purchase
+_PATTERN_RE = "vc*p"
+
+PATTERN_MATCH_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg({_EV_CHARS}, '' ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id, journey,
+       CAST(length(journey) AS BIGINT) AS seq_len,
+       CAST(length(list_filter(regexp_extract_all(journey, '{_PATTERN_RE}'), x -> x != '')) AS BIGINT) AS n_conversions
+FROM seqs
+WHERE regexp_matches(journey, '{_PATTERN_RE}')
+ORDER BY user_id
+"""
+
+
+@register("ev_pattern_match_regex", PATTERN_MATCH_ORACLE)
+def ev_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose journey matches `{pattern}` with the count of
+    non-overlapping conversion episodes. ONE shuffle on user_id into
+    sort_array(collect_list(struct(ts, event_id, char))) — the
+    deterministic-order journey build (ties broken by event_id on
+    both engines) — then pure JVM string/regex ops. The journey
+    string per user is session-sized; a pathological user degrades
+    one row, not the plan.""".replace("{pattern}", _PATTERN)
+    e = load_table(spark, sf_dir, "events")
+    ch = F.expr(_EV_CHARS)
+    seqs = (
+        e.select("user_id", F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda s: s["ch"]), ""
+            ).alias("journey")
+        )
+    )
+    return (
+        seqs.where(F.col("journey").rlike(_PATTERN_RE))
+        .select(
+            "user_id",
+            "journey",
+            F.length("journey").cast("bigint").alias("seq_len"),
+            F.regexp_count("journey", F.lit(_PATTERN_RE)).cast("bigint").alias("n_conversions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_drawdown — running peak and drawdown of the daily revenue curve
+# ---------------------------------------------------------------------------
+
+DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM({_UM}) AS day_um
+  FROM events GROUP BY 1, 2
+), cumd AS (
+  SELECT event_type, day, day_um,
+         SUM(day_um) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_um
+  FROM daily
+), curve AS (
+  SELECT event_type, day, day_um, cum_um,
+         MAX(cum_um) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_um
+  FROM cumd
+)
+SELECT event_type, day, CAST(day_um AS BIGINT) AS day_um,
+       CAST(cum_um AS BIGINT) AS cum_um,
+       CAST(peak_um AS BIGINT) AS peak_um,
+       CAST(peak_um - cum_um AS BIGINT) AS drawdown_um
+FROM curve
+ORDER BY event_type, day
+"""
+
+
+@register("ts_drawdown", DRAWDOWN_ORACLE)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-drawdown decomposition of the cumulative daily value curve
+    per event_type: running total, running peak of that total, and
+    the gap — the risk metric every monitoring dashboard computes,
+    exact in integer micro-units. Both windows share (partition,
+    order), so Spark compiles ONE Window node over the DAILY
+    aggregate (days × types rows); the event table pays a single
+    partial-agg shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("day_um"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("day_um").over(w)
+    curve = daily.select(
+        "event_type", "day", "day_um",
+        cum.alias("cum_um"), F.max(cum).over(w).alias("peak_um"),
+    )
+    return curve.select(
+        "event_type", "day",
+        F.col("day_um").cast("bigint").alias("day_um"),
+        F.col("cum_um").cast("bigint").alias("cum_um"),
+        F.col("peak_um").cast("bigint").alias("peak_um"),
+        (F.col("peak_um") - F.col("cum_um")).cast("bigint").alias("drawdown_um"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# ts_outlier_iqr — Tukey fences, all-integer (agg_quantile_multi's
+# discrete-quantile trick: the p-quantile is the smallest value whose
+# cumulative count reaches ⌈p·n⌉; the 1.5×IQR fences are scaled by 2
+# so no fraction ever materializes)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+OUTLIER_IQR_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, {_CENTS} AS cents, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+), q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN cum * 4 >= n     THEN cents END) AS p25,
+         MIN(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS p75
+  FROM cum GROUP BY event_type
+)
+SELECT c.event_type, CAST(q.n AS BIGINT) AS n, q.p25, q.p75,
+       CAST(q.p75 - q.p25 AS BIGINT) AS iqr,
+       CAST(SUM(CASE WHEN 2 * c.cents < 2 * q.p25 - 3 * (q.p75 - q.p25) THEN c.cnt ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * c.cents > 2 * q.p75 + 3 * (q.p75 - q.p25) THEN c.cnt ELSE 0 END) AS BIGINT) AS n_high
+FROM counts c JOIN q USING (event_type)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY event_type
+"""
+
+
+@register("ts_outlier_iqr", OUTLIER_IQR_ORACLE)
+def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event_type. Everything after the
+    one partial-agg shuffle runs on the DOMAIN-BOUNDED (type, cents)
+    counts relation — the fence test re-joins counts to the 1-row-per-
+    type quantile table (broadcast), so the raw event table is scanned
+    once and never windowed. 2·x < 2·p25 − 3·IQR is the fence
+    inequality in integers (×2 clears the 1.5 factor)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy("event_type")
+    w_cum = w_all.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "event_type", "cents", "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("cents"))).alias("p25"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("cents"))).alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        counts.join(F.broadcast(q), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "p25",
+            "p75",
+            iqr.cast("bigint").alias("iqr"),
+        )
+        .agg(
+            F.sum(
+                F.when(2 * F.col("cents") < 2 * F.col("p25") - 3 * iqr, F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("cents") > 2 * F.col("p75") + 3 * iqr, F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_pointintime_features — leakage-free training-set assembly
+# ---------------------------------------------------------------------------
+# THE correctness contract of feature engineering for ML: every label
+# row (a purchase) gets features computed ONLY from events STRICTLY
+# BEFORE the label's timestamp — same-instant and later events are
+# leakage. One user-partitioned RANGE window over unix micros
+# (UNBOUNDED PRECEDING .. 1 PRECEDING) gives every feature the exact
+# strictly-before frame; all features share the one window = one
+# shuffle, one sort, one Window node. The feature-store industry calls
+# this a point-in-time-correct join; here it needs no join at all.
+
+PIT_FEATURES_ORACLE = f"""
+WITH feat AS (
+  SELECT event_id, user_id, ts, event_type,
+         COUNT(CASE WHEN event_type = 'view'  THEN 1 END)
+           OVER w AS n_prior_views,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+           OVER w AS n_prior_clicks,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN {_UM} END) OVER w, 0)
+           AS prior_purchase_um,
+         MAX(epoch_us(ts)) OVER w AS prev_any_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts AS label_ts,
+       CAST(n_prior_views AS BIGINT) AS n_prior_views,
+       CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+       CAST(prior_purchase_um AS BIGINT) AS prior_purchase_um,
+       CAST(epoch_us(ts) - prev_any_us AS BIGINT) AS recency_us
+FROM feat
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register("ml_pointintime_features", PIT_FEATURES_ORACLE)
+def ml_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct features for purchase labels: prior view/
+    click counts, prior purchase revenue, recency — every aggregate
+    over the strictly-before RANGE frame (ties at the label's own
+    microsecond are EXCLUDED on both engines: the frame bound is the
+    ORDER value, not the row). recency_us is NULL for a user's first
+    event — a first-touch label has no recency, and NULL must survive
+    the gate (not be COALESCEd away)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    um = F.round(F.col("value") * 1_000_000).cast("bigint")
+    feat = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("n_prior_views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_prior_clicks"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", um)).over(w), F.lit(0)
+        ).alias("prior_purchase_um"),
+        F.max(us).over(w).alias("prev_any_us"),
+    )
+    return (
+        feat.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("label_ts"),
+            F.col("n_prior_views").cast("bigint").alias("n_prior_views"),
+            F.col("n_prior_clicks").cast("bigint").alias("n_prior_clicks"),
+            F.col("prior_purchase_um").cast("bigint").alias("prior_purchase_um"),
+            (F.unix_micros("label_ts") - F.col("prev_any_us")).cast("bigint").alias("recency_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# map_funcs_parity — the MAP-type function surface (completes the
+# str/num/dt/list parity family). Spark builds real MapType values
+# (map_from_entries over the aggregate) and exercises size /
+# element_at / map_keys / map_values / map_concat; the oracle computes
+# the same VALUES from the flat aggregate (both engines' map layouts
+# hash differently, so the gate compares the EXTRACTED scalars and the
+# key-sorted entry string, never a raw map column).
+# ---------------------------------------------------------------------------
+
+MAP_FUNCS_ORACLE = """
+WITH flat AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS INTEGER) AS map_size,
+       CAST(COALESCE(MAX(CASE WHEN l_linestatus = 'F' THEN cnt END), -1) AS BIGINT) AS f_count,
+       string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS keys_sorted,
+       CAST(SUM(cnt) AS BIGINT) AS values_total,
+       string_agg(l_linestatus || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY l_linestatus)
+         AS entries_sorted
+FROM flat
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("map_funcs_parity", MAP_FUNCS_ORACLE)
+def map_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a real map<string,bigint> per return flag and read every
+    scalar back out through the map API: size(), element_at() (with
+    the missing-key NULL contract made explicit via coalesce(-1)),
+    sorted map_keys(), aggregate() over map_values(), and the
+    key-sorted entry rendering. The map is built from the DOMAIN
+    aggregate (≤ flags × statuses rows) — map construction never
+    touches fact-table grain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    flat = l.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+    m = flat.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("l_linestatus"), F.col("cnt"))))
+        ).alias("m")
+    )
+    entries = F.sort_array(F.map_entries(F.col("m")))
+    return m.select(
+        "l_returnflag",
+        F.size("m").alias("map_size"),
+        F.coalesce(F.element_at(F.col("m"), F.lit("F")), F.lit(-1)).cast("bigint").alias("f_count"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("values_total"),
+        F.array_join(
+            F.transform(entries, lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string"))),
+            ",",
+        ).alias("entries_sorted"),
+    ).orderBy("l_returnflag")
