@@ -1539,3 +1539,100 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_small", "id_big")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_chunk_exact — chunk-grain exact dedup report (the tier between
+# whole-doc dedup_exact and overlapping-K-gram dedup_repeated_spans:
+# RAG/pretraining pipelines chunk documents into fixed token blocks
+# (pipeline_chunk_index) and dedup at THAT grain — a chunk recurring
+# verbatim across documents is boilerplate the index should store once)
+# ---------------------------------------------------------------------------
+
+CHUNK_EXACT_TOKENS = 8
+
+CHUNK_EXACT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(t[(s-1)*{CHUNK_EXACT_TOKENS}+1 : s*{CHUNK_EXACT_TOKENS}], ' ')) AS h
+  FROM (SELECT doc_id, lang, t,
+               unnest(generate_series(1, CAST(floor(length(t)/{CHUNK_EXACT_TOKENS}) AS BIGINT))) AS s
+        FROM toks)
+), crossdoc AS (
+  SELECT h FROM chunks GROUP BY h HAVING MIN(doc_id) < MAX(doc_id)
+), marked AS (
+  SELECT c.doc_id, c.lang, c.h, x.h IS NOT NULL AS is_dup
+  FROM chunks c LEFT JOIN crossdoc x USING (h)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_instances,
+       CAST(COUNT(DISTINCT CASE WHEN is_dup THEN doc_id END) AS BIGINT) AS n_docs_affected
+FROM marked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("dedup_chunk_exact", CHUNK_EXACT_ORACLE)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chunk dedup report: NON-OVERLAPPING
+    CHUNK_EXACT_TOKENS-token blocks hashed and marked duplicated when
+    the hash occurs in >= 2 DISTINCT documents — the map-combinable
+    min(doc) < max(doc) cross-doc test dedup_repeated_spans uses
+    (constant state per hash, no pair generation; a boilerplate chunk
+    occurring m times costs m rows, never m²). Chunking is alignment-
+    sensitive by design (the chunk-index contract: both sides chunk
+    identically), which is why the overlapping-gram span tier exists
+    separately. Two shuffles: the hash-grain aggregate and the
+    mark-back join (AQE broadcasts the dup-sized cross-doc set); the
+    lang rollup rides the mark-back's exchange."""
+    K = CHUNK_EXACT_TOKENS
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    chunks = (
+        toks.select(
+            "doc_id",
+            "lang",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.floor(F.size("t") / K).cast("bigint"))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("t"), (F.col("s") - 1) * K + 1, K), " "
+                )
+            ).alias("h"),
+        )
+    )
+    crossdoc = (
+        chunks.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") < F.col("mx"))
+        .select("h")
+    )
+    marked = chunks.join(
+        crossdoc.withColumn("is_dup", F.lit(True)), "h", "left"
+    ).withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_instances"),
+            F.countDistinct(F.when(F.col("is_dup"), F.col("doc_id"))).alias("n_docs_affected"),
+        )
+        .orderBy("lang")
+    )

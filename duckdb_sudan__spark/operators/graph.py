@@ -31,6 +31,7 @@ PR_DAMPING = 0.85
 # similarity._KNN_CACHE_HANDLES: bench runs the entry N+1 times per
 # process and would otherwise accumulate a cached copy per run)
 _PR_CACHE_HANDLES: list[DataFrame] = []
+_TRI_CACHE_HANDLES: list[DataFrame] = []
 
 
 @register("graph_pagerank")  # rows-only: ≡ numpy power iteration, tested
@@ -109,4 +110,103 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PR_CACHE_HANDLES.append(ranks)
     return ranks.select("vec_id", F.round("rank", 9).alias("rank")).orderBy(
         F.desc("rank"), "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — per-label triangle census of the k-NN graph
+# ---------------------------------------------------------------------------
+# ORACLED (unlike PageRank): triangles are a pure relational closure —
+# no iteration, no floats — so the full pipeline embeddings → k-NN
+# edges → undirected edge set → triangle join runs as one SQL statement
+# in DuckDB. Triangle density distinguishes clique-like near-dup
+# clusters from chain-like topic drift in the similarity graph (a
+# cluster-quality diagnostic for the SemDeDup/dedup-component tiers).
+
+from duckdb_sudan__spark.operators.similarity import KNN_GRAPH_ORACLE
+
+TRIANGLE_ORACLE = f"""
+WITH knn AS ({KNN_GRAPH_ORACLE}),
+und AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v FROM knn
+), lbl AS (
+  SELECT vec_id, label FROM embeddings
+), und2 AS (
+  SELECT und.u, und.v, l.label FROM und JOIN lbl l ON l.vec_id = und.u
+), nodes AS (
+  SELECT label, COUNT(DISTINCT x) AS n_nodes
+  FROM (SELECT label, u AS x FROM und2 UNION SELECT label, v FROM und2)
+  GROUP BY label
+), edges AS (
+  SELECT label, COUNT(*) AS n_edges FROM und2 GROUP BY label
+), tris AS (
+  SELECT e1.label, COUNT(*) AS n_triangles
+  FROM und2 e1
+  JOIN und2 e2 ON e2.u = e1.v
+  JOIN und2 e3 ON e3.u = e1.u AND e3.v = e2.v
+  GROUP BY e1.label
+)
+SELECT n.label, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       CAST(e.n_edges AS BIGINT) AS n_edges,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n
+JOIN edges e USING (label)
+LEFT JOIN tris t USING (label)
+ORDER BY label
+"""
+
+
+@register("graph_triangle_count", TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node/edge/triangle counts per label cell. The triangle join
+    enumerates u<v<w once per triangle (edges oriented low→high, e1
+    extends at v, e3 closes at (u, w)) — the standard distributed
+    triangle enumeration whose cost is bounded by Σ deg(u)·deg(v)
+    over edges, which k-NN caps at K per node: O(|E|·K) candidates,
+    never |V|². Edges come from the oracled emb_knn_graph (shared
+    Arrow Gram kernel); labels ride the u endpoint (k-NN edges are
+    within-label by construction). The undirected edge set is
+    persisted — three joins consume it."""
+    edges = emb_knn_graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+        )
+        .distinct()
+    )
+    from duckdb_sudan__spark.session import load_table
+
+    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    und2 = und.join(lbl.withColumnRenamed("vec_id", "u"), "u").select("u", "v", "label")
+    while _TRI_CACHE_HANDLES:
+        _TRI_CACHE_HANDLES.pop().unpersist()
+    und2 = und2.persist()
+    _TRI_CACHE_HANDLES.append(und2)
+    nodes = (
+        und2.select("label", F.col("u").alias("x"))
+        .union(und2.select("label", F.col("v").alias("x")))
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    edges_n = und2.groupBy("label").agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = und2.select("label", F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und2.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und2.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.join(edges_n, "label")
+        .join(tris, "label", "left")
+        .select(
+            "label",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .orderBy("label")
     )

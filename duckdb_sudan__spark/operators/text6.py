@@ -245,3 +245,168 @@ def dataset_split_train_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_zipf_fit — Zipf law fit of the per-language frequency curve
+# ---------------------------------------------------------------------------
+# The corpus-health diagnostic tokenizer teams run first: rank tokens
+# by frequency and fit log(freq) ~ -s·log(rank); natural text gives
+# s ≈ 1, boilerplate/spam corpora bend the curve. Determinism: libm
+# logs diverge across engines at the last ulp (text2.py header), so
+# BOTH axes use the integer bit-length log2 (bitlen = floor(log2)+1 —
+# the same quantization text_perplexity_proxy rides), and the OLS
+# slope/intercept derive from DECIMAL-exact integer moments through
+# the identical IEEE double sequence (agg_regression's recipe). The
+# slope is the Zipf exponent in bit-space (quantized, monotone in the
+# true exponent — the ranking/thresholding semantics survive).
+
+ZIPF_MAX_RANK = 1024
+
+ZIPF_FIT_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, t.token AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS t(token)
+  GROUP BY lang, t.token
+), ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM counts
+), pts AS (
+  SELECT lang,
+         CAST(length(printf('%b', rnk)) AS BIGINT) AS x,
+         CAST(length(printf('%b', n)) AS BIGINT) AS y
+  FROM ranked WHERE rnk <= {ZIPF_MAX_RANK}
+), m AS (
+  SELECT lang, COUNT(*) AS cnt,
+         SUM(CAST(x AS DECIMAL(38,0)))     AS sx,
+         SUM(CAST(y AS DECIMAL(38,0)))     AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+  FROM pts GROUP BY lang
+)
+SELECT lang, CAST(cnt AS BIGINT) AS n_terms,
+       (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope_bits,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE))
+         / CAST(cnt AS DOUBLE)
+         AS intercept_bits
+FROM m
+ORDER BY lang
+"""
+
+
+@register("corpus_zipf_fit", ZIPF_FIT_ORACLE)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope/intercept in bitlen-log2 space over the
+    top-{ZIPF_MAX_RANK} ranks. Plan: one (lang, token) partial-agg
+    shuffle; the rank window and the moment aggregate run on the
+    vocabulary relation; the fact table is scanned once.""".replace(
+        "{ZIPF_MAX_RANK}", str(ZIPF_MAX_RANK)
+    )
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    pts = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ZIPF_MAX_RANK)
+        .select(
+            "lang",
+            _bitlen(F.col("rnk")).cast("bigint").alias("x"),
+            _bitlen(F.col("n")).cast("bigint").alias("y"),
+        )
+    )
+    m = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    cnt_d = F.col("cnt").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx_d, sxy_d = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (cnt_d * sxy_d - sx_d * sy_d) / (cnt_d * sxx_d - sx_d * sx_d)
+    return m.select(
+        "lang",
+        F.col("cnt").cast("bigint").alias("n_terms"),
+        slope.alias("slope_bits"),
+        ((sy_d - slope * sx_d) / cnt_d).alias("intercept_bits"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# sample_exact_stratified — EXACT per-stratum sample sizes
+# ---------------------------------------------------------------------------
+# sample_hash_stratified selects a hash band (expected 10.2%, binomial
+# jitter per stratum); dataset builders that must hit quota EXACTLY
+# (eval sets, per-language caps) instead rank by a deterministic hash
+# and cut at ⌈n/5⌉ — zero variance, still reproducible on any engine
+# or cluster size, and the selected set is stable under corpus
+# re-partitioning (the hash order is data-derived, not task-derived).
+
+SAMPLE_EXACT_FRAC_DEN = 5  # 20%
+
+SAMPLE_EXACT_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_docs
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs + {SAMPLE_EXACT_FRAC_DEN - 1}) // {SAMPLE_EXACT_FRAC_DEN} AS BIGINT) AS k_sample
+FROM ranked
+WHERE rnk <= (n_docs + {SAMPLE_EXACT_FRAC_DEN - 1}) // {SAMPLE_EXACT_FRAC_DEN}
+ORDER BY lang, rnk
+"""
+
+
+@register("sample_exact_stratified", SAMPLE_EXACT_ORACLE)
+def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ⌈n_lang/5⌉ docs per language, chosen by md5 rank
+    (integer ceiling (n+4)/5 — no fp fraction anywhere). One shuffle
+    on lang; both window functions share the partition so Spark
+    compiles one Window node. At 100 TB the two-phase top-k posture
+    (agg_topk_orders) would replace row_number when k ≪ stratum."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    den = SAMPLE_EXACT_FRAC_DEN
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_docs"),
+    )
+    k = ((F.col("n_docs") + (den - 1)) / den).cast("bigint")
+    return (
+        ranked.where(F.col("rnk") <= k)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            k.alias("k_sample"),
+        )
+        .orderBy("lang", "rnk")
+    )
