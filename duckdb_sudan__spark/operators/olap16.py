@@ -24,6 +24,11 @@ from duckdb_sudan__spark.session import load_table
 
 _UM = "CAST(round(value * 1000000) AS BIGINT)"  # exact micro-units (repo convention)
 
+# persisted-relation release lists (module-level handle discipline —
+# repeated invocations in one process must not accumulate cached copies)
+_LTV_CACHE_HANDLES: list[DataFrame] = []
+_IQR_CACHE_HANDLES: list[DataFrame] = []
+
 
 # ---------------------------------------------------------------------------
 # ev_cohort_ltv — cohort lifetime-value curves (cohort week × age week)
@@ -61,32 +66,36 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated per cohort age (weeks since cohort) — the
     product-analytics curve behind every retention-payback decision.
     Money stays in exact micro-units end-to-end (no fp through the
-    hash gate). Plan: one purchase scan feeds BOTH the per-user
-    first-week aggregate and the revenue grain (exchange reuse); the
+    hash gate). Plan: the fact table is scanned ONCE into the
+    (user, week) grain; firsts, cohort sizes, and the aged revenue
+    grain all derive from that aggregate (plan-pinned single scan —
+    the naive spelling re-scanned purchases for the firsts side). The
     cumulative window runs on the (cohort, age) AGGREGATE — weeks ×
-    cohorts rows, never per-event. The cohort-size join is a
+    cohorts rows, never per-event — and the cohort-size join is a
     broadcast (cohort-week cardinality)."""
-    p = (
+    uw = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
-        .select(
-            "user_id", "ts",
-            F.round(F.col("value") * 1_000_000).cast("bigint").alias("um"),
-        )
+        .groupBy("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("um"))
     )
-    firsts = p.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    # three consumers (firsts, sized-via-firsts, aged) — materialize the
+    # compacted user-week grain once (AQE never reuses the exchange
+    # across independent consumers; same discipline as
+    # cte_reused_aggregate). user×active-week rows: orders of magnitude
+    # under event grain at any scale.
+    while _LTV_CACHE_HANDLES:
+        _LTV_CACHE_HANDLES.pop().unpersist()
+    uw = uw.persist()
+    _LTV_CACHE_HANDLES.append(uw)
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sized = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
     aged = (
-        p.join(firsts, "user_id")
+        uw.join(firsts, "user_id")
         .groupBy(
             "cohort_week",
             (
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")).cast("date"),
-                    F.col("cohort_week").cast("date"),
-                )
+                F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
                 / 7
             )
             .cast("bigint")
@@ -206,10 +215,11 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-drawdown decomposition of the cumulative daily value curve
     per event_type: running total, running peak of that total, and
     the gap — the risk metric every monitoring dashboard computes,
-    exact in integer micro-units. Both windows share (partition,
-    order), so Spark compiles ONE Window node over the DAILY
-    aggregate (days × types rows); the event table pays a single
-    partial-agg shuffle."""
+    exact in integer micro-units. peak consumes cum's output, so the
+    two Window nodes CANNOT fuse — but they share (partition, order)
+    and compile back-to-back over one sort with no exchange between
+    (plan-pinned), over the DAILY aggregate (days × types rows); the
+    event table pays a single partial-agg shuffle."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -272,14 +282,21 @@ ORDER BY event_type
 def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier counts per event_type. Everything after the
     one partial-agg shuffle runs on the DOMAIN-BOUNDED (type, cents)
-    counts relation — the fence test re-joins counts to the 1-row-per-
-    type quantile table (broadcast), so the raw event table is scanned
-    once and never windowed. 2·x < 2·p25 − 3·IQR is the fence
-    inequality in integers (×2 clears the 1.5 factor)."""
+    counts relation, which is cached for its two consumers — the
+    fence test re-joins counts to the 1-row-per-type quantile table
+    (broadcast), so the raw event table is scanned once (plan-pinned)
+    and never windowed. 2·x < 2·p25 − 3·IQR is the fence inequality
+    in integers (×2 clears the 1.5 factor)."""
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # two consumers (quantile derivation + fence test) — materialize
+    # the domain-bounded counts (≤ types × cent values) once
+    while _IQR_CACHE_HANDLES:
+        _IQR_CACHE_HANDLES.pop().unpersist()
+    counts = counts.persist()
+    _IQR_CACHE_HANDLES.append(counts)
     w_all = Window.partitionBy("event_type")
     w_cum = w_all.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = counts.select(

@@ -1737,3 +1737,95 @@ def test_semantic_dedup_pairs_only_inside_clusters(spark):
     plan = plan_of(df)
     # one hashpartitioning exchange on cluster + the output rangepartitioning
     assert plan.count("hashpartitioning(cluster") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# r8 wave plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_single_scan_window_on_aggregate(spark):
+    """The fact table is scanned ONCE into the cached (user, week)
+    grain (InMemoryTableScan feeds the other consumers); the
+    cumulative window consumes the (cohort, age) aggregate (aggs sit
+    below the Window in execution order) and the cohort-size join
+    broadcasts."""
+    df = QUERIES["ev_cohort_ltv"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("events.parquet") <= 1, plan[:3000]
+    assert "InMemoryTableScan" in plan
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    widx = max(i for i, n in enumerate(nodes) if n == "Window")
+    assert any("HashAggregate" in n for n in nodes[:widx]), nodes
+
+
+def test_drawdown_stacked_windows_share_one_sort(spark):
+    """peak consumes cum, so the two Window nodes cannot fuse — but
+    they must compile BACK-TO-BACK (same partition+order: no Exchange
+    or Sort between them), over the daily aggregate, one scan."""
+    df = QUERIES["ts_drawdown"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    widx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert len(widx) == 2, nodes
+    assert widx[1] == widx[0] + 1, nodes  # nothing between the two
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+
+
+def test_pattern_match_single_shuffle_no_join(spark):
+    df = QUERIES["ev_pattern_match_regex"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+
+
+def test_outlier_iqr_scans_events_once_and_broadcasts_quantiles(spark):
+    """One fact scan: the cached counts relation feeds both the
+    quantile derivation and the fence test (InMemoryTableScan), and
+    the per-type quantile row broadcasts."""
+    df = QUERIES["ts_outlier_iqr"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("events.parquet") <= 1, plan[:2000]
+    assert "InMemoryTableScan" in plan
+    nodes = plan_nodes(df)
+    assert any("BroadcastHashJoin" in n for n in nodes)
+
+
+def test_pit_features_one_window_one_shuffle(spark):
+    """All four point-in-time features share the strictly-before RANGE
+    frame: one Window node, one shuffle, no join, no second scan."""
+    df = QUERIES["ml_pointintime_features"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+    assert shuffle_count(nodes) <= 2  # user partition + output range sort
+
+
+def test_chunk_exact_no_pair_stage(spark):
+    """Cross-doc test is the min<max aggregate + mark-back join — no
+    self-join of the chunk relation at instance grain (no pair
+    blow-up on a hot boilerplate chunk)."""
+    df = QUERIES["dedup_chunk_exact"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    joins = [n for n in nodes if "Join" in n]
+    assert len(joins) <= 1, nodes  # only the mark-back
+    assert not any("CartesianProduct" in n for n in nodes)
+
+
+def test_zipf_fit_single_scan_window_on_vocab(spark):
+    df = QUERIES["corpus_zipf_fit"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert not any("Join" in n for n in nodes)
+
+
+def test_exact_stratified_one_window_node(spark):
+    """row_number and the stratum count share the lang partition:
+    Spark fuses them into at most two Window nodes over ONE shuffle."""
+    df = QUERIES["sample_exact_stratified"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Window") <= 2
+    assert shuffle_count(nodes) <= 2  # lang partition + output sort
+    assert not any("Join" in n for n in nodes)
