@@ -467,3 +467,45 @@ def map_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("entries_sorted"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# ev_heatmap_dow_hour — the day-of-week × hour activity grid
+# ---------------------------------------------------------------------------
+# Calendar-axis parity trap made explicit: Spark dayofweek() is
+# 1=Sunday..7 while DuckDB dayofweek() is 0=Sunday..6 — the portable
+# spelling is Spark weekday() ≡ DuckDB isodow()-1 (0=Monday..6), which
+# is what both sides use here.
+
+HEATMAP_ORACLE = f"""
+SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM({_UM}) AS BIGINT) AS value_um
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hod
+"""
+
+
+@register("ev_heatmap_dow_hour", HEATMAP_ORACLE)
+def ev_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard activity heatmap: events, distinct users and
+    exact micro-unit value per (weekday, hour) cell. One partial-agg
+    shuffle onto a ≤168-cell grid; the distinct-user count makes it a
+    two-phase aggregate (partial dedup on (cell, user) before the
+    count) — still map-combinable, never a window."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.weekday("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("value_um"),
+        )
+        .orderBy("dow", "hod")
+    )
