@@ -167,44 +167,32 @@ def _sudan_oracles() -> dict[str, str]:
 #   unpivot_nation_counts, w1_window_rank, w2_window_running,
 #   w4_value_windows
 _WINDOW_PRIORITY = [
-    # ================= r8 window (the committed r7-close plan) =========
-    # -- 1-39: ALL oracled entries ADDED in r7 (dual-SF dual-mode
+    # ================= r9 window (the committed r8-close plan) =========
+    # -- 1-12: the 12 oracled entries ADDED in r8 (dual-SF dual-mode
     #          verified locally on registration, never driver-checked) --
-    "dedup_repeated_spans", "text_quality_classifier",
-    "quality_keep_rates_by_lang", "span_dedup_cut_rate",
-    "dedup_cluster_size_histogram", "ts_yoy_growth",
-    "sample_quality_weighted", "files_schema_evolution",
-    "ev_multitouch_attribution", "ev_conversion_lag_quantiles",
-    "ev_dau_wau_mau", "cte_reused_aggregate", "str_funcs2",
-    "num_funcs_parity", "num_try_arith", "dt_funcs2",
-    "sudan_state_areas", "sudan_wb_yoy", "pipeline_quality_report",
-    "dedup_cross_source_matrix", "agg_weighted_avg", "ev_ab_test_lift",
-    "ts_ema_smoothing", "ts_changepoint_cusum", "text_perplexity_proxy",
-    "corpus_perplexity_buckets", "files_compact_small_files",
-    "files_zorder_cluster", "sketch_countmin", "dedup_containment",
-    "join_bloom_runtime_filter", "dataset_split_train_valid",
-    "agg_entropy_bits", "ts_stl_decompose", "agg_winsorized_trimmed",
-    "sample_reservoir_per_group", "sketch_kmv_set_ops",
-    "list_funcs_parity", "ts_holt_linear",
-    # -- 40-50: the 11 first (in the r7-close listing order) of the 37
-    #           stale-r4 rows; the 26 left-overs are the r9 window ------
-    "map_event_counts", "pivot_status", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_effect", "q16_supplier_cnt",
-    "q17_small_qty", "q18_large_orders",
+    "ev_cohort_ltv", "ev_pattern_match_regex", "ts_drawdown",
+    "ts_outlier_iqr", "ml_pointintime_features", "map_funcs_parity",
+    "ev_heatmap_dow_hour", "dedup_chunk_exact", "graph_triangle_count",
+    "corpus_zipf_fit", "sample_exact_stratified", "ev_asof_native_oracle",
+    # -- 13-38: ALL 26 remaining stale-r4 rows — closes the entire
+    #           rotation debt (after r9 every oracled entry's latest
+    #           driver check is >= r5) ---------------------------------
+    "q19_disjunctive", "q20_heavy_shippers", "q21_waiting_supplier",
+    "qualify_top_orders", "recursive_cte_chain", "rollup_sales",
+    "setops_customers", "sudan_boundaries_state", "sudan_fao",
+    "sudan_geocode", "sudan_ilo", "sudan_providers", "sudan_search",
+    "sudan_states", "sudan_unhcr", "sudan_wb_indicators", "sudan_who",
+    "sudan_who_indicators", "sudan_worldbank", "tok_positions",
+    "ts_locf_fill", "ts_ohlc_hourly", "unpivot_nation_counts",
+    "w1_window_rank", "w2_window_running", "w4_value_windows",
+    # -- 39-50: slack slots filled by oracled entries added in r9
+    #           (each dual-SF dual-mode verified on registration) -------
 ]
 
-# r9 window priority, computed at r8 open: first any oracled entries
-# ADDED in r8 (dual-SF dual-mode verified on registration), then the 26
-# remaining r4-stale rows:
-#   q19_disjunctive, q20_heavy_shippers, q21_waiting_supplier,
-#   qualify_top_orders, recursive_cte_chain, rollup_sales,
-#   setops_customers, sudan_boundaries_state, sudan_fao, sudan_geocode,
-#   sudan_ilo, sudan_providers, sudan_search, sudan_states,
-#   sudan_unhcr, sudan_wb_indicators, sudan_who, sudan_who_indicators,
-#   sudan_worldbank, tok_positions, ts_locf_fill, ts_ohlc_hourly,
-#   unpivot_nation_counts, w1_window_rank, w2_window_running,
-#   w4_value_windows
+# r10 window priority, computed at r9 open: first any r9-added oracled
+# entries that did not fit the r9 slack slots, then the
+# longest-unchecked rotation (the r5-checked rows are the oldest class
+# once the r4 debt closes with CORRECTNESS_r09).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

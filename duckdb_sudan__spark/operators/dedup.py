@@ -1599,7 +1599,13 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
     )
     chunks = (
-        toks.select(
+        # Docs with < K tokens yield floor(size/K) = 0, and
+        # F.sequence(1, 0) counts DOWN ([1, 0] — step defaults to -1
+        # when start > stop), emitting phantom chunk rows DuckDB's
+        # empty generate_series(1, 0) never produces. Filter them out
+        # before the explode so both engines chunk the same doc set.
+        toks.where(F.size("t") >= K)
+        .select(
             "doc_id",
             "lang",
             "t",

@@ -133,12 +133,23 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EV_CHARS = "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e' ELSE 'x' END"
 _PATTERN = "v c*p"  # a view, any clicks, then a purchase
 _PATTERN_RE = "vc*p"
+# Journey bound: only the LAST _JOURNEY_CAP events per user enter the
+# collect (row_number DESC <= cap BEFORE the aggregate, both engines),
+# so no aggregation buffer ever holds an unbounded bot history. 512 >>
+# any served per-user event count, so results are unchanged on the
+# corpus; the semantics ("match within the most recent cap events") are
+# part of the operator contract.
+_JOURNEY_CAP = 512
 
 PATTERN_MATCH_ORACLE = f"""
-WITH seqs AS (
+WITH capped AS (
+  SELECT user_id, ts, event_id, {_EV_CHARS} AS ch,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), seqs AS (
   SELECT user_id,
-         string_agg({_EV_CHARS}, '' ORDER BY ts, event_id) AS journey
-  FROM events GROUP BY user_id
+         string_agg(ch, '' ORDER BY ts, event_id) AS journey
+  FROM capped WHERE rn <= {_JOURNEY_CAP} GROUP BY user_id
 )
 SELECT user_id, journey,
        CAST(length(journey) AS BIGINT) AS seq_len,
@@ -151,17 +162,24 @@ ORDER BY user_id
 
 @register("ev_pattern_match_regex", PATTERN_MATCH_ORACLE)
 def ev_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users whose journey matches `{pattern}` with the count of
-    non-overlapping conversion episodes. ONE shuffle on user_id into
+    """Users whose journey matches the view->cart->purchase episode
+    regex (see _PATTERN) with the count of non-overlapping conversion
+    episodes. ONE shuffle on user_id into
     sort_array(collect_list(struct(ts, event_id, char))) — the
     deterministic-order journey build (ties broken by event_id on
-    both engines) — then pure JVM string/regex ops. The journey
-    string per user is session-sized; a pathological user degrades
-    one row, not the plan.""".replace("{pattern}", _PATTERN)
+    both engines) — then pure JVM string/regex ops. Scale bound: the
+    per-user journey is capped at the LAST {_JOURNEY_CAP} events on
+    BOTH engines (slice after sort), so the aggregation buffer is
+    O(cap) per user — a 10^8-event bot costs a bounded task, not an
+    executor OOM."""
     e = load_table(spark, sf_dir, "events")
     ch = F.expr(_EV_CHARS)
+    wcap = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     seqs = (
-        e.select("user_id", F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias("s"))
+        e.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= _JOURNEY_CAP)
+        .select("user_id", F.struct(F.col("ts"), F.col("event_id"), F.col("ch")).alias("s"))
         .groupBy("user_id")
         .agg(
             F.array_join(

@@ -304,11 +304,9 @@ ORDER BY lang
 @register("corpus_zipf_fit", ZIPF_FIT_ORACLE)
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf slope/intercept in bitlen-log2 space over the
-    top-{ZIPF_MAX_RANK} ranks. Plan: one (lang, token) partial-agg
+    top-ZIPF_MAX_RANK ranks. Plan: one (lang, token) partial-agg
     shuffle; the rank window and the moment aggregate run on the
-    vocabulary relation; the fact table is scanned once.""".replace(
-        "{ZIPF_MAX_RANK}", str(ZIPF_MAX_RANK)
-    )
+    vocabulary relation; the fact table is scanned once."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")

@@ -53,8 +53,18 @@ def _prune_stale_siblings(root: str, sf_base: str) -> None:
     if not os.path.isdir(root):
         return
     for name in os.listdir(root):
+        # A sibling is `base` itself (pre-hash layout) or `base-<hash8>`
+        # EXACTLY — name.rsplit guards a DIFFERENT dataset whose
+        # basename merely extends this one with a dash ('sf0.1' must
+        # not prune 'sf0.1-v2-<hash8>'), preserving the
+        # distinct-basenames-never-pruned invariant above (ADVICE r8).
+        suffix = name.rsplit("-", 1)[-1] if "-" in name else ""
+        is_hash8 = len(suffix) == 8 and all(c in "0123456789abcdef" for c in suffix)
         stale = name == base or (
-            name.startswith(f"{base}-") and name != sf_base and ".staging-" not in name
+            name.rsplit("-", 1)[0] == base
+            and is_hash8
+            and name != sf_base
+            and ".staging-" not in name
         )
         if stale:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)

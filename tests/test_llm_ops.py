@@ -900,6 +900,26 @@ def test_repeated_spans_oracle_on_planted_fixture(spark, tmp_path):
     con.close()
 
 
+def test_chunk_exact_short_doc_no_phantom_chunks(spark, tmp_path):
+    """Docs with < CHUNK_EXACT_TOKENS tokens must emit ZERO chunks on
+    both engines. Spark's F.sequence(1, 0) counts DOWN ([1, 0] — the
+    step defaults to -1 when start > stop) while DuckDB's
+    generate_series(1, 0) is empty, so without the size guard the
+    'tiny doc' row (2 tokens) produces phantom partial/negative-slice
+    chunks and the engines diverge (ADVICE r8, medium). The fixture
+    reuses the repeated-spans corpus, which plants exactly such a doc."""
+    import duckdb
+
+    _repeated_spans_fixture(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    df = QUERIES["dedup_chunk_exact"](spark, str(tmp_path))
+    assert_matches_oracle(df, con, ORACLES["dedup_chunk_exact"])
+    con.close()
+
+
 def _reference_bpe(word_counts, n_merges, min_pair):
     """Independent BPE trainer for the equivalence test: Counter-based
     pair tally + rebuild-the-list merge apply (different code path from

@@ -1734,8 +1734,9 @@ def test_semantic_dedup_pairs_only_inside_clusters(spark):
     assert not any("Join" in n or "CartesianProduct" in n for n in nodes), nodes
     assert any("FlatMapGroupsInPandas" in n for n in nodes)
     shuffles = [n for n in nodes if "Exchange" in n and "Sort" not in n]
-    plan = plan_of(df)
     # one hashpartitioning exchange on cluster + the output rangepartitioning
+    assert len(shuffles) <= 2, shuffles
+    plan = plan_of(df)
     assert plan.count("hashpartitioning(cluster") == 1, plan
 
 
@@ -1774,10 +1775,14 @@ def test_drawdown_stacked_windows_share_one_sort(spark):
 
 
 def test_pattern_match_single_shuffle_no_join(spark):
+    """The journey-cap window (row_number DESC <= cap) and the
+    collect_list aggregate share the user_id partitioning, so the cap
+    costs NO extra exchange: one hashpartitioning(user_id) total."""
     df = QUERIES["ev_pattern_match_regex"](spark, SF_DIR)
     nodes = plan_nodes(df)
     assert not any("Join" in n for n in nodes), nodes
     assert sum(1 for n in nodes if n == "Scan parquet") == 1
+    assert plan_of(df).count("hashpartitioning(user_id") == 1
 
 
 def test_outlier_iqr_scans_events_once_and_broadcasts_quantiles(spark):
