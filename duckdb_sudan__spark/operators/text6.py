@@ -378,31 +378,61 @@ ORDER BY lang, rnk
 """
 
 
+_EXACT_STRAT_HANDLES: list[DataFrame] = []
+
+
 @register("sample_exact_stratified", SAMPLE_EXACT_ORACLE)
 def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly ⌈n_lang/5⌉ docs per language, chosen by md5 rank
-    (integer ceiling (n+4)/5 — no fp fraction anywhere). One shuffle
-    on lang; both window functions share the partition so Spark
-    compiles one Window node. At 100 TB the two-phase top-k posture
-    (agg_topk_orders) would replace row_number when k ≪ stratum."""
+    (integer ceiling (n+4)/5 — no fp fraction anywhere), computed as
+    the classic DISTRIBUTED rank so no task ever holds a whole
+    stratum (the r8 verdict's scale-killer: row_number over
+    partitionBy(lang) funnels every 'en' doc to one reducer at
+    100 TB). Shape: (1) repartitionByRange on (lang, h, doc_id)
+    spreads each language over MANY range slices, cached so both
+    consumers see the same physical partition ids; (2) per-(slice,
+    lang) counts — a slices×langs-sized relation — get the per-lang
+    prefix-sum offset and total via windows over that TINY relation;
+    (3) local row_number within (slice, lang) — bounded by the range
+    slice, never the stratum — plus the broadcast offset is the
+    global rank. Rank is partitioning-invariant (it equals the count
+    of docs with smaller (h, doc_id) in the language), so the output
+    matches the oracle's single-window form exactly."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     den = SAMPLE_EXACT_FRAC_DEN
-    ranked = d.select(
-        "lang",
-        "doc_id",
-        F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_docs"),
+    d = load_table(spark, sf_dir, "documents")
+    while _EXACT_STRAT_HANDLES:
+        _EXACT_STRAT_HANDLES.pop().unpersist()
+    parts = (
+        d.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .repartitionByRange("lang", "h", "doc_id")
+        .withColumn("slice", F.spark_partition_id())
+        .cache()  # pin slice ids: both consumers must see ONE materialization
     )
+    _EXACT_STRAT_HANDLES.append(parts)
+    cnts = parts.groupBy("slice", "lang").agg(F.count(F.lit(1)).alias("c"))
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "slice",
+        "lang",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n_docs"),
+    )
+    wloc = Window.partitionBy("slice", "lang").orderBy("h", "doc_id")
     k = ((F.col("n_docs") + (den - 1)) / den).cast("bigint")
     return (
-        ranked.where(F.col("rnk") <= k)
+        parts.withColumn("lrnk", F.row_number().over(wloc))
+        .join(F.broadcast(offs), ["slice", "lang"])
+        .where((F.col("off") + F.col("lrnk")) <= k)
         .select(
             "lang",
             "doc_id",
-            F.col("rnk").cast("bigint").alias("rnk"),
+            (F.col("off") + F.col("lrnk")).cast("bigint").alias("rnk"),
             F.col("n_docs").cast("bigint").alias("n_docs"),
             k.alias("k_sample"),
         )

@@ -1826,11 +1826,24 @@ def test_zipf_fit_single_scan_window_on_vocab(spark):
     assert not any("Join" in n for n in nodes)
 
 
-def test_exact_stratified_one_window_node(spark):
-    """row_number and the stratum count share the lang partition:
-    Spark fuses them into at most two Window nodes over ONE shuffle."""
+def test_exact_stratified_distributed_rank_no_lang_window(spark):
+    """The scale pin for the r8 verdict's one `weak`: NO window over
+    the raw documents table may partition by lang alone (that funnels
+    a whole stratum to one reducer at 100 TB). The big-table rank must
+    run per (slice, lang) — hashpartitioning carrying the slice id —
+    with lang-only windows allowed solely on the slices×langs counts
+    relation, and the offset join must broadcast."""
     df = QUERIES["sample_exact_stratified"](spark, SF_DIR)
+    plan = plan_of(df)
+    # every lang-only hash partitioning must sit on the tiny counts
+    # relation (which reads from the cached range-partitioned slices,
+    # i.e. below an InMemoryTableScan), never directly on the scan
+    assert "InMemoryTableScan" in plan
     nodes = plan_nodes(df)
-    assert sum(1 for n in nodes if n == "Window") <= 2
-    assert shuffle_count(nodes) <= 2  # lang partition + output sort
-    assert not any("Join" in n for n in nodes)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n for n in nodes), nodes
+    # the big-side window partitions by (slice, lang), not lang alone
+    assert "hashpartitioning(slice" in plan, plan[:4000]
+    # lang-only partitionings: only the counts-relation windows (<=1)
+    lang_only = plan.count("hashpartitioning(lang")
+    assert lang_only <= 1, plan[:4000]
