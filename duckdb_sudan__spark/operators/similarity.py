@@ -1163,9 +1163,15 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each cluster's decision runs in one Arrow task (groupBy(cluster) ->
 # applyInPandas: ONE shuffle on the cluster id, no join anywhere —
 # plan-pinned). At 100 TB you raise K so max|cluster| stays
-# task-sized; skew in cluster sizes degrades to a slow task, not a
-# blow-up (and an oversized cluster could be sub-blocked exactly like
-# dedup_embedding's label blocks).
+# task-sized; an OVERSIZED cluster is sub-blocked exactly like the
+# LSH degenerate-bucket guard (dedup.subsalt_oversized_buckets):
+# clusters above SEMDEDUP_CLUSTER_CAP split into ceil(m/cap) hash-mod
+# sub-groups, bounding each decide task's Gram matrix at ~cap² instead
+# of |cluster|². The recall trade is the LSH guard's, stated not
+# silent: pairs only form inside a sub-group, so an oversized
+# cluster's τ-components are per-sub (the adversarial 1k-identical-
+# vectors test pins the bound and the per-sub canonical contract);
+# healthy corpora have sub = 0 everywhere and are bit-unchanged.
 #
 # Keep/drop rule (dedup_canonical_docs' policy transplanted to
 # embedding space): within each within-cluster τ-component the
@@ -1182,6 +1188,8 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_plans.py.
 
 SEMDEDUP_TAU = 0.35  # ~10-25% drop rate on the served corpora (calibrated)
+SEMDEDUP_CLUSTER_CAP = 4096  # decide-task bound: Gram work ≤ ~cap² floats
+_SEMDEDUP_HANDLES: list[DataFrame] = []
 
 
 def _semdedup_decide(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1231,13 +1239,26 @@ def _semdedup_decide(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str, cent: np.ndarray | None = None) -> DataFrame:
-    """assign -> per-cluster decide, against `cent` (or train via
-    kmeans_lloyd_history when None). Assignment is the same blockwise
-    ||x||²-2x·c+||c||² Arrow kernel as training (row-independent, so
-    batching never changes a row's result)."""
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    cent: np.ndarray | None = None,
+    cluster_cap: int | None = None,
+) -> DataFrame:
+    """assign -> per-(cluster, sub) decide, against `cent` (or train
+    via kmeans_lloyd_history when None). Assignment is the same
+    blockwise ||x||²-2x·c+||c||² Arrow kernel as training
+    (row-independent, so batching never changes a row's result). The
+    `sub` column is 0 for every cluster at-or-under `cluster_cap`
+    (healthy path: identical groups, identical output); an oversized
+    cluster is hash-mod split so no decide task ever materializes a
+    Gram matrix beyond ~cap² — the assignment relation is cached so
+    the size aggregate and the decide branch share one Arrow
+    evaluation, and the oversized relation (empty on healthy data)
+    broadcast-joins back exactly like dedup.subsalt_oversized_buckets."""
     if cent is None:
         _, _, cent = kmeans_lloyd_history(spark, sf_dir)
+    cap = int(cluster_cap if cluster_cap is not None else SEMDEDUP_CLUSTER_CAP)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_b = spark.sparkContext.broadcast(cent)
 
@@ -1255,14 +1276,35 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, cent: np.ndarray | None = N
             {"cluster": best.astype(np.int32), "sqdist": d2[np.arange(len(x)), best]}
         )
 
-    assigned = e.select(
-        "vec_id", "embedding", assign(F.col("embedding")).alias("a")
-    ).select(
-        "vec_id", "embedding",
-        F.col("a.cluster").alias("cluster"), F.col("a.sqdist").alias("sqdist"),
+    while _SEMDEDUP_HANDLES:
+        _SEMDEDUP_HANDLES.pop().unpersist()
+    assigned = (
+        e.select("vec_id", "embedding", assign(F.col("embedding")).alias("a"))
+        .select(
+            "vec_id", "embedding",
+            F.col("a.cluster").alias("cluster"), F.col("a.sqdist").alias("sqdist"),
+        )
+        .cache()  # one Arrow assignment feeds both the size agg and the decide
+    )
+    _SEMDEDUP_HANDLES.append(assigned)
+    oversized = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+        .select("cluster", F.ceil(F.col("n") / cap).cast("int").alias("n_sub"))
+    )
+    subbed = (
+        assigned.join(F.broadcast(oversized), "cluster", "left")
+        .withColumn(
+            "sub",
+            F.when(F.col("n_sub").isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col("vec_id")), F.col("n_sub")))
+            .cast("int"),
+        )
+        .drop("n_sub")
     )
     return (
-        assigned.groupBy("cluster")
+        subbed.groupBy("cluster", "sub")
         .applyInPandas(
             _semdedup_decide,
             "vec_id long, cluster int, group_id long, canonical_id long, is_canonical boolean",

@@ -1723,21 +1723,30 @@ def test_holt_kernel_is_one_arrow_stage_on_aggregate(spark):
 
 def test_semantic_dedup_pairs_only_inside_clusters(spark):
     """The SemDeDup tractability bound in the plan: after the Arrow
-    assignment stage there is exactly ONE shuffle (on the cluster id)
-    feeding one FlatMapGroupsInPandas, and NO join anywhere — pairwise
-    cosine work can only happen inside a cluster's task."""
+    assignment stage there is exactly ONE data shuffle (on the
+    (cluster, sub) id) feeding one FlatMapGroupsInPandas, and the only
+    join is the BROADCAST of the oversized-cluster relation (empty on
+    healthy data) — pairwise cosine work can only happen inside a
+    cluster sub-block's task, and the big relation never sort-merges."""
     from duckdb_sudan__spark.operators.similarity import kmeans_lloyd_history, semantic_dedup
 
     _, _, cent = kmeans_lloyd_history(spark, SF_DIR)
     df = semantic_dedup(spark, SF_DIR, cent=cent)
     nodes = plan_nodes(df)
-    assert not any("Join" in n or "CartesianProduct" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n or "CartesianProduct" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) == 1, nodes
     assert any("FlatMapGroupsInPandas" in n for n in nodes)
-    shuffles = [n for n in nodes if "Exchange" in n and "Sort" not in n]
-    # one hashpartitioning exchange on cluster + the output rangepartitioning
-    assert len(shuffles) <= 2, shuffles
+    shuffles = [
+        n for n in nodes if "Exchange" in n and "Sort" not in n and "Broadcast" not in n
+    ]
+    # hashpartitioning(cluster, sub) for the decide + the cluster-grain
+    # counts aggregate (K-row relation, feeds the broadcast) + output
+    # rangepartitioning — the big relation shuffles exactly once
+    assert len(shuffles) <= 3, shuffles
     plan = plan_of(df)
-    assert plan.count("hashpartitioning(cluster") == 1, plan
+    assert plan.count("hashpartitioning(cluster") == 2, plan
+    assert "sub#" in plan.split("FlatMapGroupsInPandas")[0] or ", sub" in plan
+    assert "InMemoryTableScan" in plan  # one Arrow assignment, two consumers
 
 
 # ---------------------------------------------------------------------------
