@@ -1835,6 +1835,22 @@ def test_zipf_fit_single_scan_window_on_vocab(spark):
     assert not any("Join" in n for n in nodes)
 
 
+def test_pq_adc_broadcast_rerank_no_big_shuffle(spark):
+    """The PQ scan's scale shape: the corpus is read exactly twice
+    (encode pass + rerank probe), both joins BROADCAST the small side
+    (candidates / query vectors) so the embedding relation never
+    shuffles or sort-merges, and the only exchanges carry the
+    R·|Q|-row scored/reranked relations."""
+    df = QUERIES["ann_pq_adc"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 2, nodes
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) == 2, nodes
+    assert not any("SortMergeJoin" in n or "CartesianProduct" in n for n in nodes), nodes
+    plan = plan_of(df)
+    # every data exchange is keyed on query_id (small relations only)
+    assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(query_id"), plan[:3000]
+
+
 def test_exact_stratified_distributed_rank_no_lang_window(spark):
     """The scale pin for the r8 verdict's one `weak`: NO window over
     the raw documents table may partition by lang alone (that funnels

@@ -54,6 +54,11 @@ OPS = [
     # 16× vector set costs ~(16/K·cluster)² per cluster task, spread
     # across clusters; upstream Lloyd moves only the model
     "dedup_semantic_clusters",
+    # r9: PQ/ADC — the scan scores M-byte codes (table-lookup adds),
+    # not 64-float vectors, and the rerank touches only R·|Q|
+    # candidates regardless of corpus size: growth should track the
+    # code-width scan, ~linear with a small constant
+    "ann_pq_adc",
 ]
 
 
