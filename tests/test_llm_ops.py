@@ -1174,3 +1174,40 @@ def test_mm_decode_ppm_matches_local_pixels(spark):
         assert (r.width, r.height) == (w, h)
         assert r.gray_mean == float(np.round(gray.mean(), 6))
         assert r.phash == _phash64(gray)
+
+
+def test_mm_dedup_phash_real_matches_local_reference(spark):
+    """The real-bytes media dedup tier (r8 verdict item 6): the Spark
+    pairs equal a local decode-EVERYTHING reference that replicates the
+    band-pigeonhole candidate semantics (candidates share a 16-bit
+    band; emit if hamming <= PHASH_HAMMING_MAX) — real pixels flow
+    decode -> phash -> band join, and the planted near-dup groups must
+    both produce pairs and never pair across groups."""
+    from duckdb_sudan__spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        PPM_DEDUP_GROUP,
+        _phash_of_ppm,
+        _ppm_near_dup_fixture,
+    )
+    from duckdb_sudan__spark.session import load_table
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in QUERIES["mm_dedup_phash_real"](spark, SF_DIR).collect()
+    }
+    doc_ids = [r.doc_id for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()]
+    ph = {i: _phash_of_ppm(_ppm_near_dup_fixture(int(i))) for i in doc_ids}
+    want = set()
+    ids = sorted(ph)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            x = (ph[a] ^ ph[b]) & (2**64 - 1)
+            shares_band = any(((x >> (16 * band)) & 0xFFFF) == 0 for band in range(4))
+            ham = bin(x).count("1")
+            if shares_band and ham <= PHASH_HAMMING_MAX:
+                want.add((a, b, ham))
+    assert got == want
+    assert got, "fixture planted near-dups but none were found"
+    for a, b, _ in got:  # pairs only within a planted group
+        assert a // PPM_DEDUP_GROUP == b // PPM_DEDUP_GROUP, (a, b)
