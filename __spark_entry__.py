@@ -187,6 +187,7 @@ _WINDOW_PRIORITY = [
     "w1_window_rank", "w2_window_running", "w4_value_windows",
     # -- 39-50: slack slots filled by oracled entries added in r9
     #           (each dual-SF dual-mode verified on registration) -------
+    "pivot_dynamic",
 ]
 
 # r10 window priority, computed at r9 open: first any r9-added oracled

@@ -48,6 +48,7 @@ def load_all() -> None:
         olap14,
         olap15,
         olap16,
+        olap17,
         relational,
         similarity,
         sketches,

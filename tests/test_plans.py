@@ -1835,6 +1835,21 @@ def test_zipf_fit_single_scan_window_on_vocab(spark):
     assert not any("Join" in n for n in nodes)
 
 
+def test_pivot_dynamic_two_job_single_main_shuffle(spark):
+    """The dynamic form is TWO jobs by design: building the plan
+    already ran the distinct pre-job (pivot values are baked into the
+    analyzed schema — asserting the columns exist proves it), and the
+    MAIN job is one partial-agg shuffle on cohort plus the output
+    sort; no join anywhere."""
+    df = QUERIES["pivot_dynamic"](spark, SF_DIR)
+    assert set(df.columns) >= {"cohort", "view", "click", "purchase"}, df.columns
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert shuffle_count(nodes) <= 2, nodes  # cohort agg + output sort
+    assert any("HashAggregate" in n for n in nodes), nodes
+
+
 def test_pq_adc_broadcast_rerank_no_big_shuffle(spark):
     """The PQ scan's scale shape: the corpus is read exactly twice
     (encode pass + rerank probe), both joins BROADCAST the small side
