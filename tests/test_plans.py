@@ -1846,8 +1846,12 @@ def test_pivot_dynamic_two_job_single_main_shuffle(spark):
     nodes = plan_nodes(df)
     assert not any("Join" in n for n in nodes), nodes
     assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
-    assert shuffle_count(nodes) <= 2, nodes  # cohort agg + output sort
-    assert any("HashAggregate" in n for n in nodes), nodes
+    # Spark's pivot lowers to a (cohort, event_type) count -> a
+    # pivotfirst agg on cohort -> output sort: three exchanges, every
+    # one fed by a partial aggregate (map-side combine throughout)
+    assert shuffle_count(nodes) <= 3, nodes
+    plan = plan_of(df)
+    assert "partial_pivotfirst" in plan and "partial_count" in plan, plan[:2500]
 
 
 def test_pq_adc_broadcast_rerank_no_big_shuffle(spark):
