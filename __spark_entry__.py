@@ -185,9 +185,14 @@ _WINDOW_PRIORITY = [
     "sudan_who_indicators", "sudan_worldbank", "tok_positions",
     "ts_locf_fill", "ts_ohlc_hourly", "unpivot_nation_counts",
     "w1_window_rank", "w2_window_running", "w4_value_windows",
-    # -- 39-50: slack slots filled by oracled entries added in r9
-    #           (each dual-SF dual-mode verified on registration) -------
-    "pivot_dynamic",
+    # -- 39-50: slack slots filled by the 12 oracled entries added in
+    #           r9 (each dual-SF dual-mode verified on registration) ----
+    "pivot_dynamic", "unpivot_dynamic", "orders_basket_pairs",
+    "ev_user_overlap_jaccard", "ts_cumulative_distinct_users",
+    "ev_inter_event_gaps", "dt_business_days",
+    "ev_session_depth_histogram", "ml_target_encoding_loo",
+    "ml_feature_crosses_hashed", "win_top_movers_wow",
+    "corpus_bigram_entropy_bits",
 ]
 
 # r10 window priority, computed at r9 open: first any r9-added oracled

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.session import load_table
@@ -58,3 +59,503 @@ def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "cohort", *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in vals]
     ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# unpivot_dynamic — the UNPIVOT twin of pivot_dynamic
+# ---------------------------------------------------------------------------
+# DuckDB's UNPIVOT ... ON COLUMNS(* EXCLUDE ...) derives the melted
+# column list from the input SCHEMA; Spark's df.unpivot(ids, None, ...)
+# does exactly the same (values=None melts every non-id column). The
+# wide input here is the dynamic pivot itself, so the pair round-trips:
+# schema-derived wide -> schema-derived long.
+
+UNPIVOT_DYNAMIC_ORACLE = """
+SELECT * FROM (
+  UNPIVOT (
+    PIVOT (SELECT o_orderpriority, o_orderstatus, 1 AS one FROM orders)
+    ON o_orderstatus USING COUNT(one) GROUP BY o_orderpriority
+  ) ON COLUMNS(* EXCLUDE (o_orderpriority)) INTO NAME status VALUE n_orders
+) ORDER BY o_orderpriority, status
+"""
+
+
+@register("unpivot_dynamic", UNPIVOT_DYNAMIC_ORACLE)
+def unpivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the dynamic status pivot back to long form with a
+    schema-derived column list on BOTH engines (no hand-written value
+    list anywhere). Missing (priority, status) combos surface as 0 on
+    both sides (coalesce before the melt mirrors PIVOT's 0-fill).
+    Plan: the pivot's partial-agg exchanges plus a zero-shuffle
+    Expand for the melt."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.select("o_orderpriority", "o_orderstatus")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus")
+        .count()
+    )
+    vals = sorted(c for c in wide.columns if c != "o_orderpriority")
+    wide = wide.select(
+        "o_orderpriority", *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in vals]
+    )
+    return (
+        wide.unpivot(["o_orderpriority"], None, "status", "n_orders")
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_basket_pairs — brand co-occurrence (market-basket affinity)
+# ---------------------------------------------------------------------------
+# The classic "customers who bought X also bought Y" aggregate. Scale
+# shape: the self-join is keyed on l_orderkey, and an order has at
+# most ~7 lines, so pairs-per-order is bounded by C(7,2) — the join
+# output is LINEAR in the fact table, never quadratic (the same
+# bounded-group argument as the banded dedup tiers). The part dim
+# broadcasts; top-20 is a fully-ordered limit.
+
+BASKET_PAIRS_ORACLE = """
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM lines a JOIN lines b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+@register("orders_basket_pairs", BASKET_PAIRS_ORACLE)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased brand pairs. The part lookup is left to AQE
+    (part scales with SF — broadcast at test scale, shuffle join on
+    partkey at 100 TB); the distinct (order, brand) grain and the pair
+    join both key on l_orderkey so the self-join output is bounded by
+    C(order_size, 2) per order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lines.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = lines.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_user_overlap_jaccard — audience overlap between event types
+# ---------------------------------------------------------------------------
+# Jaccard of the distinct-user audiences of every event-type pair.
+# Scale shape: the self-join is keyed on user_id and a user touches at
+# most |event_types| (5) types, so join output ≤ C(5,2) per user —
+# linear. The similarity is emitted as an exact INTEGER ppm (bigint
+# integer division on both engines) — no float division anywhere, so
+# no rounding-tie exposure (memory: ROUND half-up vs half-even).
+
+USER_OVERLAP_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+boths AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
+       CAST(1000000 * n_both // (ta.n + tb.n - n_both) AS BIGINT) AS jaccard_ppm
+FROM boths JOIN tot ta ON ta.event_type = type_a
+           JOIN tot tb ON tb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register("ev_user_overlap_jaccard", USER_OVERLAP_ORACLE)
+def ev_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tot = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    boths = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        boths.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr("1000000 * n_both div (n_a + n_b - n_both)").cast("bigint").alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_cumulative_distinct_users — the "total users ever" growth curve
+# ---------------------------------------------------------------------------
+# Cumulative COUNT(DISTINCT user) per day without ever running a
+# distinct-over-window: each user contributes once at their FIRST day
+# (map-combinable min), the daily grain is calendar-bounded, and the
+# running sum is a window over day rows only. The global-order window
+# sits on ~hundreds of rows — the raw table never sees it.
+
+CUM_USERS_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM firsts GROUP BY d
+)
+SELECT d, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily ORDER BY d
+"""
+
+
+@register("ts_cumulative_distinct_users", CUM_USERS_ORACLE)
+def ts_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("d"))
+    daily = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cum_users")
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# ev_inter_event_gaps — per-type inter-arrival statistics
+# ---------------------------------------------------------------------------
+# Gap = microseconds between a user's consecutive events of the same
+# type (unix_micros ≡ epoch_us — the memory-catalogued ±1s lag pitfall
+# of second-truncating first). One (user, type) window, integer sums.
+
+INTER_EVENT_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+FROM s WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("ev_inter_event_gaps", INTER_EVENT_ORACLE)
+def ev_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dt_business_days — weekday-count arithmetic between two dates
+# ---------------------------------------------------------------------------
+# Business days in [o_orderdate, l_shipdate) via pure INTEGER epoch-day
+# arithmetic — g(n) = 5·((n+3) div 7) + least((n+3) mod 7, 5) counts
+# weekdays in [1970-01-01, day n) (the +3 aligns to the Monday
+# 1969-12-29; all served dates are positive epoch days so div/mod
+# agree across engines). No engine weekday() anywhere: DuckDB's dow is
+# 0=Sunday, Spark's dayofweek is 1=Sunday — the formula sidesteps the
+# off-by-one class entirely.
+
+BUSINESS_DAYS_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0,
+         CAST(CAST(l_shipdate  AS DATE) - DATE '1970-01-01' AS BIGINT) AS d1
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), b AS (
+  SELECT o_orderpriority,
+         (5 * ((d1 + 3) // 7) + least((d1 + 3) % 7, 5))
+       - (5 * ((d0 + 3) // 7) + least((d0 + 3) % 7, 5)) AS bdays
+  FROM j
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(bdays) AS BIGINT) AS sum_bdays,
+       CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+       CAST(MAX(bdays) AS BIGINT) AS max_bdays
+FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("dt_business_days", BUSINESS_DAYS_ORACLE)
+def dt_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship business-day statistics per priority. Plan: the
+    orders⋈lineitem join is left to AQE — at test SF the 3-column
+    orders projection broadcasts; at 100 TB both fact tables shuffle
+    on orderkey (never force-broadcast a fact table). The weekday
+    arithmetic is pure codegen; one partial-agg shuffle on priority."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+
+    d0 = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    d1 = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+
+    def g(n):
+        # epoch days are all positive here, so floor((n+3)/7) == (n+3) div 7
+        return 5 * F.floor((n + 3) / 7).cast("bigint") + F.least((n + 3) % 7, F.lit(5))
+
+    bdays = (g(d1) - g(d0)).alias("bdays")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", bdays)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("bdays").cast("bigint").alias("sum_bdays"),
+            F.min("bdays").cast("bigint").alias("min_bdays"),
+            F.max("bdays").cast("bigint").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_session_depth_histogram — distribution of events-per-session
+# ---------------------------------------------------------------------------
+# Composes the gaps-islands sessionizer (30-min inactivity, the
+# ev_sessionize contract) into the downstream histogram a product
+# dashboard shows. All three windows share the (user) partition so
+# they ride ONE shuffle; the histogram grain is tiny.
+
+SESSION_DEPTH_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+), d AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS depth
+  FROM t GROUP BY user_id, sess
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM d GROUP BY depth ORDER BY depth
+"""
+
+
+@register("ev_session_depth_histogram", SESSION_DEPTH_ORACLE)
+def ev_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1000000), 1).otherwise(0)
+    sess = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    depths = (
+        e.select("user_id", "ts", "event_id")
+        .select("user_id", sess.alias("sess"))
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("depth"))
+    )
+    return (
+        depths.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_target_encoding_loo — leakage-free leave-one-out target encoding
+# ---------------------------------------------------------------------------
+# The feature-engineering twin of ml_pointintime_features: encode a
+# categorical column by the mean target of the OTHER rows in its
+# category — the standard trick that avoids self-leakage without a
+# fold split. Exact integer arithmetic: targets in micro-units
+# (o_totalprice has 2 decimals), the encoded value emitted as
+# numerator/denominator plus an integer-division mean — no float
+# division, no rounding ties. Plan: one category aggregate (5 rows)
+# broadcast back onto the fact scan; no window, no self-join.
+
+TARGET_LOO_ORACLE = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       CAST(sum_micro - CAST(round(o_totalprice * 1000000) AS BIGINT) AS BIGINT) AS loo_num_micro,
+       CAST(n_cat - 1 AS BIGINT) AS loo_den,
+       CAST((sum_micro - CAST(round(o_totalprice * 1000000) AS BIGINT)) // (n_cat - 1) AS BIGINT) AS loo_mean_micro
+FROM orders o JOIN agg USING (o_orderpriority)
+ORDER BY o_orderkey
+"""
+
+
+@register("ml_target_encoding_loo", TARGET_LOO_ORACLE)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    micro = F.round(F.col("o_totalprice") * 1000000).cast("bigint")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum(micro).cast("bigint").alias("sum_micro"),
+    )
+    num = (F.col("sum_micro") - micro).cast("bigint")
+    return (
+        o.join(F.broadcast(agg), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            num.alias("loo_num_micro"),
+            (F.col("n_cat") - 1).cast("bigint").alias("loo_den"),
+            F.expr(
+                "(sum_micro - CAST(round(o_totalprice * 1000000) AS BIGINT)) div (n_cat - 1)"
+            ).cast("bigint").alias("loo_mean_micro"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_crosses_hashed — the hashing-trick feature cross
+# ---------------------------------------------------------------------------
+# Cross (event_type × day-of-week) hashed into a fixed bucket space —
+# the classic wide-model featurizer. The bucket hash rides the
+# md5-hex route (dataset_shard_assign's idiom: Spark hash() and DuckDB
+# hash() are different algorithms, md5 is the cross-engine-exact one);
+# dow comes from epoch-day arithmetic, not engine weekday() (see
+# dt_business_days). Map-side bucket id, one partial-agg shuffle.
+
+CROSS_BUCKETS = 64
+
+FEATURE_CROSS_ORACLE = f"""
+WITH f AS (
+  SELECT event_type,
+         CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS BIGINT) AS dow,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+), h AS (
+  SELECT event_type, dow, v_micro,
+         CAST(CAST('0x' || substring(md5(event_type || '|' || CAST(dow AS VARCHAR)), 1, 8) AS BIGINT)
+              % {CROSS_BUCKETS} AS BIGINT) AS bucket
+  FROM f
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_type || '|' || CAST(dow AS VARCHAR)) AS BIGINT) AS n_crosses,
+       CAST(SUM(v_micro) AS BIGINT) AS sum_value_micro
+FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("ml_feature_crosses_hashed", FEATURE_CROSS_ORACLE)
+def ml_feature_crosses_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint") + 3) % 7
+    )
+    cross = F.concat_ws("|", F.col("event_type"), dow.cast("string"))
+    bucket = (
+        F.conv(F.substring(F.md5(cross), 1, 8), 16, 10).cast("bigint") % CROSS_BUCKETS
+    )
+    return (
+        e.select(
+            bucket.alias("bucket"),
+            cross.alias("cross"),
+            F.round(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("cross").alias("n_crosses"),
+            F.sum("v_micro").cast("bigint").alias("sum_value_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_top_movers_wow — week-over-week top movers
+# ---------------------------------------------------------------------------
+# Weekly per-type counts -> WoW delta (lag over the type series) ->
+# top-3 movers per week by |delta| with a full deterministic
+# tie-break. Both windows sit on the weeks×types grain (tiny); the
+# raw table pays one partial-agg shuffle only.
+
+TOP_MOVERS_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), delta AS (
+  SELECT wk, event_type, n,
+         CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS BIGINT) AS wow
+  FROM weekly
+)
+SELECT wk, event_type, n, wow
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY wk ORDER BY abs(wow) DESC, event_type) AS rk
+  FROM delta WHERE wow IS NOT NULL
+) WHERE rk <= 3
+ORDER BY wk, abs(wow) DESC, event_type
+"""
+
+
+@register("win_top_movers_wow", TOP_MOVERS_ORACLE)
+def win_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("wk"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    wlag = Window.partitionBy("event_type").orderBy("wk")
+    delta = weekly.select(
+        "wk", "event_type", "n",
+        (F.col("n") - F.lag("n").over(wlag)).cast("bigint").alias("wow"),
+    ).where(F.col("wow").isNotNull())
+    wrk = Window.partitionBy("wk").orderBy(F.abs(F.col("wow")).desc(), "event_type")
+    return (
+        delta.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= 3)
+        .select("wk", "event_type", "n", "wow")
+        .orderBy("wk", F.abs(F.col("wow")).desc(), "event_type")
+    )

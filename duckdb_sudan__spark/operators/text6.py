@@ -438,3 +438,81 @@ def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bigram_entropy_bits — per-language bigram-distribution entropy
+# ---------------------------------------------------------------------------
+# The corpus-diversity number next to Zipf slope on a dataset card:
+# Shannon entropy of each language's word-BIGRAM distribution, in the
+# repo's integer bitlen-log2 form (agg_entropy_bits' idiom lifted from
+# the source-mix grain to the token grain). High entropy = varied
+# combinations; low = templated/boilerplate text. All bigint until the
+# final mean division.
+
+BIGRAM_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT lang, t[s] || ' ' || t[s+1] AS bg
+  FROM (SELECT lang, t, unnest(generate_series(1, length(t) - 1)) AS s FROM toks)
+), c AS (
+  SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY lang, bg
+), agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(SUM(cnt * length(printf('%b', cnt))) AS BIGINT) AS sum_cnt_bits
+  FROM c GROUP BY lang
+)
+SELECT lang, n_bigrams, total,
+       CAST(total * length(printf('%b', total)) - sum_cnt_bits AS BIGINT) AS entropy_scaled_bits,
+       ROUND(CAST(total * length(printf('%b', total)) - sum_cnt_bits AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS mean_bits
+FROM agg
+ORDER BY lang
+"""
+
+
+@register("corpus_bigram_entropy_bits", BIGRAM_ENTROPY_ORACLE)
+def corpus_bigram_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang bigram entropy: entropy_scaled_bits = total·bitlen(
+    total) − Σ cnt·bitlen(cnt) over the (lang, bigram) count table —
+    within 1 bit/term of true -Σ p·log2 p scaled by total, and
+    bit-identical across engines (no float log). Plan: one token-grain
+    map-side explode (docs with < 2 tokens are filtered BEFORE the
+    sequence — Spark's sequence(1, 0) counts down, DuckDB's
+    generate_series(1, 0) is empty; same guard as dedup_chunk_exact),
+    one (lang, bigram) partial-agg shuffle, one lang-grain rollup that
+    rides the same exchange family. The fact table is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    bg = toks.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("s"),
+        "t",
+    ).select(
+        "lang",
+        F.concat_ws(
+            " ", F.element_at("t", F.col("s")), F.element_at("t", F.col("s") + 1)
+        ).alias("bg"),
+    )
+    c = bg.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("cnt") * F.length(F.conv(F.col("cnt").cast("string"), 10, 2)))
+        .cast("bigint")
+        .alias("sum_cnt_bits"),
+    )
+    scaled = (
+        F.col("total") * F.length(F.conv(F.col("total").cast("string"), 10, 2)).cast("bigint")
+        - F.col("sum_cnt_bits")
+    )
+    return agg.select(
+        "lang",
+        "n_bigrams",
+        "total",
+        scaled.cast("bigint").alias("entropy_scaled_bits"),
+        F.round(scaled.cast("double") / F.col("total").cast("double"), 6).alias("mean_bits"),
+    ).orderBy("lang")

@@ -1891,3 +1891,141 @@ def test_exact_stratified_distributed_rank_no_lang_window(spark):
     # lang-only partitionings: only the counts-relation windows (<=1)
     lang_only = plan.count("hashpartitioning(lang")
     assert lang_only <= 1, plan[:4000]
+
+
+# ---------------------------------------------------------------------------
+# r9 wave plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_unpivot_dynamic_expand_no_extra_shuffle(spark):
+    """The melt is a zero-shuffle Expand over the pivot's output; the
+    exchanges are the pivot's own partial-agg pair plus the output
+    sort."""
+    df = QUERIES["unpivot_dynamic"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any(n == "Expand" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert shuffle_count(nodes) <= 3, nodes
+
+
+def test_basket_pairs_bounded_self_join(spark):
+    """The pair self-join keys on l_orderkey (per-order groups are
+    line-count bounded, so output is linear) and never degenerates to
+    a cartesian; the two-column distinct and the pair join are the
+    only wide stages before the 20-row ordered limit."""
+    df = QUERIES["orders_basket_pairs"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n or "BroadcastNestedLoop" in n for n in nodes), nodes
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_user_overlap_totals_broadcast(spark):
+    """The per-type totals (|event_types| rows) broadcast back onto
+    the pair counts; the only non-broadcast join is the user-keyed
+    self-join whose per-user output is C(|types|, 2)-bounded."""
+    df = QUERIES["ev_user_overlap_jaccard"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    # 2 totals broadcasts; AQE may additionally broadcast the user
+    # self-join at toy SF (at scale it reverts to a shuffle join on
+    # user_id — both sides are fact-sized)
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) >= 2, nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_cumulative_users_window_on_day_grain(spark):
+    """The global-order running sum consumes the DAILY aggregate
+    (calendar-bounded), never the raw events: the Window node sits
+    above both HashAggregates, and the fact table is scanned once."""
+    df = QUERIES["ts_cumulative_distinct_users"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    widx = max(i for i, n in enumerate(nodes) if n == "Window")
+    # plan_nodes lists upstream-first: both aggregates must sit at
+    # lower indices than the window (user-grain min + day-grain count)
+    aggs_upstream = sum(1 for n in nodes[:widx] if "HashAggregate" in n)
+    assert aggs_upstream >= 2, nodes
+
+
+def test_inter_event_gaps_single_exchange(spark):
+    """The lag window and nothing else shuffles the fact table: one
+    hashpartitioning on (user_id, event_type), then the type rollup
+    partial-aggregates."""
+    df = QUERIES["ev_inter_event_gaps"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_business_days_codegen_join_no_forced_broadcast(spark):
+    """The weekday arithmetic stays in codegen (no Python stage) and
+    the orders⋈lineitem join is AQE's choice — the plan must not
+    contain a Python/Arrow eval node, and the final rollup is one
+    partial aggregate on priority."""
+    df = QUERIES["dt_business_days"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Arrow" in n or "Python" in n or "FlatMap" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 2, nodes
+    plan = plan_of(df)
+    assert "partial_count" in plan or "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_session_depth_windows_share_user_exchange(spark):
+    """The gap lag and the running session-id sum share the user_id
+    partitioning: exactly ONE hashpartitioning(user_id) for the
+    window pair, with the (user, sess) depth aggregate riding it."""
+    df = QUERIES["ev_session_depth_histogram"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+
+
+def test_target_encoding_broadcast_aggregate_back(spark):
+    """LOO encoding is ONE category aggregate (5 rows at any SF)
+    broadcast back onto the fact scan — no window over the fact
+    table, no self-join, no second scan... except the aggregate's own
+    branch; the category relation is genuinely broadcast-able at
+    100 TB (cardinality = |priorities|, not |orders|)."""
+    df = QUERIES["ml_target_encoding_loo"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) == 1, nodes
+    assert not any("SortMergeJoin" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_feature_crosses_map_side_bucket(spark):
+    """The bucket id is map-side md5 arithmetic: a single scan, no
+    join, and the only exchanges belong to the bucket aggregate (the
+    distinct-cross count adds its expand pass)."""
+    df = QUERIES["ml_feature_crosses_hashed"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_top_movers_windows_on_weekly_grain(spark):
+    """Both windows (WoW lag, per-week rank) consume the weeks×types
+    aggregate: the Window nodes sit above the HashAggregate pair, and
+    the fact table pays exactly one partial-agg shuffle."""
+    df = QUERIES["win_top_movers_wow"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    widx = min(i for i, n in enumerate(nodes) if n == "Window")
+    assert any("HashAggregate" in n for n in nodes[:widx]), nodes
+
+
+def test_bigram_entropy_single_scan_two_rollups(spark):
+    """One fact scan feeds the (lang, bigram) count and the lang
+    rollup; no join, no window, every exchange fed by a partial
+    aggregate."""
+    df = QUERIES["corpus_bigram_entropy_bits"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan[:2000]
