@@ -195,10 +195,14 @@ _WINDOW_PRIORITY = [
     "corpus_bigram_entropy_bits",
 ]
 
-# r10 window priority, computed at r9 open: first any r9-added oracled
-# entries that did not fit the r9 slack slots, then the
-# longest-unchecked rotation (the r5-checked rows are the oldest class
-# once the r4 debt closes with CORRECTNESS_r09).
+# r10 window priority, computed at r9 close: FIRST the 5 oracled
+# entries added in the second r9 wave, which did not fit the r9 slack
+# slots (each dual-SF dual-mode verified on registration):
+#   ev_attribution_time_decay, q_churn_inactive_customers,
+#   q_orders_backlog_aging, agg_array_agg_sorted, ts_rolling_corr_pairs
+# then the longest-unchecked rotation — the r5-checked rows are the
+# oldest class once the r4 debt closes with CORRECTNESS_r09 (45 slots:
+# the 45 alphabetically-first r5 rows; the remainder roll to r11).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -610,3 +610,127 @@ def mm_dedup_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashed = d.mapInPandas(gen_and_hash, _PHASH_SCHEMA)
     return _phash_band_pairs(hashed)
+
+
+# ---------------------------------------------------------------------------
+# mm_decode_wav — REAL RIFF/WAVE PCM16 decode end-to-end (the audio
+# sibling of mm_decode_ppm): byte-exact header parsing (RIFF size
+# check, chunk walk that skips unknown chunks, fmt validation) →
+# int16 PCM samples → fixed-length frame energies, all in streaming
+# Arrow map stages. The payload fixture synthesizes integer triangle
+# waves (no float phase accumulation — deterministic bytes from
+# doc_id alone). Rows-only: binary decode is not SQL.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+WAV_FRAME = 512  # samples per analysis frame
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Write int16 mono PCM as a canonical 44-byte-header WAV."""
+    import struct
+
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    raw = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(raw)) + raw
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse RIFF/WAVE: magic, declared RIFF size, then a CHUNK WALK
+    (unknown chunks are skipped by their declared length — the part
+    naive parsers get wrong) to fmt (must be PCM16 mono) and data.
+    Raises ValueError on malformed input — a real decoder's contract."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared != len(payload) - 8:
+        raise ValueError(f"RIFF size {declared} != {len(payload) - 8}")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype=np.int16)
+
+
+def _wav_fixture(doc_id: int) -> bytes:
+    """Deterministic per-doc mono PCM16: an integer triangle wave whose
+    period and amplitude derive from doc_id (pure integer arithmetic,
+    no float phase), length 2048 + (doc_id % 7)·256 samples, plus a
+    JUNK chunk before fmt so the decoder's chunk walk is exercised on
+    every payload."""
+    import struct
+
+    n = 2048 + (doc_id % 7) * 256
+    period = 32 + (doc_id % 29)
+    amp = 4000 + (doc_id % 50) * 100
+    t = np.arange(n, dtype=np.int64) % period
+    tri = np.where(t < period // 2, t, period - t)  # 0..period/2 ramp
+    samples = ((tri - period // 4) * (4 * amp) // period).astype(np.int16)
+    wav = encode_wav(samples)
+    # 7-byte (odd) JUNK body + its pad byte: exercises both the
+    # unknown-chunk skip AND the word-alignment rule in decode_wav
+    junk = b"JUNK" + struct.pack("<I", 7) + b"fillers" + b"\x00"
+    out = wav[:12] + junk + wav[12:]
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
+_WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak_frame", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ]
+)
+
+
+@register("mm_decode_wav")  # rows-only: binary decode is not SQL
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL WAV bytes end-to-end: payload -> decode_wav (actual
+    RIFF chunk walk incl. a planted JUNK chunk) -> per-WAV_FRAME
+    integer energy (Σ sample², exact int64) -> argmax frame + total.
+    Streaming Arrow map stages, no shuffle until the caller adds one;
+    pinned against a local decode in tests."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                payload = _wav_fixture(int(doc_id))
+                rate, samples = decode_wav(payload)
+                n = len(samples)
+                nf = n // WAV_FRAME
+                s64 = samples[: nf * WAV_FRAME].astype(np.int64).reshape(nf, WAV_FRAME)
+                energies = (s64 * s64).sum(axis=1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "rate": rate,
+                        "n_samples": n,
+                        "n_frames": nf,
+                        "peak_frame": int(np.argmax(energies)),
+                        "total_energy": int(energies.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _WAV_DECODE_SCHEMA.fields])
+
+    return d.mapInPandas(gen_and_decode, _WAV_DECODE_SCHEMA).orderBy("doc_id")

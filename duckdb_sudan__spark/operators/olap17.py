@@ -559,3 +559,279 @@ def win_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wk", "event_type", "n", "wow")
         .orderBy("wk", F.abs(F.col("wow")).desc(), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_attribution_time_decay — dyadic time-decay multi-touch credit
+# ---------------------------------------------------------------------------
+# The decay cousin of ev_multitouch_attribution (linear 1/n): a touch
+# age_hours before the purchase earns weight 2^(23 − age_hours) —
+# halving per hour over the 24h window, INTEGER weights (no float pow,
+# no rounding anywhere). Same scale shape as multitouch: the time
+# predicate rides the user equi-join (per-user counts bound fan-out),
+# then ONE rollup by touch type; share_ppm is exact integer division.
+
+DECAY_WINDOW_HOURS = 24
+
+TIME_DECAY_ORACLE = f"""
+WITH touches AS (
+  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click')
+), purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), credited AS (
+  SELECT t.touch_type,
+         CAST((epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 3600000000 AS BIGINT) AS age_hours
+  FROM purch p JOIN touches t USING (user_id)
+  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL {DECAY_WINDOW_HOURS} HOURS
+), weighted AS (
+  SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(SUM(1::BIGINT << (23 - age_hours)) AS BIGINT) AS total_weight
+  FROM credited GROUP BY touch_type
+)
+SELECT touch_type, n_touches, total_weight,
+       CAST(1000000 * total_weight // (SELECT SUM(total_weight) FROM weighted) AS BIGINT) AS share_ppm
+FROM weighted ORDER BY touch_type
+"""
+
+
+@register("ev_attribution_time_decay", TIME_DECAY_ORACLE)
+def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    touches = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("touch_type"), F.col("ts").alias("t_ts")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    credited = (
+        purch.join(touches, "user_id")
+        .where(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {DECAY_WINDOW_HOURS} HOURS"))
+        )
+        .select(
+            "touch_type",
+            ((F.unix_micros("p_ts") - F.unix_micros("t_ts")) / 3600000000)
+            .cast("bigint")
+            .alias("age_hours"),
+        )
+    )
+    weighted = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << CAST(23 - age_hours AS INT)"))
+        .cast("bigint")
+        .alias("total_weight"),
+    )
+    total = weighted.agg(F.sum("total_weight").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "touch_type", "n_touches", "total_weight",
+            F.expr("1000000 * total_weight div tw").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_churn_inactive_customers — horizon-derived inactivity segmentation
+# ---------------------------------------------------------------------------
+# "Churned" = last order more than 365 days before the dataset's OWN
+# horizon (max order date) — the scalar-subquery-threshold surface: the
+# horizon is a 1-row aggregate broadcast into the predicate (DuckDB
+# binds it as a scalar subquery). Never-ordered customers surface via
+# the left join's NULL.
+
+CHURN_ORACLE = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+last_order AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_d FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN last_d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered,
+       CAST(SUM(CASE WHEN last_d < mx - INTERVAL 365 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(SUM(CASE WHEN last_d >= mx - INTERVAL 365 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+FROM customer LEFT JOIN last_order ON c_custkey = o_custkey
+CROSS JOIN horizon
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@register("q_churn_inactive_customers", CHURN_ORACLE)
+def q_churn_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment churn tally. Plan: the per-customer MAX aggregate
+    shuffles once on custkey and left-joins the dim (AQE picks the
+    side); the horizon is a broadcast 1-row cross join; one final
+    partial agg on segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    horizon = o.agg(F.max("o_orderdate").alias("mx"))
+    last = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_d"))
+    cutoff = F.col("mx") - F.expr("INTERVAL 365 DAYS")
+    return (
+        c.join(last, c.c_custkey == last.o_custkey, "left")
+        .crossJoin(F.broadcast(horizon))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("last_d").isNull(), 1).otherwise(0)).cast("bigint").alias("n_never_ordered"),
+            F.sum(F.when(F.col("last_d") < cutoff, 1).otherwise(0)).cast("bigint").alias("n_churned"),
+            F.sum(F.when(F.col("last_d") >= cutoff, 1).otherwise(0)).cast("bigint").alias("n_active"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_orders_backlog_aging — open-order aging buckets at the data horizon
+# ---------------------------------------------------------------------------
+
+BACKLOG_ORACLE = """
+WITH horizon AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders),
+aged AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), mx) AS age_days
+  FROM orders CROSS JOIN horizon
+  WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(age_days) AS BIGINT) AS min_age,
+       CAST(MAX(age_days) AS BIGINT) AS max_age
+FROM aged
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q_orders_backlog_aging", BACKLOG_ORACLE)
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order ('O') aging report against the dataset's own horizon
+    (scalar broadcast, like q_churn); integer day buckets, one
+    partial-agg shuffle. The status filter is pushed to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("mx"), F.col("o_orderdate").cast("date")).cast("bigint").alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        aged.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("age_days").cast("bigint").alias("min_age"),
+            F.max("age_days").cast("bigint").alias("max_age"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_array_agg_sorted — ARRAY-valued aggregate parity
+# ---------------------------------------------------------------------------
+# The one aggregate family §2.B hadn't oracled: a LIST-typed output
+# column flowing through the driver's value-hash compare. DuckDB
+# list(x ORDER BY x) ≡ Spark sort_array(collect_list(x)) — groups are
+# DIM-SIZED (suppliers per nation), so the collect buffer is bounded
+# by the dimension, not the fact table.
+
+ARRAY_AGG_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       list(s_suppkey ORDER BY s_suppkey) AS suppkeys,
+       list(CAST(round(s_acctbal * 100) AS BIGINT) ORDER BY round(s_acctbal * 100), s_suppkey) AS balances_cents
+FROM supplier
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+@register("agg_array_agg_sorted", ARRAY_AGG_ORACLE)
+def agg_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("bigint")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+            F.sort_array(F.collect_list(cents)).alias("balances_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_rolling_corr_pairs — trailing-7-day correlation of two series
+# ---------------------------------------------------------------------------
+# Rolling Pearson correlation between the daily view-value and
+# purchase-value series — the drift-monitoring window statistic.
+# Determinism is agg_corr_matrix's idiom made ROLLING: every moment
+# (Σx, Σy, Σx², Σy², Σxy) is an exact INTEGER (cents) windowed sum on
+# the day grain, and the one double expression is the fixed-sequence
+# n·Σxy−ΣxΣy cancellation both engines evaluate identically (division
+# and sqrt are IEEE-correctly-rounded). Day-grain windows only; the
+# fact table pays one partial-agg shuffle. Cents (not micros) keep
+# every product inside BIGINT: day sums ≤ ~2e7 cents, 7·Σxy ≤ ~2e15.
+
+ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), roll AS (
+  SELECT d,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx, CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx, CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT d, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_7d
+FROM roll WHERE n = 7
+ORDER BY d
+"""
+
+
+@register("ts_rolling_corr_pairs", ROLLING_CORR_ORACLE)
+def ts_rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0)).cast("bigint").alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    roll = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    ).where(F.col("n") == 7)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return roll.select("d", "n", (num / den).alias("corr_7d")).orderBy("d")

@@ -1176,6 +1176,49 @@ def test_mm_decode_ppm_matches_local_pixels(spark):
         assert r.phash == _phash64(gray)
 
 
+def test_mm_decode_wav_matches_local_and_rejects_malformed(spark):
+    """REAL RIFF/WAVE parsing end-to-end: the Spark pipeline's per-doc
+    (rate, n_samples, n_frames, peak_frame, total_energy) equals a
+    local decode of the same fixture bytes (which plant an odd-length
+    JUNK chunk + pad byte before fmt, exercising the chunk walk), and
+    the decoder raises on the malformed-input classes a real decoder
+    must reject."""
+    import numpy as np
+    import pytest as _pytest
+
+    from duckdb_sudan__spark.operators.multimodal import (
+        WAV_FRAME,
+        _wav_fixture,
+        decode_wav,
+        encode_wav,
+    )
+
+    got = {r.doc_id: r for r in QUERIES["mm_decode_wav"](spark, SF_DIR).collect()}
+    assert len(got) > 0
+    for doc_id in list(got)[:25]:
+        rate, samples = decode_wav(_wav_fixture(doc_id))
+        nf = len(samples) // WAV_FRAME
+        s64 = samples[: nf * WAV_FRAME].astype(np.int64).reshape(nf, WAV_FRAME)
+        energies = (s64 * s64).sum(axis=1)
+        r = got[doc_id]
+        assert (r.rate, r.n_samples, r.n_frames) == (rate, len(samples), nf)
+        assert r.peak_frame == int(np.argmax(energies))
+        assert r.total_energy == int(energies.sum())
+
+    ok = encode_wav(np.zeros(16, dtype=np.int16))
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + ok[4:])  # bad magic
+    with _pytest.raises(ValueError):
+        decode_wav(ok[:-2])  # truncated data chunk (and RIFF size lie)
+    with _pytest.raises(ValueError):
+        decode_wav(ok[:12])  # no chunks at all
+    bad_fmt = bytearray(ok)
+    bad_fmt[22] = 2  # channels = 2 (only mono PCM16 supported)
+    fixed = bytes(bad_fmt)
+    with _pytest.raises(ValueError):
+        decode_wav(fixed)
+
+
 def test_mm_dedup_phash_real_matches_local_reference(spark):
     """The real-bytes media dedup tier (r8 verdict item 6): the Spark
     pairs equal a local decode-EVERYTHING reference that replicates the
