@@ -65,6 +65,9 @@ HEADLINE = [
     # r7w2: LM bit-surprisal scoring — token-grain explode + two
     # count-grain shuffles; the perplexity-filter stage at corpus scale
     "text_perplexity_proxy",
+    # r9: the PQ/ADC compressed ANN tier — code-width scan + broadcast
+    # rerank; keep the codebook-train + encode + scan wall visible
+    "ann_pq_adc",
 ]
 
 
