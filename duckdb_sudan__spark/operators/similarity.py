@@ -702,6 +702,146 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ann_ivfpq — the full IVFADC composition (IVF coarse cells + PQ
+# residual codes + asymmetric-distance scan + exact rerank): FAISS's
+# default 100 TB architecture, built from the two tiers above.
+# ---------------------------------------------------------------------------
+# Why residuals: within a cell, x − c_cell is small and PQ codebooks
+# trained on RESIDUALS quantize it far better than raw-vector books —
+# score(q, x) ≈ q·c_cell + Σ_m q_m·book_m[code_m(x − c_cell)]. At
+# 100 TB the corpus is stored bucketed by cell with M-byte codes: a
+# query touches N_PROBE/N_CENTROIDS of the data and reads codes, not
+# floats; the only float reads are the R reranked candidates.
+
+IVFPQ_RERANK = 200
+
+
+def _train_ivfpq(sample_vecs):
+    """Coarse centroids (the IVF trainer) + per-subspace RESIDUAL
+    codebooks trained on the sample's residuals. Deterministic: both
+    trainers are seeded, fixed-iteration."""
+    cent = _train_centroids(sample_vecs)
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(x @ cent.T, axis=1)
+    resid = x - cent[assign]
+    dsub = x.shape[1] // PQ_M
+    rng = np.random.default_rng(29)
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for s in range(PQ_M):
+        xs = resid[:, s * dsub : (s + 1) * dsub]
+        k = min(PQ_K, len(xs))
+        cb = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = xs[a == c]
+                if len(mem):
+                    cb[c] = mem.mean(axis=0)
+        books[s, :k] = cb
+        if k < PQ_K:
+            books[s, k:] = cb[0]
+    return cent, books
+
+
+@register("ann_ivfpq")  # rows-only: two k-means trainers upstream
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ approximate top-k with exact rerank — same output
+    contract as ann_topk_cosine/ann_pq_adc so recall audits compose.
+    Plan: ONE map-only Arrow pass assigns (cell, residual code);
+    queries explode to their N_PROBE cells and BROADCAST onto the
+    corpus (cell equi-join — the partition-pruning shape: bucketed by
+    cell at scale, a query reads nprobe/K of the data); ADC scores are
+    a per-row table-lookup sum; top-R per query then the same
+    broadcast-probe exact rerank as ann_pq_adc."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = e.select("embedding").limit(TRAIN_CAP).collect()
+    if not sample:
+        return spark.createDataFrame([], _SCORED_SCHEMA)
+    cent, books = _train_ivfpq([r.embedding for r in sample])
+    qrows = e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], _SCORED_SCHEMA)
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    dsub = books.shape[2]
+    lut = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, dsub), books)
+    qdotc = Qn @ cent.T  # (nq, K) — the coarse term of the ADC score
+    qpos = {int(i): p for p, i in enumerate(q_ids)}
+    model_b = spark.sparkContext.broadcast((cent, books, q_ids, lut, qdotc, qpos))
+
+    @F.pandas_udf("struct<cell: int, code: array<tinyint>>")
+    def encode(embs: pd.Series) -> pd.DataFrame:
+        cent_, books_, *_ = model_b.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(x @ cent_.T, axis=1)
+        resid = x - cent_[cells]
+        ds = books_.shape[2]
+        codes = np.empty((len(x), PQ_M), dtype=np.int8)
+        for s in range(PQ_M):
+            xs = resid[:, s * ds : (s + 1) * ds]
+            score = xs @ books_[s].T - 0.5 * (books_[s] * books_[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(score, axis=1).astype(np.int8)
+        return pd.DataFrame({"cell": cells.astype(np.int32), "code": list(codes)})
+
+    @F.pandas_udf("double")
+    def adc_score(qid: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
+        _, _, _, lut_, qdotc_, qpos_ = model_b.value
+        qi = np.array([qpos_[int(i)] for i in qid])
+        cells = cell.to_numpy()
+        codes = np.stack([np.asarray(c, dtype=np.int64) for c in code])
+        acc = qdotc_[qi, cells]
+        for s in range(PQ_M):
+            acc = acc + lut_[qi, s, codes[:, s]]
+        return pd.Series(acc)
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), encode(F.col("embedding")).alias("a")
+    ).select("neighbor_id", F.col("a.cell").alias("cell"), F.col("a.code").alias("code"))
+    probe_rows = [
+        (int(q_ids[p]), [int(c) for c in np.argsort(-qdotc[p])[:N_PROBE]])
+        for p in range(len(q_ids))
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cells array<int>").select(
+        "query_id", F.explode("cells").alias("cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            adc_score(F.col("query_id"), F.col("cell"), F.col("code")).alias("adc"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    cands = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= IVFPQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in r.embedding]) for i, r in zip(q_ids, qrows)],
+        "query_id long, q_emb array<double>",
+    )
+    reranked = (
+        F.broadcast(cands)
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", F.desc("cos"), "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # emb_centroids — per-label element-wise mean vector (vector agg via
 # posexplode: the scalable form — (label, pos) partial aggs, no single
 # reducer ever sees a whole group of vectors)

@@ -2029,3 +2029,17 @@ def test_bigram_entropy_single_scan_two_rollups(spark):
     assert not any(n == "Window" for n in nodes), nodes
     plan = plan_of(df)
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_ivfpq_broadcast_probes_no_big_shuffle(spark):
+    """IVFADC's scale shape: probes (|Q|·nprobe rows) BROADCAST onto
+    the encoded corpus (cell equi-join — partition pruning at scale),
+    candidates and query vectors broadcast into the rerank; the
+    embedding relation never sort-merges, and all data exchanges are
+    query_id-keyed small relations."""
+    df = QUERIES["ann_ivfpq"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("SortMergeJoin" in n or "CartesianProduct" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) == 3, nodes
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(query_id"), plan[:3000]

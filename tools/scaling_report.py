@@ -59,6 +59,9 @@ OPS = [
     # candidates regardless of corpus size: growth should track the
     # code-width scan, ~linear with a small constant
     "ann_pq_adc",
+    # r9: IVFADC — probes touch nprobe/K of the corpus and score codes;
+    # growth should be sublinear in the probed fraction
+    "ann_ivfpq",
 ]
 
 
