@@ -195,14 +195,15 @@ _WINDOW_PRIORITY = [
     "corpus_bigram_entropy_bits",
 ]
 
-# r10 window priority, computed at r9 close: FIRST the 5 oracled
-# entries added in the second r9 wave, which did not fit the r9 slack
-# slots (each dual-SF dual-mode verified on registration):
+# r10 window priority, computed at r9 close: FIRST the 8 oracled
+# entries added in the r9 waves after the slack slots filled (each
+# dual-SF dual-mode verified on registration):
 #   ev_attribution_time_decay, q_churn_inactive_customers,
-#   q_orders_backlog_aging, agg_array_agg_sorted, ts_rolling_corr_pairs
+#   q_orders_backlog_aging, agg_array_agg_sorted, ts_rolling_corr_pairs,
+#   ml_auc_exact, ml_temporal_split, ml_class_weights
 # then the longest-unchecked rotation — the r5-checked rows are the
-# oldest class once the r4 debt closes with CORRECTNESS_r09 (45 slots:
-# the 45 alphabetically-first r5 rows; the remainder roll to r11).
+# oldest class once the r4 debt closes with CORRECTNESS_r09 (42 slots:
+# the 42 alphabetically-first r5 rows; the remainder roll to r11).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -835,3 +835,147 @@ def ts_rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return roll.select("d", "n", (num / den).alias("corr_7d")).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_exact — exact ROC-AUC via the rank-sum identity, score-grain
+# ---------------------------------------------------------------------------
+# AUC of "does event value predict purchase?" computed EXACTLY as the
+# Mann-Whitney U statistic — but never ranking the raw table: value
+# has a bounded cents domain, so the per-SCORE counts (n_pos, n_neg)
+# are a domain-bounded relation and U = Σ_s n_pos(s)·(neg_below(s) +
+# n_neg(s)/2) comes from one cumulative window over THAT grain.
+# Everything ×2 to stay integer (tie halves), AUC as integer ppm —
+# bit-identical across engines, no float ranks anywhere. At 100 TB:
+# one partial-agg shuffle of the fact, one window over ≤|domain| rows.
+
+AUC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), grain AS (
+  SELECT s, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM scored GROUP BY s
+), cum AS (
+  SELECT s, n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+  FROM grain
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+       CAST(1000000 * SUM(n_pos * (2 * neg_below + n_neg))
+            // (2 * SUM(n_pos) * SUM(n_neg)) AS BIGINT) AS auc_ppm
+FROM cum
+"""
+
+
+@register("ml_auc_exact", AUC_ORACLE)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    grain = (
+        e.select(
+            F.round(F.col("value") * 100).cast("bigint").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grain.select(
+        "n_pos", "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("bigint").alias("neg_below"),
+    )
+    u2 = F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).cast("bigint")
+    return cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        u2.alias("u2"),
+    ).select(
+        "n_pos", "n_neg", "u2",
+        F.expr("1000000 * u2 div (2 * n_pos * n_neg)").cast("bigint").alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_temporal_split — leakage-safe time-based train/test assignment
+# ---------------------------------------------------------------------------
+# The temporal complement of dataset_split_train_valid (hash split):
+# events strictly before horizon−7d are train, the last 7 days are
+# test — the only split that respects causality for time-series
+# models. Horizon is the data's own max (scalar broadcast), so the
+# assignment is reproducible from the corpus alone.
+
+TEMPORAL_SPLIT_ORACLE = """
+WITH horizon AS (SELECT MAX(ts) AS mx FROM events)
+SELECT CASE WHEN ts < mx - INTERVAL 7 DAYS THEN 'train' ELSE 'test' END AS split,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events CROSS JOIN horizon
+GROUP BY 1, 2 ORDER BY split, event_type
+"""
+
+
+@register("ml_temporal_split", TEMPORAL_SPLIT_ORACLE)
+def ml_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("mx"))
+    split = F.when(
+        F.col("ts") < F.col("mx") - F.expr("INTERVAL 7 DAYS"), "train"
+    ).otherwise("test")
+    return (
+        e.crossJoin(F.broadcast(horizon))
+        .groupBy(split.alias("split"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_class_weights — sklearn-style balanced class weights, integer form
+# ---------------------------------------------------------------------------
+# weight(c) = n / (k · n_c), emitted as the exact integer pair
+# (n, k·n_c) plus a ppm quotient — the training-time reweighting a
+# skewed-label corpus needs; one tiny aggregate.
+
+CLASS_WEIGHTS_ORACLE = """
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_c FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM counts
+)
+SELECT event_type, n_c, n, k,
+       CAST(1000000 * n // (k * n_c) AS BIGINT) AS weight_ppm
+FROM counts CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+@register("ml_class_weights", CLASS_WEIGHTS_ORACLE)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = counts.agg(
+        F.sum("n_c").cast("bigint").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "n_c", "n", "k",
+            F.expr("1000000 * n div (k * n_c)").cast("bigint").alias("weight_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -2043,3 +2043,26 @@ def test_ivfpq_broadcast_probes_no_big_shuffle(spark):
     assert sum(1 for n in nodes if "BroadcastHashJoin" in n) == 3, nodes
     plan = plan_of(df)
     assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(query_id"), plan[:3000]
+
+
+def test_auc_window_on_score_grain(spark):
+    """The rank-sum AUC never ranks the raw table: the global-order
+    cumulative window consumes the score-grain aggregate (bounded
+    cents domain) — HashAggregate upstream of the Window — and the
+    fact table pays exactly one partial-agg shuffle. No join."""
+    df = QUERIES["ml_auc_exact"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+    widx = min(i for i, n in enumerate(nodes) if n == "Window")
+    assert any("HashAggregate" in n for n in nodes[:widx]), nodes
+
+
+def test_temporal_split_scalar_broadcast(spark):
+    """The horizon is a 1-row broadcast (BroadcastNestedLoopJoin on a
+    scalar is the accepted shape); the split expression is map-side
+    and the rollup partial-aggregates."""
+    df = QUERIES["ml_temporal_split"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastNestedLoop" in n or "BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n or n == "CartesianProduct" for n in nodes), nodes
