@@ -426,6 +426,7 @@ SELECT o_orderkey, o.o_orderpriority,
        CAST(n_cat - 1 AS BIGINT) AS loo_den,
        CAST((sum_micro - CAST(round(o_totalprice * 1000000) AS BIGINT)) // (n_cat - 1) AS BIGINT) AS loo_mean_micro
 FROM orders o JOIN agg USING (o_orderpriority)
+WHERE n_cat > 1
 ORDER BY o_orderkey
 """
 
@@ -441,6 +442,7 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("sum_micro") - micro).cast("bigint")
     return (
         o.join(F.broadcast(agg), "o_orderpriority")
+        .where(F.col("n_cat") > 1)  # LOO undefined for singletons; // 0 diverges across engines
         .select(
             "o_orderkey",
             "o_orderpriority",
@@ -567,7 +569,9 @@ def win_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The decay cousin of ev_multitouch_attribution (linear 1/n): a touch
 # age_hours before the purchase earns weight 2^(23 − age_hours) —
 # halving per hour over the 24h window, INTEGER weights (no float pow,
-# no rounding anywhere). Same scale shape as multitouch: the time
+# no rounding anywhere). The lower bound is STRICT (>) so age_hours is
+# always 0..23 — a touch exactly 24h old would shift by -1, which the
+# engines define differently. Same scale shape as multitouch: the time
 # predicate rides the user equi-join (per-user counts bound fan-out),
 # then ONE rollup by touch type; share_ppm is exact integer division.
 
@@ -584,7 +588,7 @@ WITH touches AS (
   SELECT t.touch_type,
          CAST((epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 3600000000 AS BIGINT) AS age_hours
   FROM purch p JOIN touches t USING (user_id)
-  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL {DECAY_WINDOW_HOURS} HOURS
+  WHERE t.t_ts < p.p_ts AND t.t_ts > p.p_ts - INTERVAL {DECAY_WINDOW_HOURS} HOURS
 ), weighted AS (
   SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
          CAST(SUM(1::BIGINT << (23 - age_hours)) AS BIGINT) AS total_weight
@@ -609,7 +613,7 @@ def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         purch.join(touches, "user_id")
         .where(
             (F.col("t_ts") < F.col("p_ts"))
-            & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {DECAY_WINDOW_HOURS} HOURS"))
+            & (F.col("t_ts") > F.col("p_ts") - F.expr(f"INTERVAL {DECAY_WINDOW_HOURS} HOURS"))
         )
         .select(
             "touch_type",
