@@ -166,6 +166,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
             out, mode = sessionize_tws_stream(events), "append"
+        elif which == "event_gaps":  # stateful per-key lag (CDC delta shape)
+            out, mode = event_gaps_stream(events), "append"
         elif which == "attribution":  # stream-stream interval self-join
             out, mode = attribution_join_stream(events), "append"
         elif which == "scd2":  # stateful SCD2 dimension build
@@ -263,6 +265,91 @@ def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             _funnel_fn,
             FUNNEL_OUT_SCHEMA,
             FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-key LAG (the CDC "delta vs previous
+# row" stream) — inter-event gaps per (user, event_type)
+# ---------------------------------------------------------------------------
+
+GAPS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+# last event's (micros, event_id) per key; -1 = no previous event yet
+GAPS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+    ]
+)
+
+
+def _gaps_fn(key, pdf_iter, state):
+    """Per-(user, type) running-lag state machine: each event emits its
+    microsecond gap to the PREVIOUS event of the same key (first event
+    emits nothing), with (ts, event_id) total order — the same
+    deterministic tiebreak the batch ev_inter_event_gaps window uses.
+    Chunks are concatenated and sorted once (the funnel's multi-chunk
+    rule); the GroupState carries (last_us, last_eid) across
+    micro-batches so a gap can span a batch boundary. This is the CDC
+    delta shape: O(1) state per key, emit-per-event."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    last_us, last_eid = state.get if state.exists else (-1, -1)
+    chunks = [c for c in pdf_iter if len(c)]
+    if not chunks:
+        state.update((int(last_us), int(last_eid)))
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    us = (
+        pdf["ts"].astype("int64") // 1000
+        if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+        else pdf["ts"].astype("int64")
+    )
+    pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"], kind="stable")
+    out = []
+    for t_us, eid in zip(pdf["_us"], pdf["event_id"]):
+        if last_us >= 0:
+            out.append(
+                {
+                    "user_id": key[0],
+                    "event_type": key[1],
+                    "event_id": int(eid),
+                    "ts": pd.Timestamp(int(t_us), unit="us"),
+                    "gap_us": int(t_us) - int(last_us),
+                }
+            )
+        last_us, last_eid = int(t_us), int(eid)
+    state.update((int(last_us), int(last_eid)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def event_gaps_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Inter-event gaps as a custom stateful streaming operator —
+    built-in streaming has no lag() (windowed aggs only), so the
+    per-key previous-row state is the applyInPandasWithState tier:
+    2 scalars per (user, type) key, Arrow-batched, partitioned across
+    executors. The streaming twin of ev_inter_event_gaps' window."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _gaps_fn,
+            GAPS_OUT_SCHEMA,
+            GAPS_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )

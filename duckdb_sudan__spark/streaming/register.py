@@ -266,3 +266,13 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained = spark.table("stream_quality_gate_sink")
         out = spark.createDataFrame(drained.collect(), drained.schema)
     return out.orderBy("doc_id")
+
+
+@register("stream_event_gaps")  # rows-only: custom stateful lag operator
+def stream_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) inter-event gaps as a stream — the CDC
+    "delta vs previous row" stateful shape (O(1) state per key,
+    emit-per-event). Drained gaps aggregate EXACTLY to the batch
+    ev_inter_event_gaps relation; asserted in
+    tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "event_gaps")

@@ -847,3 +847,34 @@ def test_stream_quality_gate_matches_batch(spark):
     got = sorted(map(tuple, QUERIES["stream_quality_gate"](spark, SF_DIR).collect()))
     want = sorted(map(tuple, QUERIES["text_quality_classifier"](spark, SF_DIR).collect()))
     assert got == want
+
+
+def test_stream_event_gaps_matches_batch_lag(spark):
+    """The stateful per-key LAG stream (CDC delta shape) must
+    aggregate EXACTLY to the batch ev_inter_event_gaps relation —
+    same (ts, event_id) total order, same microsecond gaps — and
+    emit one row per non-first event of each (user, type) key."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    drained = QUERIES["stream_event_gaps"](spark, SF_DIR)
+    sagg = {
+        tuple(r)
+        for r in drained.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        )
+        .collect()
+    }
+    bagg = {tuple(r) for r in QUERIES["ev_inter_event_gaps"](spark, SF_DIR).collect()}
+    assert sagg == bagg
+    assert len(sagg) > 0
+    # emit-per-event contract: every gap row names a real event and
+    # gaps are non-negative (total order respected)
+    assert drained.where(F.col("gap_us") < 0).count() == 0
