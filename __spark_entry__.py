@@ -195,15 +195,16 @@ _WINDOW_PRIORITY = [
     "corpus_bigram_entropy_bits",
 ]
 
-# r10 window priority, computed at r9 close: FIRST the 8 oracled
+# r10 window priority, computed at r9 close: FIRST the 11 oracled
 # entries added in the r9 waves after the slack slots filled (each
 # dual-SF dual-mode verified on registration):
 #   ev_attribution_time_decay, q_churn_inactive_customers,
 #   q_orders_backlog_aging, agg_array_agg_sorted, ts_rolling_corr_pairs,
-#   ml_auc_exact, ml_temporal_split, ml_class_weights
+#   ml_auc_exact, ml_temporal_split, ml_class_weights,
+#   q_nation_trade_balance, ev_entry_exit_matrix, ev_bot_users_heuristic
 # then the longest-unchecked rotation — the r5-checked rows are the
-# oldest class once the r4 debt closes with CORRECTNESS_r09 (42 slots:
-# the 42 alphabetically-first r5 rows; the remainder roll to r11).
+# oldest class once the r4 debt closes with CORRECTNESS_r09 (39 slots:
+# the 39 alphabetically-first r5 rows; the remainder roll to r11).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

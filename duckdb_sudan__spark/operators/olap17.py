@@ -983,3 +983,169 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nation_trade_balance — two fact aggregates full-outer-joined by dim
+# ---------------------------------------------------------------------------
+# Per nation: revenue flowing OUT (its suppliers' lineitems) vs IN
+# (its customers' orders) and the signed balance — the two-sided
+# rollup + FULL OUTER + null-fill composite a finance dashboard runs.
+# Micro-unit bigint sums (dsum grid), COALESCE on both sides.
+
+TRADE_BALANCE_ORACLE = """
+WITH exports AS (
+  SELECT n_name,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS export_um
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+), imports AS (
+  SELECT n_name,
+         CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS import_um
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT COALESCE(e.n_name, i.n_name) AS n_name,
+       CAST(COALESCE(export_um, 0) AS BIGINT) AS export_um,
+       CAST(COALESCE(import_um, 0) AS BIGINT) AS import_um,
+       CAST(COALESCE(export_um, 0) - COALESCE(import_um, 0) AS BIGINT) AS balance_um
+FROM exports e FULL OUTER JOIN imports i USING (n_name)
+ORDER BY n_name
+"""
+
+
+@register("q_nation_trade_balance", TRADE_BALANCE_ORACLE)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent fact rollups (lineitem-by-supplier-nation,
+    orders-by-customer-nation) meet in a 25-row FULL OUTER join —
+    the dims broadcast into each fact scan, the final join is
+    nation-grain (trivially broadcast), and each fact pays exactly
+    one partial-agg shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_um = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("bigint")
+    exports = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_um).cast("bigint").alias("export_um"))
+    )
+    imports = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("import_um")
+        )
+    )
+    return (
+        exports.join(imports, "n_name", "full_outer")
+        .select(
+            "n_name",
+            F.coalesce("export_um", F.lit(0)).cast("bigint").alias("export_um"),
+            F.coalesce("import_um", F.lit(0)).cast("bigint").alias("import_um"),
+            (F.coalesce("export_um", F.lit(0)) - F.coalesce("import_um", F.lit(0)))
+            .cast("bigint")
+            .alias("balance_um"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_entry_exit_matrix — first-touch × last-touch event-type matrix
+# ---------------------------------------------------------------------------
+# The "entry page × exit page" product-analytics rollup: each user's
+# FIRST and LAST event types (min/max over struct(ts, event_id, type)
+# — argmin/argmax with total-order tiebreak, map-combinable, NO
+# window), cross-tabulated. One shuffle on user, one on the 25-cell
+# matrix.
+
+ENTRY_EXIT_ORACLE = """
+WITH fl AS (
+  SELECT user_id,
+         first(event_type ORDER BY ts, event_id) AS first_type,
+         last(event_type ORDER BY ts, event_id) AS last_type
+  FROM events GROUP BY user_id
+)
+SELECT first_type, last_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM fl GROUP BY first_type, last_type
+ORDER BY first_type, last_type
+"""
+
+
+@register("ev_entry_exit_matrix", ENTRY_EXIT_ORACLE)
+def ev_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type").alias("t"))
+    fl = e.groupBy("user_id").agg(
+        F.min(key).getField("t").alias("first_type"),
+        F.max(key).getField("t").alias("last_type"),
+    )
+    return (
+        fl.groupBy("first_type", "last_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("first_type", "last_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_bot_users_heuristic — rate-based anomaly flag with a data-derived
+# threshold
+# ---------------------------------------------------------------------------
+# Users whose event count exceeds 5/4 of the corpus mean — the
+# first-pass bot filter every pipeline runs before training-data
+# extraction (the served corpus is near-uniform: mean ~67, p99 ~86,
+# so 1.25× selects the real tail; production would use a higher
+# multiple). The threshold is derived from the data (scalar
+# broadcast) in exact integer arithmetic:
+# 4 · n_user · total_users > 5 · total_events avoids division.
+
+BOT_USERS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+         CAST(COUNT(*) AS BIGINT) AS total_users
+  FROM per_user
+)
+SELECT user_id, n_events, total_events, total_users
+FROM per_user CROSS JOIN tot
+WHERE 4 * n_events * total_users > 5 * total_events
+ORDER BY n_events DESC, user_id
+"""
+
+
+_BOT_CACHE_HANDLES: list[DataFrame] = []
+
+
+@register("ev_bot_users_heuristic", BOT_USERS_ORACLE)
+def ev_bot_users_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-grain counts feed BOTH the totals scalar and the
+    filter — cached (the ev_cohort_ltv convention) so the fact table
+    is scanned once and the second consumer reads InMemoryTableScan."""
+    e = load_table(spark, sf_dir, "events")
+    while _BOT_CACHE_HANDLES:
+        _BOT_CACHE_HANDLES.pop().unpersist()
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).cache()
+    _BOT_CACHE_HANDLES.append(per_user)
+    tot = per_user.agg(
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.count(F.lit(1)).alias("total_users"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(tot))
+        .where(4 * F.col("n_events") * F.col("total_users") > 5 * F.col("total_events"))
+        .select("user_id", F.col("n_events").cast("bigint").alias("n_events"), "total_events", "total_users")
+        .orderBy(F.desc("n_events"), "user_id")
+    )

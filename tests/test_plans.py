@@ -2066,3 +2066,39 @@ def test_temporal_split_scalar_broadcast(spark):
     nodes = plan_nodes(df)
     assert any("BroadcastNestedLoop" in n or "BroadcastHashJoin" in n for n in nodes), nodes
     assert not any("SortMergeJoin" in n or n == "CartesianProduct" for n in nodes), nodes
+
+
+def test_trade_balance_broadcast_dims_two_rollups(spark):
+    """Both fact rollups broadcast their dims; the FULL OUTER meet is
+    nation-grain (25 rows — SMJ there is harmless and AQE-chosen);
+    each fact is scanned once and partial-aggregates before its
+    exchange."""
+    df = QUERIES["q_nation_trade_balance"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) >= 4, nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1 and plan.count("orders.parquet") == 1
+
+
+def test_entry_exit_no_window_two_aggs(spark):
+    """First/last touch via min/max over struct — map-combinable
+    aggregates, NO window, no join: one shuffle on user, one on the
+    matrix cells."""
+    df = QUERIES["ev_entry_exit_matrix"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+
+
+def test_bot_heuristic_integer_threshold_broadcast(spark):
+    """The data-derived threshold is a 1-row broadcast and the
+    comparison is pure integer arithmetic (no division node); the
+    per-user aggregate is the only fact shuffle."""
+    df = QUERIES["ev_bot_users_heuristic"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastNestedLoop" in n or "BroadcastHashJoin" in n for n in nodes), nodes
+    plan = plan_of(df)
+    assert plan.count("events.parquet") <= 1, plan[:2000]
+    assert "InMemoryTableScan" in plan  # cached user-grain counts, two consumers
