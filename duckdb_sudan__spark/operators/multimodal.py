@@ -276,12 +276,23 @@ def _phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v  # to signed int64
 
 
+_PHASH_CACHE_HANDLES: list[DataFrame] = []
+
+
 def _phash_band_pairs(hashed: DataFrame) -> DataFrame:
     """(doc_id, phash) -> hamming-≤PHASH_HAMMING_MAX pairs via the
     4×16-bit band pigeonhole equi-join with the degenerate-bucket
     sub-salt guard — the single banding implementation shared by the
     fake-decode tier and the real-bytes tier so their candidate
-    semantics can never drift."""
+    semantics can never drift. The hashed relation is CACHED here:
+    it feeds the sub-salt's size aggregate AND both self-join sides,
+    and upstream of it sits the (real or fake) decode mapInPandas —
+    without the cache the decode re-executes 3-4× per action (the
+    same one-Arrow-evaluation rule as the MinHash sig cache)."""
+    while _PHASH_CACHE_HANDLES:
+        _PHASH_CACHE_HANDLES.pop().unpersist()
+    hashed = hashed.cache()
+    _PHASH_CACHE_HANDLES.append(hashed)
     chunks = F.explode(
         F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS chunk))")
     )
@@ -657,6 +668,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         if len(body) != clen:
             raise ValueError(f"chunk {cid!r} truncated")
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"fmt chunk too short: {clen} bytes")
             audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if (audio_fmt, channels, bits) != (1, 1, 16):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})")

@@ -168,10 +168,10 @@ def ev_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_array(collect_list(struct(ts, event_id, char))) — the
     deterministic-order journey build (ties broken by event_id on
     both engines) — then pure JVM string/regex ops. Scale bound: the
-    per-user journey is capped at the LAST {_JOURNEY_CAP} events on
-    BOTH engines (slice after sort), so the aggregation buffer is
-    O(cap) per user — a 10^8-event bot costs a bounded task, not an
-    executor OOM."""
+    per-user journey is capped at the LAST _JOURNEY_CAP (512) events
+    on BOTH engines via row_number DESC <= cap BEFORE the aggregate,
+    so the collect buffer itself is O(cap) per user — a 10^8-event
+    bot costs a bounded task, not an executor OOM."""
     e = load_table(spark, sf_dir, "events")
     ch = F.expr(_EV_CHARS)
     wcap = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))

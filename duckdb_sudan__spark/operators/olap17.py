@@ -162,9 +162,11 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard of the distinct-user audiences of every event-type pair.
 # Scale shape: the self-join is keyed on user_id and a user touches at
 # most |event_types| (5) types, so join output ≤ C(5,2) per user —
-# linear. The similarity is emitted as an exact INTEGER ppm (bigint
-# integer division on both engines) — no float division anywhere, so
-# no rounding-tie exposure (memory: ROUND half-up vs half-even).
+# linear. The similarity is emitted as a floor-ppm integer computed
+# in DOUBLE (floor(1e6·num/den)) — deterministic on both engines at
+# ANY scale (IEEE ops are correctly rounded; a bigint 1e6·num div
+# would overflow int64 once num exceeds ~9.2e12) and exact while
+# 1e6·num < 2^53; no ROUND anywhere, so no rounding-tie exposure.
 
 USER_OVERLAP_ORACLE = """
 WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -176,7 +178,7 @@ boths AS (
   GROUP BY 1, 2
 )
 SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
-       CAST(1000000 * n_both // (ta.n + tb.n - n_both) AS BIGINT) AS jaccard_ppm
+       CAST(floor(1000000.0 * CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE)) AS BIGINT) AS jaccard_ppm
 FROM boths JOIN tot ta ON ta.event_type = type_a
            JOIN tot tb ON tb.event_type = type_b
 ORDER BY type_a, type_b
@@ -203,7 +205,7 @@ def ev_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tb), "type_b")
         .select(
             "type_a", "type_b", "n_both", "n_a", "n_b",
-            F.expr("1000000 * n_both div (n_a + n_b - n_both)").cast("bigint").alias("jaccard_ppm"),
+            F.floor(1000000.0 * F.col("n_both").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")).cast("bigint").alias("jaccard_ppm"),
         )
         .orderBy("type_a", "type_b")
     )
@@ -595,7 +597,7 @@ WITH touches AS (
   FROM credited GROUP BY touch_type
 )
 SELECT touch_type, n_touches, total_weight,
-       CAST(1000000 * total_weight // (SELECT SUM(total_weight) FROM weighted) AS BIGINT) AS share_ppm
+       CAST(floor(1000000.0 * CAST(total_weight AS DOUBLE) / CAST((SELECT SUM(total_weight) FROM weighted) AS DOUBLE)) AS BIGINT) AS share_ppm
 FROM weighted ORDER BY touch_type
 """
 
@@ -633,7 +635,7 @@ def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.crossJoin(F.broadcast(total))
         .select(
             "touch_type", "n_touches", "total_weight",
-            F.expr("1000000 * total_weight div tw").cast("bigint").alias("share_ppm"),
+            F.floor(1000000.0 * F.col("total_weight").cast("double") / F.col("tw").cast("double")).cast("bigint").alias("share_ppm"),
         )
         .orderBy("touch_type")
     )
@@ -849,9 +851,12 @@ def ts_rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # has a bounded cents domain, so the per-SCORE counts (n_pos, n_neg)
 # are a domain-bounded relation and U = Σ_s n_pos(s)·(neg_below(s) +
 # n_neg(s)/2) comes from one cumulative window over THAT grain.
-# Everything ×2 to stay integer (tie halves), AUC as integer ppm —
-# bit-identical across engines, no float ranks anywhere. At 100 TB:
-# one partial-agg shuffle of the fact, one window over ≤|domain| rows.
+# Everything ×2 to stay integer (tie halves); the final AUC ppm is a
+# double floor-division (1e6·u2 in bigint would overflow at ~4.3M
+# balanced events — far below the scale this entry targets), which is
+# IEEE-deterministic across engines at any scale and exact while the
+# operands sit under 2^53. No float ranks anywhere. At 100 TB: one
+# partial-agg shuffle of the fact, one window over ≤|domain| rows.
 
 AUC_ORACLE = """
 WITH scored AS (
@@ -870,8 +875,8 @@ WITH scored AS (
 SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
        CAST(SUM(n_neg) AS BIGINT) AS n_neg,
        CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
-       CAST(1000000 * SUM(n_pos * (2 * neg_below + n_neg))
-            // (2 * SUM(n_pos) * SUM(n_neg)) AS BIGINT) AS auc_ppm
+       CAST(floor(1000000.0 * CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+            / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))) AS BIGINT) AS auc_ppm
 FROM cum
 """
 
@@ -902,7 +907,7 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2.alias("u2"),
     ).select(
         "n_pos", "n_neg", "u2",
-        F.expr("1000000 * u2 div (2 * n_pos * n_neg)").cast("bigint").alias("auc_ppm"),
+        F.floor(1000000.0 * F.col("u2").cast("double") / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))).cast("bigint").alias("auc_ppm"),
     )
 
 
@@ -962,7 +967,7 @@ WITH counts AS (
   SELECT CAST(SUM(n_c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM counts
 )
 SELECT event_type, n_c, n, k,
-       CAST(1000000 * n // (k * n_c) AS BIGINT) AS weight_ppm
+       CAST(floor(1000000.0 * CAST(n AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(n_c AS DOUBLE))) AS BIGINT) AS weight_ppm
 FROM counts CROSS JOIN tot
 ORDER BY event_type
 """
@@ -979,7 +984,7 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(tot))
         .select(
             "event_type", "n_c", "n", "k",
-            F.expr("1000000 * n div (k * n_c)").cast("bigint").alias("weight_ppm"),
+            F.floor(1000000.0 * F.col("n").cast("double") / (F.col("k").cast("double") * F.col("n_c").cast("double"))).cast("bigint").alias("weight_ppm"),
         )
         .orderBy("event_type")
     )
@@ -1019,10 +1024,12 @@ ORDER BY n_name
 @register("q_nation_trade_balance", TRADE_BALANCE_ORACLE)
 def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two independent fact rollups (lineitem-by-supplier-nation,
-    orders-by-customer-nation) meet in a 25-row FULL OUTER join —
-    the dims broadcast into each fact scan, the final join is
-    nation-grain (trivially broadcast), and each fact pays exactly
-    one partial-agg shuffle."""
+    orders-by-customer-nation) meet in a 25-row FULL OUTER join.
+    nation is a CONSTANT-size dim (25 rows at every SF) and is
+    force-broadcast; supplier and customer SCALE with SF, so their
+    joins are left to AQE — broadcast at test scale, shuffle join at
+    100 TB (the orders_basket_pairs rule). Each fact pays exactly one
+    partial-agg shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -1032,13 +1039,13 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
     ).cast("bigint")
     exports = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(rev_um).cast("bigint").alias("export_um"))
     )
     imports = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -1108,8 +1115,10 @@ def ev_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extraction (the served corpus is near-uniform: mean ~67, p99 ~86,
 # so 1.25× selects the real tail; production would use a higher
 # multiple). The threshold is derived from the data (scalar
-# broadcast) in exact integer arithmetic:
-# 4 · n_user · total_users > 5 · total_events avoids division.
+# broadcast); the comparison runs in DOUBLE so the cross product can
+# never overflow int64 at any corpus size (IEEE multiply/compare are
+# identical on both engines — the exact-below-2^53 contract of
+# DETERMINISM #17's double-floor form).
 
 BOT_USERS_ORACLE = """
 WITH per_user AS (
@@ -1121,7 +1130,7 @@ WITH per_user AS (
 )
 SELECT user_id, n_events, total_events, total_users
 FROM per_user CROSS JOIN tot
-WHERE 4 * n_events * total_users > 5 * total_events
+WHERE CAST(n_events AS DOUBLE) * CAST(total_users AS DOUBLE) > 1.25 * CAST(total_events AS DOUBLE)
 ORDER BY n_events DESC, user_id
 """
 
@@ -1145,7 +1154,7 @@ def ev_bot_users_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_user.crossJoin(F.broadcast(tot))
-        .where(4 * F.col("n_events") * F.col("total_users") > 5 * F.col("total_events"))
+        .where(F.col("n_events").cast("double") * F.col("total_users").cast("double") > 1.25 * F.col("total_events").cast("double"))
         .select("user_id", F.col("n_events").cast("bigint").alias("n_events"), "total_events", "total_users")
         .orderBy(F.desc("n_events"), "user_id")
     )

@@ -285,7 +285,7 @@ GAPS_OUT_SCHEMA = T.StructType(
         T.StructField("gap_us", T.LongType()),
     ]
 )
-# last event's (micros, event_id) per key; -1 = no previous event yet
+# last event's (micros, event_id) per key; presence = state.exists
 GAPS_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
@@ -305,10 +305,16 @@ def _gaps_fn(key, pdf_iter, state):
     delta shape: O(1) state per key, emit-per-event."""
     import pandas as pd  # noqa: PLC0415 — runs on executors
 
-    last_us, last_eid = state.get if state.exists else (-1, -1)
+    # has_prev comes from state.exists, NOT a magic sentinel value —
+    # epoch microseconds are legitimately negative before 1970, so a
+    # "-1 means empty" test would silently drop pre-epoch gaps and
+    # diverge from the batch twin (review r9).
+    has_prev = state.exists
+    last_us, last_eid = state.get if has_prev else (0, 0)
     chunks = [c for c in pdf_iter if len(c)]
     if not chunks:
-        state.update((int(last_us), int(last_eid)))
+        if has_prev:
+            state.update((int(last_us), int(last_eid)))
         return
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
     us = (
@@ -319,7 +325,7 @@ def _gaps_fn(key, pdf_iter, state):
     pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"], kind="stable")
     out = []
     for t_us, eid in zip(pdf["_us"], pdf["event_id"]):
-        if last_us >= 0:
+        if has_prev:
             out.append(
                 {
                     "user_id": key[0],
@@ -329,7 +335,7 @@ def _gaps_fn(key, pdf_iter, state):
                     "gap_us": int(t_us) - int(last_us),
                 }
             )
-        last_us, last_eid = int(t_us), int(eid)
+        last_us, last_eid, has_prev = int(t_us), int(eid), True
     state.update((int(last_us), int(last_eid)))
     if out:
         yield pd.DataFrame(out)

@@ -1217,6 +1217,16 @@ def test_mm_decode_wav_matches_local_and_rejects_malformed(spark):
     fixed = bytes(bad_fmt)
     with _pytest.raises(ValueError):
         decode_wav(fixed)
+    # fmt chunk DECLARING fewer than 16 bytes must raise ValueError,
+    # not escape as struct.error (review r9)
+    import struct as _s
+
+    short_fmt = b"fmt " + _s.pack("<I", 12) + b"\x01\x00\x01\x00" + _s.pack("<II", 8000, 16000)
+    data = b"data" + _s.pack("<I", 4) + b"\x00\x00\x00\x00"
+    body = short_fmt + data
+    payload = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with _pytest.raises(ValueError):
+        decode_wav(payload)
 
 
 def test_mm_dedup_phash_real_matches_local_reference(spark):

@@ -2069,13 +2069,14 @@ def test_temporal_split_scalar_broadcast(spark):
 
 
 def test_trade_balance_broadcast_dims_two_rollups(spark):
-    """Both fact rollups broadcast their dims; the FULL OUTER meet is
-    nation-grain (25 rows — SMJ there is harmless and AQE-chosen);
-    each fact is scanned once and partial-aggregates before its
-    exchange."""
+    """The constant-size nation dim is force-broadcast into both
+    rollups; supplier/customer scale with SF so their join strategy is
+    AQE's (broadcast at toy SF — the pin must NOT force it, per the
+    orders_basket_pairs rule); each fact is scanned once and
+    partial-aggregates before its exchange."""
     df = QUERIES["q_nation_trade_balance"](spark, SF_DIR)
     nodes = plan_nodes(df)
-    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) >= 4, nodes
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) >= 2, nodes  # the 2 nation joins
     assert not any("CartesianProduct" in n for n in nodes), nodes
     plan = plan_of(df)
     assert plan.count("lineitem.parquet") == 1 and plan.count("orders.parquet") == 1

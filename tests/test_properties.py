@@ -535,8 +535,8 @@ def test_pq_adc_recall_vs_exact_topk(spark):
     rounding — the rerank is exact, only candidate selection is
     approximate)."""
     from duckdb_sudan__spark.operators import QUERIES
+    from tests.conftest import SF_DIR as sf
 
-    sf = "/root/testdata/sf0.01"
     exact = {(r.query_id, r.neighbor_id): r.cos for r in QUERIES["ann_topk_cosine"](spark, sf).collect()}
     pq = {(r.query_id, r.neighbor_id): r.cos for r in QUERIES["ann_pq_adc"](spark, sf).collect()}
     assert len(pq) == len(exact)
@@ -576,8 +576,8 @@ def test_ivfpq_recall_vs_ivf_and_exact_rerank_values(spark):
     at sf0.01, 0.92 at sf0.1 with residual books K=32, R=200); agreed
     pairs carry IDENTICAL exact cosines (the rerank is exact)."""
     from duckdb_sudan__spark.operators import QUERIES
+    from tests.conftest import SF_DIR as sf
 
-    sf = "/root/testdata/sf0.01"
     ivf = {(r.query_id, r.neighbor_id): r.cos for r in QUERIES["ann_ivf_cosine"](spark, sf).collect()}
     ivfpq = {(r.query_id, r.neighbor_id): r.cos for r in QUERIES["ann_ivfpq"](spark, sf).collect()}
     assert len(ivfpq) == len(ivf)

@@ -878,3 +878,38 @@ def test_stream_event_gaps_matches_batch_lag(spark):
     # emit-per-event contract: every gap row names a real event and
     # gaps are non-negative (total order respected)
     assert drained.where(F.col("gap_us") < 0).count() == 0
+
+
+def test_stream_event_gaps_pre_epoch_timestamps(spark, tmp_path):
+    """Negative epoch-microsecond timestamps must flow through the
+    stateful-lag stream exactly like the batch window — the 'has
+    previous' flag comes from state.exists, never from a -1 sentinel
+    a pre-1970 timestamp would collide with (review r9)."""
+    import duckdb
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+
+    # run_stream_to_memory hard-links sf_dir/events.parquet as ONE file
+    # (the testdata layout), so write the fixture as a single file
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1::BIGINT, TIMESTAMP '1969-12-31 23:00:00', 7::BIGINT, 'view', 1.0, '{{}}'),
+            (2::BIGINT, TIMESTAMP '1969-12-31 23:30:00', 7::BIGINT, 'view', 1.0, '{{}}'),
+            (3::BIGINT, TIMESTAMP '1970-01-01 00:15:00', 7::BIGINT, 'view', 1.0, '{{}}'),
+            (4::BIGINT, TIMESTAMP '1969-12-31 22:00:00', 8::BIGINT, 'click', 1.0, '{{}}')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{tmp_path}/events.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+
+    drained = QUERIES["stream_event_gaps"](spark, str(tmp_path))
+    got = sorted((r.user_id, r.event_id, r.gap_us) for r in drained.collect())
+    # user 7: gaps 2->1 (30 min) and 3->2 (45 min); user 8: no gap
+    assert got == [(7, 2, 30 * 60 * 1000000), (7, 3, 45 * 60 * 1000000)], got
