@@ -167,44 +167,44 @@ def _sudan_oracles() -> dict[str, str]:
 #   unpivot_nation_counts, w1_window_rank, w2_window_running,
 #   w4_value_windows
 _WINDOW_PRIORITY = [
-    # ================= r9 window (the committed r8-close plan) =========
-    # -- 1-12: the 12 oracled entries ADDED in r8 (dual-SF dual-mode
-    #          verified locally on registration, never driver-checked) --
-    "ev_cohort_ltv", "ev_pattern_match_regex", "ts_drawdown",
-    "ts_outlier_iqr", "ml_pointintime_features", "map_funcs_parity",
-    "ev_heatmap_dow_hour", "dedup_chunk_exact", "graph_triangle_count",
-    "corpus_zipf_fit", "sample_exact_stratified", "ev_asof_native_oracle",
-    # -- 13-38: ALL 26 remaining stale-r4 rows — closes the entire
-    #           rotation debt (after r9 every oracled entry's latest
-    #           driver check is >= r5) ---------------------------------
-    "q19_disjunctive", "q20_heavy_shippers", "q21_waiting_supplier",
-    "qualify_top_orders", "recursive_cte_chain", "rollup_sales",
-    "setops_customers", "sudan_boundaries_state", "sudan_fao",
-    "sudan_geocode", "sudan_ilo", "sudan_providers", "sudan_search",
-    "sudan_states", "sudan_unhcr", "sudan_wb_indicators", "sudan_who",
-    "sudan_who_indicators", "sudan_worldbank", "tok_positions",
-    "ts_locf_fill", "ts_ohlc_hourly", "unpivot_nation_counts",
-    "w1_window_rank", "w2_window_running", "w4_value_windows",
-    # -- 39-50: slack slots filled by the 12 oracled entries added in
-    #           r9 (each dual-SF dual-mode verified on registration) ----
-    "pivot_dynamic", "unpivot_dynamic", "orders_basket_pairs",
-    "ev_user_overlap_jaccard", "ts_cumulative_distinct_users",
-    "ev_inter_event_gaps", "dt_business_days",
-    "ev_session_depth_histogram", "ml_target_encoding_loo",
-    "ml_feature_crosses_hashed", "win_top_movers_wow",
-    "corpus_bigram_entropy_bits",
+    # ================= r10 window (the committed r9-close plan) ========
+    # -- 1-11: the 11 oracled entries added in the r9 waves AFTER the
+    #          slack slots filled (dual-SF dual-mode verified locally on
+    #          registration, never driver-checked) ---------------------
+    "ev_attribution_time_decay", "q_churn_inactive_customers",
+    "q_orders_backlog_aging", "agg_array_agg_sorted",
+    "ts_rolling_corr_pairs", "ml_auc_exact", "ml_temporal_split",
+    "ml_class_weights", "q_nation_trade_balance", "ev_entry_exit_matrix",
+    "ev_bot_users_heuristic",
+    # -- 12-50: the longest-unchecked rotation. With the r4 debt closed
+    #           by CORRECTNESS_r09, the oldest class is the 50 rows whose
+    #           latest driver check is r5 (computed from
+    #           CORRECTNESS_r01..r09 at r10 open); the 39
+    #           alphabetically-first fill the window, the remaining 11
+    #           (str_funcs .. w3_window_frames) roll to r11 -------------
+    "agg_topk_orders", "ann_range_search", "ann_topk_cosine",
+    "array_funcs", "corpus_length_histogram", "dataset_token_budget",
+    "decontaminate_ngram_overlap", "dedup_components", "dedup_embedding",
+    "dedup_exact", "dedup_ngram_jaccard", "dt_funcs", "emb_centroids",
+    "ev_asof_join", "ev_json_props", "ev_range_join", "ev_sessionize",
+    "ev_tumbling", "grouping_sets_sales", "list_sort_lambda",
+    "merge_upsert", "pack_sequences", "pipeline_clean_corpus",
+    "pipeline_training_mix", "q11_important_parts", "q12_late_lines",
+    "q13_cust_distribution", "q15_top_supplier", "q22_global_sales",
+    "q2_min_cost_supp", "q5_local_supplier", "q6_forecast_revenue",
+    "q8_market_share", "q9_product_profit", "sample_hash_stratified",
+    "series_calendar", "setops_multiset", "skew_salted_join",
+    "stats_moments",
 ]
 
-# r10 window priority, computed at r9 close: FIRST the 11 oracled
-# entries added in the r9 waves after the slack slots filled (each
-# dual-SF dual-mode verified on registration):
-#   ev_attribution_time_decay, q_churn_inactive_customers,
-#   q_orders_backlog_aging, agg_array_agg_sorted, ts_rolling_corr_pairs,
-#   ml_auc_exact, ml_temporal_split, ml_class_weights,
-#   q_nation_trade_balance, ev_entry_exit_matrix, ev_bot_users_heuristic
-# then the longest-unchecked rotation — the r5-checked rows are the
-# oldest class once the r4 debt closes with CORRECTNESS_r09 (39 slots:
-# the 39 alphabetically-first r5 rows; the remainder roll to r11).
+# r11 window priority, computed at r10 open (update with any r10-wave
+# additions at r10 close — new oracled entries go FIRST, then this
+# rotation): the 11 r5-checked rows left over from the r10 window —
+#   str_funcs, sudan_ds_worldbank, text_fingerprint, text_langid,
+#   text_normalize, text_quality, text_repetition, text_tokens,
+#   text_vocab_topk, ts_gapfill_days, w3_window_frames
+# — then the oldest remaining class (the r6-checked rows,
+# alphabetically) fills the rest.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
