@@ -223,6 +223,65 @@ def spread(samples: list[float]) -> list[float]:
 SPREAD_FLAG_RATIO = 2.0
 MAX_RUNS = 7
 
+# Machine-load proxy (r9 verdict item 2): the spread guard only sees
+# WITHIN-RUN variance — a uniformly loaded machine inflates every
+# sample including the mins and ships unflagged (BENCH_r09: +17%
+# across the board, load_flagged empty). So each timed block now also
+# measures CPU seconds consumed by processes OUTSIDE this process's
+# subtree (per-pid /proc jiffies delta, Spark's JVM included in OUR
+# tree via ppid walk), and the whole block re-samples once when that
+# external busy exceeds EXTERNAL_HOT_CORES cores on average. Both
+# attempts' proxies ship in the JSON either way, so a loaded-box
+# number is self-describing.
+EXTERNAL_HOT_CORES = 0.5
+BLOCK_RETRIES = 1
+
+
+def _proc_cpu_snapshot() -> dict[int, tuple[int, int]]:
+    """pid -> (ppid, busy_jiffies) for every live process. comm can
+    contain spaces/parens, so fields parse after the LAST ')'."""
+    snap: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                raw = fh.read()
+            rest = raw.rsplit(")", 1)[1].split()
+            snap[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (OSError, ValueError, IndexError):
+            continue
+    return snap
+
+
+def _external_busy_sec(
+    before: dict[int, tuple[int, int]], after: dict[int, tuple[int, int]]
+) -> float:
+    """CPU seconds consumed between the snapshots by processes outside
+    this process's subtree. New pids count in full; pids that exited
+    mid-block drop out (a lower bound — sustained background load, the
+    class that poisoned BENCH_r09, cannot hide from it)."""
+    me = os.getpid()
+
+    def in_tree(pid: int) -> bool:
+        seen: set[int] = set()
+        while pid > 1 and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = after.get(pid, (0, 0))[0]
+        return pid == me
+
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    ext = 0
+    for pid, (_, busy) in after.items():
+        if in_tree(pid):
+            continue
+        prev = before.get(pid, (0, 0))[1]
+        if busy > prev:
+            ext += busy - prev
+    return ext / hz
+
 
 def sample_query(spark, key: str, sf_dir: str) -> list[float]:
     """N_RUNS timed runs, extended while the min/max spread exceeds
@@ -245,9 +304,57 @@ def sample_query(spark, key: str, sf_dir: str) -> list[float]:
     return samples
 
 
+def run_block(spark, keys: list[str], sf_dir: str) -> dict:
+    """Time one query set with the external-load proxy around the whole
+    block; re-sample the entire block (once) while the proxy reads hot.
+    Every attempt's proxy ships so the judge sees what was discarded."""
+    attempts: list[dict] = []
+    for _ in range(1 + BLOCK_RETRIES):
+        before = _proc_cpu_snapshot()
+        wall0 = time.perf_counter()
+        timings: dict[str, float] = {}
+        spreads: dict[str, list[float]] = {}
+        mins: dict[str, float] = {}
+        flagged: list[str] = []
+        for key in keys:
+            samples = sample_query(spark, key, sf_dir)
+            timings[key] = round(median3(samples), 3)
+            spreads[key] = spread(samples)
+            mins[key] = min(samples)
+            if max(samples) / max(min(samples), 1e-9) > SPREAD_FLAG_RATIO:
+                flagged.append(key)
+        wall = time.perf_counter() - wall0
+        ext = _external_busy_sec(before, _proc_cpu_snapshot())
+        attempts.append(
+            {
+                "timings": timings,
+                "spreads": spreads,
+                "mins": mins,
+                "flagged": flagged,
+                "external_cpu_sec": round(ext, 2),
+                "block_wall_sec": round(wall, 2),
+                "external_cores_avg": round(ext / max(wall, 1e-9), 3),
+            }
+        )
+        if attempts[-1]["external_cores_avg"] <= EXTERNAL_HOT_CORES:
+            break
+    best = min(attempts, key=lambda a: a["external_cores_avg"])
+    best["attempt_proxies"] = [
+        {k: a[k] for k in ("external_cpu_sec", "block_wall_sec", "external_cores_avg")}
+        for a in attempts
+    ]
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # pre-Spark loadavg: nothing of ours is running yet, so this is the
+    # unambiguous external-load state of the box at bench start
+    try:
+        load_at_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        load_at_start = []
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     staged_dir, max_partition_bytes = stage_multi_rowgroup(sf_dir)
@@ -267,28 +374,32 @@ def main() -> None:
     for key in HEADLINE:
         force(QUERIES[key](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
-    mins: dict[str, float] = {}
-    flagged: list[str] = []
-    for key in HEADLINE:
-        samples = sample_query(spark, key, sf_dir)
-        timings[key] = round(median3(samples), 3)
-        spreads[key] = spread(samples)
-        mins[key] = min(samples)
-        if max(samples) / max(min(samples), 1e-9) > SPREAD_FLAG_RATIO:
-            flagged.append(key)
+    block = run_block(spark, HEADLINE, sf_dir)
+    timings = block["timings"]
 
     total = round(sum(timings.values()), 3)
+    try:
+        ncpus = os.cpu_count() or 0
+    except OSError:  # pragma: no cover
+        ncpus = 0
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "value_min": round(sum(mins.values()), 3),
-        "load_flagged": flagged,
+        "value_min": round(sum(block["mins"].values()), 3),
+        "load_flagged": block["flagged"],
         "queries": timings,
-        "spread_min_med_max": spreads,
+        "spread_min_med_max": block["spreads"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # machine-load proxy (r9 verdict item 2): loadavg before any of
+        # our work started, plus per-block external CPU (see run_block)
+        "loadavg_at_start": load_at_start,
+        "ncpus": ncpus,
+        "external_cpu_sec": block["external_cpu_sec"],
+        "block_wall_sec": block["block_wall_sec"],
+        "external_cores_avg": block["external_cores_avg"],
+        "load_proxy_hot": block["external_cores_avg"] > EXTERNAL_HOT_CORES,
+        "attempt_proxies": block["attempt_proxies"],
     }
 
     # Cross-engine ratio (r7 verdict item 7): tools/duck_bench.py times
@@ -324,22 +435,19 @@ def main() -> None:
         if sf1_dir is not None:
             for key in SF1_QUERIES:  # warm (JIT + plan compile)
                 force(QUERIES[key](spark, sf1_dir))
-            sf1_timings: dict[str, float] = {}
-            sf1_spreads: dict[str, list[float]] = {}
-            sf1_mins: dict[str, float] = {}
-            sf1_flagged: list[str] = []
-            for key in SF1_QUERIES:
-                samples = sample_query(spark, key, sf1_dir)
-                sf1_timings[key] = round(median3(samples), 3)
-                sf1_spreads[key] = spread(samples)
-                sf1_mins[key] = min(samples)
-                if max(samples) / max(min(samples), 1e-9) > SPREAD_FLAG_RATIO:
-                    sf1_flagged.append(key)
-            result["sf1"] = sf1_timings
-            result["sf1_spread_min_med_max"] = sf1_spreads
-            result["sf1_total"] = round(sum(sf1_timings.values()), 3)
-            result["sf1_total_min"] = round(sum(sf1_mins.values()), 3)
-            result["sf1_load_flagged"] = sf1_flagged
+            sf1_block = run_block(spark, SF1_QUERIES, sf1_dir)
+            result["sf1"] = sf1_block["timings"]
+            result["sf1_spread_min_med_max"] = sf1_block["spreads"]
+            result["sf1_total"] = round(sum(sf1_block["timings"].values()), 3)
+            result["sf1_total_min"] = round(sum(sf1_block["mins"].values()), 3)
+            result["sf1_load_flagged"] = sf1_block["flagged"]
+            result["sf1_external_cpu_sec"] = sf1_block["external_cpu_sec"]
+            result["sf1_block_wall_sec"] = sf1_block["block_wall_sec"]
+            result["sf1_external_cores_avg"] = sf1_block["external_cores_avg"]
+            result["sf1_load_proxy_hot"] = (
+                sf1_block["external_cores_avg"] > EXTERNAL_HOT_CORES
+            )
+            result["sf1_attempt_proxies"] = sf1_block["attempt_proxies"]
 
     print(json.dumps(result))
     spark.stop()

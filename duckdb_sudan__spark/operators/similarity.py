@@ -510,6 +510,8 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("int")
     def cell_of(embs: pd.Series) -> pd.Series:
         c = cent_b.value
+        if not len(embs):  # empty Arrow batch: np.stack would raise
+            return pd.Series(np.empty(0, dtype=np.int32))
         x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(x @ c.T, axis=1).astype(np.int32))
@@ -517,6 +519,8 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("array<int>")
     def probe_cells(embs: pd.Series) -> pd.Series:
         c = cent_b.value
+        if not len(embs):  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         order = np.argsort(-(x @ c.T), axis=1)[:, :N_PROBE].astype(np.int32)
@@ -635,6 +639,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("array<tinyint>")
     def encode(embs: pd.Series) -> pd.Series:
         bk = books_b.value
+        if not len(embs):  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         ds = bk.shape[2]
@@ -775,6 +781,8 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("struct<cell: int, code: array<tinyint>>")
     def encode(embs: pd.Series) -> pd.DataFrame:
         cent_, books_, *_ = model_b.value
+        if not len(embs):  # empty Arrow batch: np.stack would raise
+            return pd.DataFrame({"cell": np.empty(0, dtype=np.int32), "code": []})
         x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         cells = np.argmax(x @ cent_.T, axis=1)
@@ -790,6 +798,8 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def adc_score(qid: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
         _, _, _, lut_, qdotc_, qpos_ = model_b.value
+        if not len(qid):  # empty Arrow batch: np.stack would raise
+            return pd.Series(np.empty(0, dtype=np.float64))
         qi = np.array([qpos_[int(i)] for i in qid])
         cells = cell.to_numpy()
         codes = np.stack([np.asarray(c, dtype=np.int64) for c in code])
@@ -1384,6 +1394,10 @@ def kmeans_lloyd_history(spark: SparkSession, sf_dir: str):
         @F.pandas_udf("struct<cluster: int, sqdist: double>")
         def assign(embs: pd.Series) -> pd.DataFrame:
             c = cent_b.value
+            if not len(embs):  # empty Arrow batch: np.stack would raise
+                return pd.DataFrame(
+                    {"cluster": np.empty(0, dtype=np.int32), "sqdist": np.empty(0)}
+                )
             x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
             # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, blockwise
             d2 = (
@@ -1557,6 +1571,10 @@ def semantic_dedup(
     @F.pandas_udf("struct<cluster: int, sqdist: double>")
     def assign(embs: pd.Series) -> pd.DataFrame:
         c = cent_b.value
+        if not len(embs):  # empty Arrow batch: np.stack would raise
+            return pd.DataFrame(
+                {"cluster": np.empty(0, dtype=np.int32), "sqdist": np.empty(0)}
+            )
         x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         d2 = (
             (x * x).sum(axis=1, keepdims=True)

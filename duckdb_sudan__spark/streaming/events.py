@@ -302,7 +302,17 @@ def _gaps_fn(key, pdf_iter, state):
     Chunks are concatenated and sorted once (the funnel's multi-chunk
     rule); the GroupState carries (last_us, last_eid) across
     micro-batches so a gap can span a batch boundary. This is the CDC
-    delta shape: O(1) state per key, emit-per-event."""
+    delta shape: O(1) state per key, emit-per-event.
+
+    Cross-batch ordering contract: within one micro-batch arrival
+    order doesn't matter (sorted here), but equivalence with the
+    batch ev_inter_event_gaps window additionally requires that a
+    key's events arrive across micro-batches in (ts, event_id) order.
+    An out-of-order-but-within-watermark arrival in a LATER batch
+    cannot be slotted retroactively with O(1) state — the true
+    predecessor is gone — so such events are DROPPED explicitly
+    (no row emitted, state never moves backwards) rather than
+    emitting a silently-negative gap (r9 advice)."""
     import pandas as pd  # noqa: PLC0415 — runs on executors
 
     # has_prev comes from state.exists, NOT a magic sentinel value —
@@ -325,6 +335,10 @@ def _gaps_fn(key, pdf_iter, state):
     pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"], kind="stable")
     out = []
     for t_us, eid in zip(pdf["_us"], pdf["event_id"]):
+        if has_prev and (int(t_us), int(eid)) < (int(last_us), int(last_eid)):
+            # late cross-batch arrival: its true predecessor left the
+            # O(1) state — drop explicitly (see docstring contract)
+            continue
         if has_prev:
             out.append(
                 {
@@ -346,7 +360,10 @@ def event_gaps_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     built-in streaming has no lag() (windowed aggs only), so the
     per-key previous-row state is the applyInPandasWithState tier:
     2 scalars per (user, type) key, Arrow-batched, partitioned across
-    executors. The streaming twin of ev_inter_event_gaps' window."""
+    executors. The streaming twin of ev_inter_event_gaps' window.
+    Batch-equivalence assumes in-(ts, event_id)-order arrival per key
+    across micro-batches; late cross-batch arrivals are dropped, never
+    emitted as negative gaps — see _gaps_fn's contract."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (

@@ -85,6 +85,48 @@ def test_no_query_plans_a_cartesian_product(spark, key):
     assert "CartesianProduct" not in plan, f"{key} degenerates to a cartesian product"
 
 
+# Driver-side materialization allowlist: every `.collect()` in the
+# package must be a documented, CAPPED model/query-sized collect
+# (TRAIN_CAP codebook samples, N_QUERIES query sets, the ≤#partitions
+# PCA moment records, KMEANS_K seeds, the BPE_WORDS_CAP word table,
+# olap12's capped eval-embedding set). Full-relation collects in an
+# entry's return path are forbidden — the r9 streaming drains were the
+# last two (replaced by executor-side staged writes, r10). Any NEW
+# collect must be consciously added here with its cap.
+_COLLECT_ALLOWLIST = {
+    "operators/similarity.py": 10,
+    "operators/text5.py": 1,
+    "operators/olap12.py": 1,
+}
+
+
+def test_no_uncapped_driver_collect_in_package():
+    """The no-collect pin (r9 verdict item 3), enforced like the
+    no-cartesian pin: grep the package source, allowlist the
+    documented capped collects, forbid collect-then-createDataFrame
+    round-trips entirely."""
+    import pathlib
+
+    pkg = pathlib.Path(operators.__file__).resolve().parent.parent
+    counts: dict[str, int] = {}
+    for py in sorted(pkg.rglob("*.py")):
+        rel = py.relative_to(pkg).as_posix()
+        text = py.read_text()
+        n = text.count(".collect()") + text.count(".toPandas()")
+        if n:
+            counts[rel] = n
+        # a collect feeding createDataFrame is a full driver round-trip
+        # of a relation — never acceptable, allowlisted nowhere
+        for ln in text.splitlines():
+            assert not ("createDataFrame" in ln and ".collect()" in ln), (rel, ln)
+    for rel, n in counts.items():
+        cap = _COLLECT_ALLOWLIST.get(rel, 0)
+        assert n <= cap, (
+            f"{rel} has {n} driver collects (allowlisted: {cap}) — new "
+            "collects need a documented cap and an allowlist entry"
+        )
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The §8 co-location claim, demonstrated: orders and lineitem
     written bucketBy(8, orderkey) join with NO Exchange in the plan —
@@ -1879,11 +1921,13 @@ def test_exact_stratified_distributed_rank_no_lang_window(spark):
     relation, and the offset join must broadcast."""
     df = QUERIES["sample_exact_stratified"](spark, SF_DIR)
     plan = plan_of(df)
-    # every lang-only hash partitioning must sit on the tiny counts
-    # relation (which reads from the cached range-partitioned slices,
-    # i.e. below an InMemoryTableScan), never directly on the scan
-    assert "InMemoryTableScan" in plan
+    # r10: slices are content-derived (md5 prefix), so the two
+    # consumers recompute them independently — NO cache pin left
+    # (the r9 InMemoryTableScan is gone by design), two column-pruned
+    # scans instead
+    assert "InMemoryTableScan" not in plan
     nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 2, nodes
     assert any("BroadcastHashJoin" in n for n in nodes), nodes
     assert not any("SortMergeJoin" in n for n in nodes), nodes
     # the big-side window partitions by (slice, lang), not lang alone
@@ -2093,10 +2137,16 @@ def test_entry_exit_no_window_two_aggs(spark):
     assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
 
 
-def test_bot_heuristic_integer_threshold_broadcast(spark):
-    """The data-derived threshold is a 1-row broadcast and the
-    comparison is pure integer arithmetic (no division node); the
-    per-user aggregate is the only fact shuffle."""
+def test_bot_heuristic_double_threshold_broadcast(spark):
+    """The data-derived threshold is a 1-row broadcast compared in a
+    cross-multiplied DOUBLE form (n_events * total_users >
+    1.25 * total_events): division-free for cross-engine rounding
+    parity, and deliberately NOT bigint multiply — at 100 TB
+    n_events * total_users overflows int64, while the double product
+    is exact far past any per-user event count and only gates a >
+    comparison (olap17.py ev_bot_users_heuristic). Do not "optimize"
+    this back to integer arithmetic. The per-user aggregate is the
+    only fact shuffle."""
     df = QUERIES["ev_bot_users_heuristic"](spark, SF_DIR)
     nodes = plan_nodes(df)
     assert any("BroadcastNestedLoop" in n or "BroadcastHashJoin" in n for n in nodes), nodes

@@ -913,3 +913,50 @@ def test_stream_event_gaps_pre_epoch_timestamps(spark, tmp_path):
     got = sorted((r.user_id, r.event_id, r.gap_us) for r in drained.collect())
     # user 7: gaps 2->1 (30 min) and 3->2 (45 min); user 8: no gap
     assert got == [(7, 2, 30 * 60 * 1000000), (7, 3, 45 * 60 * 1000000)], got
+
+
+def test_gaps_fn_drops_late_cross_batch_arrival():
+    """The cross-batch ordering contract (r9 advice): an event arriving
+    in a LATER micro-batch with a (ts, event_id) BEHIND the stored
+    state is dropped explicitly — no silently-negative gap is emitted
+    and the state never moves backwards — because its true predecessor
+    already left the O(1) state. Drives _gaps_fn directly with a fake
+    GroupState across two batches."""
+    import pandas as pd
+
+    from duckdb_sudan__spark.streaming.events import _gaps_fn
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        eids, tss = zip(*rows)
+        return pd.DataFrame(
+            {"event_id": list(eids), "ts": pd.to_datetime(list(tss))}
+        )
+
+    st = FakeState()
+    key = (7, "view")
+    got1 = list(_gaps_fn(key, iter([batch(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:00")]
+    )]), st))
+    assert [int(g) for g in got1[0]["gap_us"]] == [30 * 60 * 1000000]
+    # batch 2: eid 3 is LATE (10:15 < state's 10:30) → dropped;
+    # eid 4 (11:00) gaps against the UNMOVED state (10:30), not eid 3
+    got2 = list(_gaps_fn(key, iter([batch(
+        [(3, "2024-01-01 10:15:00"), (4, "2024-01-01 11:00:00")]
+    )]), st))
+    out2 = got2[0]
+    assert [int(e) for e in out2["event_id"]] == [4], out2
+    assert [int(g) for g in out2["gap_us"]] == [30 * 60 * 1000000], out2
+    assert st.get[0] == pd.Timestamp("2024-01-01 11:00:00").value // 1000
+    assert st.get[1] == 4
