@@ -109,6 +109,60 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q1_pricing_decimal — q1's sums with DECIMAL presentation, the sf1 gate
+# ---------------------------------------------------------------------------
+# SF1_FLOATCHECK.md proved the decimal-accumulate layer exact at sf1
+# but found the final CAST(decimal AS DOUBLE) diverges by 1 ulp once
+# sums reach ~17 significant digits (DuckDB's int128 scale-divide vs
+# Spark's correctly-rounded BigDecimal.doubleValue). This entry closes
+# that presentation class: the sums never touch DOUBLE — they ship as
+# the exact decimal digit string (canonical scale-6 rendering, equal
+# across engines AND across both fetch modes; raw DECIMAL objects
+# break the pandas mode because duckdb's .df() converts wide DECIMAL
+# to float64) plus exact BIGINT micro-units. Gated at sf1 row counts
+# by tools/sf1_float_check.py and CORRECTNESS_LOCAL's sf1 section.
+
+Q1_DECIMAL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS sum_qty_dec,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS VARCHAR) AS sum_base_price_dec,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS VARCHAR) AS sum_disc_price_dec,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS VARCHAR) AS sum_charge_dec,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS sum_charge_micro,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_decimal", Q1_DECIMAL_ORACLE)
+def q1_pricing_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def dec_str(expr: Column, alias: str) -> Column:
+        return F.sum(expr.cast("decimal(27,6)")).cast("string").alias(alias)
+
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= _ts("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_str(F.col("l_quantity"), "sum_qty_dec"),
+            dec_str(F.col("l_extendedprice"), "sum_base_price_dec"),
+            dec_str(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price_dec"),
+            dec_str(charge, "sum_charge_dec"),
+            (F.sum(charge.cast("decimal(27,6)")) * F.lit(1000000))
+            .cast("bigint")
+            .alias("sum_charge_micro"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q3 — shipping priority (3-way join, group, top-N)
 # ---------------------------------------------------------------------------
 

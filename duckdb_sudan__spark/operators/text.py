@@ -370,6 +370,49 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_tablesample — the TABLESAMPLE / USING SAMPLE surface itself
+# (r9 verdict item 4): seeded Bernoulli(p) row sampling. Engine-native
+# TABLESAMPLE (DuckDB `USING SAMPLE 15% (bernoulli, 42)`, Spark
+# `.sample(0.15, 42)`) draws from engine-specific RNG streams — the
+# same seed selects DIFFERENT rows per engine, per version, sometimes
+# per partitioning — so the portable deterministic equivalent is an
+# md5 threshold: keep a row iff the first 8 hex digits of
+# md5(seed:doc_id) fall below floor(p·2³²) (fixed-width lowercase-hex
+# string compare ≡ the integer compare). True per-row independence,
+# seedable, fraction granularity 2⁻³², and a pure map-side predicate:
+# zero shuffle, embarrassingly parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+TABLESAMPLE_PCT = 15
+TABLESAMPLE_SEED = 42
+# floor(0.15 * 2^32) = 644245094 = 0x26666666
+_TS_THRESH_HEX = f"{int(TABLESAMPLE_PCT / 100 * 2**32):08x}"
+
+TABLESAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source,
+       substr(md5('{TABLESAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+FROM documents
+WHERE substr(md5('{TABLESAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{_TS_THRESH_HEX}'
+ORDER BY doc_id
+"""
+
+
+@register("sample_tablesample", TABLESAMPLE_ORACLE)
+def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit(f"{TABLESAMPLE_SEED}:"), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    return (
+        d.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .where(F.col("sample_key") < _TS_THRESH_HEX)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # dataset_token_budget — "fill a token budget" selection: per language,
 # take documents in priority order (longest first, doc_id tiebreak)
 # until the cumulative token count reaches TOKEN_BUDGET. This is the

@@ -85,6 +85,19 @@ def test_no_query_plans_a_cartesian_product(spark, key):
     assert "CartesianProduct" not in plan, f"{key} degenerates to a cartesian product"
 
 
+def test_tablesample_is_map_only_predicate(spark):
+    """The TABLESAMPLE parity entry is a pure map-side hash-threshold
+    filter: one scan, no join, no hash shuffle — the only exchange is
+    the output sort's range partitioning."""
+    df = QUERIES["sample_tablesample"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "HashAggregate" or n == "Window" for n in nodes), nodes
+    plan = plan_of(df)
+    assert "hashpartitioning(" not in plan, plan[:3000]
+
+
 # Driver-side materialization allowlist: every `.collect()` in the
 # package must be a documented, CAPPED model/query-sized collect
 # (TRAIN_CAP codebook samples, N_QUERIES query sets, the ≤#partitions

@@ -81,6 +81,42 @@ def main() -> None:
         sections.append((sf_dir, results))
         con.close()
 
+    # sf1 gate (r9 verdict item 8): the DECIMAL-presentation entry runs
+    # additionally at sf1 row counts (the perturbed 6M-row corpus from
+    # tools/sf1_float_check.py), where the decimal→DOUBLE presentation
+    # class it closes actually bites. Same comparison, same report.
+    from tools import sf1_float_check as sfc
+
+    SF1_GATED = ["q1_pricing_decimal"]
+    if not os.path.exists(os.path.join(sfc.BIG, "lineitem.parquet")):
+        sfc.build_sf1()
+    con = duckdb.connect()
+    for t in sfc.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfc.BIG}/{t}.parquet')"
+        )
+    results = []
+    for key in SF1_GATED:
+        t0 = time.time()
+        try:
+            df = queries[key](spark, sfc.BIG).persist()
+            srows = [tuple(r) for r in df.collect()]
+            scols = df.columns
+            spd = [tuple(r) for r in df.toPandas().itertuples(index=False, name=None)]
+            df.unpersist()
+            ores = con.execute(oracles[key]).fetchall()
+            ocols = [d[0] for d in con.description]
+            opd = [tuple(r) for r in con.execute(oracles[key]).df().itertuples(index=False, name=None)]
+            ok_rows = len(srows) == len(ores)
+            ok_cols = sorted(scols) == sorted(ocols)
+            ok_hash = value_hash(srows, scols) == value_hash(ores, ocols)
+            ok_pd = value_hash(spd, scols) == value_hash(opd, ocols)
+            results.append((key, len(srows), len(ores), ok_rows, ok_cols, ok_hash, ok_pd, time.time() - t0, None))
+        except Exception as exc:  # pragma: no cover - report, don't die
+            results.append((key, -1, -1, False, False, False, False, time.time() - t0, str(exc)[:120]))
+    sections.append((f"{sfc.BIG} (sf1 rows)", results))
+    con.close()
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "CORRECTNESS_LOCAL.md"), "w") as f:
         f.write("# CORRECTNESS_LOCAL — all oracled entries vs DuckDB "
