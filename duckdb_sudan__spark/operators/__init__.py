@@ -49,6 +49,7 @@ def load_all() -> None:
         olap15,
         olap16,
         olap17,
+        olap18,
         relational,
         similarity,
         sketches,

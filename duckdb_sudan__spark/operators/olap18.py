@@ -1,0 +1,394 @@
+"""r10 wave: ML-evaluation metrics + audience analytics.
+
+The training-data engine's missing back half: once a pipeline selects,
+dedups, and scores data, its owners evaluate MODELS over it — confusion
+matrices, calibration, KS separation, lift-style cohort splits — and
+the reference's analysts run the same shapes over indicator data. Every
+entry follows the repo's determinism conventions: counts and ppm ratios
+in pure integer arithmetic (`1000000 * a // b`, overflow-safe), exact
+DECIMAL(38,0) moment sums for anything that multiplies, doubles only as
+final closed-form expressions running the SAME IEEE op sequence as the
+oracle (agg_regression's idiom, olap5.py:110).
+
+Scale notes (100 TB): every entry aggregates the fact table into a
+BOUNDED relation first (single row / 10 bins / 1000 bins / days /
+langs²) with map-side combine; windows only ever run over those bounded
+relations, never over the raw table (the sample_exact_stratified rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# ml_confusion_matrix — binary-classifier cells + derived rates, one row
+# ---------------------------------------------------------------------------
+# Ground truth: the event is a purchase. Prediction: value >= τ (the
+# simplest value-threshold classifier — the point is the exact cell
+# arithmetic, not the model). All four cells are map-combinable
+# count_ifs: ONE scan, one 1-row aggregate, rates in integer ppm so no
+# float ever reaches the hash. f1 derives from the ppm integers
+# (2·p·r // (p+r) — max 2e12, no overflow).
+
+CONFUSION_TAU = 50.0
+
+CONFUSION_ORACLE = f"""
+WITH cells AS (
+  SELECT
+    CAST(COUNT(*) FILTER (event_type = 'purchase' AND value >= {CONFUSION_TAU}) AS BIGINT) AS tp,
+    CAST(COUNT(*) FILTER (event_type <> 'purchase' AND value >= {CONFUSION_TAU}) AS BIGINT) AS fp,
+    CAST(COUNT(*) FILTER (event_type = 'purchase' AND value < {CONFUSION_TAU}) AS BIGINT) AS fn,
+    CAST(COUNT(*) FILTER (event_type <> 'purchase' AND value < {CONFUSION_TAU}) AS BIGINT) AS tn
+  FROM events
+)
+SELECT tp, fp, fn, tn,
+       1000000 * (tp + tn) // NULLIF(tp + fp + fn + tn, 0) AS accuracy_ppm,
+       1000000 * tp // NULLIF(tp + fp, 0) AS precision_ppm,
+       1000000 * tp // NULLIF(tp + fn, 0) AS recall_ppm,
+       2 * (1000000 * tp // NULLIF(tp + fp, 0)) * (1000000 * tp // NULLIF(tp + fn, 0))
+         // NULLIF((1000000 * tp // NULLIF(tp + fp, 0)) + (1000000 * tp // NULLIF(tp + fn, 0)), 0)
+         AS f1_ppm
+FROM cells
+"""
+
+
+@register("ml_confusion_matrix", CONFUSION_ORACLE)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pos = F.col("event_type") == "purchase"
+    pred = F.col("value") >= CONFUSION_TAU
+
+    def cnt(cond, alias):
+        return F.count_if(cond).cast("bigint").alias(alias)
+
+    cells = e.agg(
+        cnt(pos & pred, "tp"),
+        cnt(~pos & pred, "fp"),
+        cnt(pos & ~pred, "fn"),
+        cnt(~pos & ~pred, "tn"),
+    )
+    return cells.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "1000000 * (tp + tn) div nullif(tp + fp + fn + tn, 0) AS accuracy_ppm",
+        "1000000 * tp div nullif(tp + fp, 0) AS precision_ppm",
+        "1000000 * tp div nullif(tp + fn, 0) AS recall_ppm",
+        "2 * (1000000 * tp div nullif(tp + fp, 0)) * (1000000 * tp div nullif(tp + fn, 0))"
+        " div nullif((1000000 * tp div nullif(tp + fp, 0)) + (1000000 * tp div nullif(tp + fn, 0)), 0)"
+        " AS f1_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins — observed positive rate per score bin
+# ---------------------------------------------------------------------------
+# The reliability-diagram table: fixed-width score bins (closed domain
+# — no data-dependent quantiles, so the groupBy has ≤10 keys and
+# map-side combine collapses each task to ≤10 rows regardless of SF),
+# per-bin support, positive rate in ppm, and the exact cents sum for
+# downstream mean-score derivation.
+
+CALIB_BIN_WIDTH = 50.0
+CALIB_BINS = 10
+
+CALIBRATION_ORACLE = f"""
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_pos,
+       1000000 * COUNT(*) FILTER (event_type = 'purchase') // COUNT(*) AS pos_rate_ppm,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (
+  SELECT event_type, value,
+         CAST(least({CALIB_BINS - 1}, floor(value / {CALIB_BIN_WIDTH})) AS INTEGER) AS bin
+  FROM events
+)
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("ml_calibration_bins", CALIBRATION_ORACLE)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(CALIB_BINS - 1), F.floor(F.col("value") / CALIB_BIN_WIDTH)
+    ).cast("int")
+    return (
+        e.select("event_type", "value", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n_pos"),
+            F.expr(
+                "1000000 * count_if(event_type = 'purchase') div count(*)"
+            ).alias("pos_rate_ppm"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_ks_binned — Kolmogorov–Smirnov separation over a bounded bin grid
+# ---------------------------------------------------------------------------
+# KS over the RAW score column needs a global sort — a single-reducer
+# window at 100 TB. The production form bins scores first (1000
+# fixed-width bins: the KS of the binned CDFs lower-bounds the true KS
+# within 1/bins of CDF resolution) so the cumulative window runs over
+# a ≤1000-row relation. The CDF difference is computed in DOUBLE from
+# exact bigint cumulative counts — division and subtraction are
+# correctly-rounded IEEE ops, identical on both engines — and the
+# statistic row is picked by (diff DESC, bin ASC) rank, so ties break
+# deterministically.
+
+KS_BINS = 1000
+KS_BIN_SCALE = 2.0  # value domain [0, 500) → bin = floor(value * 2)
+
+KS_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least({KS_BINS - 1}, floor(value * {KS_BIN_SCALE})) AS INTEGER) AS bin,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS np,
+         CAST(COUNT(*) FILTER (event_type <> 'purchase') AS BIGINT) AS nn
+  FROM events
+  GROUP BY 1
+), cum AS (
+  SELECT bin,
+         SUM(np) OVER (ORDER BY bin) AS cp,
+         SUM(nn) OVER (ORDER BY bin) AS cn,
+         SUM(np) OVER () AS p,
+         SUM(nn) OVER () AS n
+  FROM binned
+), diffs AS (
+  SELECT bin,
+         abs(CAST(cp AS DOUBLE) / CAST(p AS DOUBLE)
+             - CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)) AS d,
+         CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+  FROM cum
+)
+SELECT d AS ks_stat, bin AS ks_bin, n_pos, n_neg
+FROM (SELECT *, row_number() OVER (ORDER BY d DESC, bin) AS rn FROM diffs)
+WHERE rn = 1
+"""
+
+
+@register("ml_ks_binned", KS_ORACLE)
+def ml_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(KS_BINS - 1), F.floor(F.col("value") * KS_BIN_SCALE)
+    ).cast("int")
+    binned = (
+        e.select((F.col("event_type") == "purchase").alias("pos"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("pos")).cast("bigint").alias("np"),
+            F.count_if(~F.col("pos")).cast("bigint").alias("nn"),
+        )
+    )
+    # windows over the ≤KS_BINS-row aggregate only (bounded relation)
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = binned.select(
+        "bin",
+        F.sum("np").over(wcum).alias("cp"),
+        F.sum("nn").over(wcum).alias("cn"),
+        F.sum("np").over(wall).alias("p"),
+        F.sum("nn").over(wall).alias("n"),
+    )
+    diffs = cum.select(
+        "bin",
+        F.abs(
+            F.col("cp").cast("double") / F.col("p").cast("double")
+            - F.col("cn").cast("double") / F.col("n").cast("double")
+        ).alias("d"),
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("n").cast("bigint").alias("n_neg"),
+    )
+    wrank = Window.orderBy(F.desc("d"), "bin")
+    return (
+        diffs.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(F.col("d").alias("ks_stat"), F.col("bin").alias("ks_bin"), "n_pos", "n_neg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_new_vs_returning — daily active split by first-seen cohort
+# ---------------------------------------------------------------------------
+# The growth-dashboard primitive: per day, how many active users are
+# NEW (first-ever activity that day) vs returning. Shape: distinct
+# (user, day) → per-user min(day) (map-combinable, one shuffle on
+# user) → equi-join back on user → per-day counts. No window touches
+# the raw table; the day grain is calendar-bounded.
+
+NEW_RETURNING_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id
+)
+SELECT du.day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(*) FILTER (du.day = f.first_day) AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (du.day <> f.first_day) AS BIGINT) AS n_returning
+FROM du JOIN firsts f ON du.user_id = f.user_id
+GROUP BY du.day
+ORDER BY du.day
+"""
+
+
+@register("ev_new_vs_returning", NEW_RETURNING_ORACLE)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.count_if(F.col("day") == F.col("first_day")).cast("bigint").alias("n_new"),
+            F.count_if(F.col("day") != F.col("first_day"))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr_daily — autocorrelation of daily revenue at lags 1..7
+# ---------------------------------------------------------------------------
+# Weekly-seasonality detector. Day keys are epoch-day INTEGERS (the
+# memory-safe cross-engine form — no weekday()/interval semantics),
+# revenue is exact cents; the lag pairing is an equi-join of the tiny
+# daily relation against itself shifted by k (broadcast 7-row lag
+# list), and Pearson r derives from DECIMAL(38,0)-exact moment sums in
+# the agg_regression idiom — cents cast to DECIMAL(19,0) BEFORE the
+# product so no intermediate ever overflows int64 even at 100 TB daily
+# revenue. Windows: none over the raw table; the daily relation is
+# calendar-bounded.
+
+AUTOCORR_MAX_LAG = 7
+
+_AC_DAILY = """
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS INTEGER) AS day_num,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+AUTOCORR_ORACLE = f"""
+WITH daily AS ({_AC_DAILY}),
+lags AS (SELECT UNNEST(range(1, {AUTOCORR_MAX_LAG + 1})) AS lag_k),
+pairs AS (
+  SELECT l.lag_k, a.rev_cents AS x, b.rev_cents AS y
+  FROM daily a JOIN lags l ON TRUE
+  JOIN daily b ON b.day_num = a.day_num + l.lag_k
+), m AS (
+  SELECT lag_k,
+         COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM pairs GROUP BY lag_k
+)
+SELECT CAST(lag_k AS INTEGER) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       AS autocorr
+FROM m
+ORDER BY lag_k
+"""
+
+
+@register("ts_autocorr_daily", AUTOCORR_ORACLE)
+def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date"))
+            .cast("int")
+            .alias("day_num")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    )
+    lags = spark.range(1, AUTOCORR_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag_k"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day_num") == F.col("a.day_num") + F.col("lag_k"))
+        .select("lag_k", F.col("a.rev_cents").alias("x"), F.col("b.rev_cents").alias("y"))
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("y") * d19("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return m.select(
+        F.col("lag_k").cast("int").alias("lag_k"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        ((nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).alias(
+            "autocorr"
+        ),
+    ).orderBy("lag_k")
+
+
+# ---------------------------------------------------------------------------
+# text_lang_confusion — langid-vs-label confusion matrix
+# ---------------------------------------------------------------------------
+# The language-ID QA table every corpus card needs: how often the
+# n-gram heuristic (text_langid, text.py:116) agrees with the labeled
+# lang, as a (labeled × predicted) matrix with per-labeled-language
+# shares in integer ppm. Composes the text_langid relation (same code
+# path both engines), then one groupBy into a ≤langs² relation; the
+# share window runs over that tiny matrix only.
+
+from duckdb_sudan__spark.operators.text import LANGID_ORACLE, text_langid  # noqa: E402
+
+LANG_CONFUSION_ORACLE = f"""
+WITH preds AS ({LANGID_ORACLE})
+SELECT labeled_lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1000000 * COUNT(*) // SUM(COUNT(*)) OVER (PARTITION BY labeled_lang) AS BIGINT) AS share_ppm
+FROM preds
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
+@register("text_lang_confusion", LANG_CONFUSION_ORACLE)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = text_langid(spark, sf_dir)
+    counts = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wlab = Window.partitionBy("labeled_lang")
+    return counts.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.expr("1000000 * n").cast("bigint").alias("_num"),
+        F.sum("n").over(wlab).alias("_den"),
+    ).selectExpr(
+        "labeled_lang", "predicted_lang", "n", "_num div _den AS share_ppm"
+    ).orderBy("labeled_lang", "predicted_lang")

@@ -85,6 +85,52 @@ def test_no_query_plans_a_cartesian_product(spark, key):
     assert "CartesianProduct" not in plan, f"{key} degenerates to a cartesian product"
 
 
+def test_confusion_matrix_single_scan_no_window(spark):
+    """All four cells are count_ifs in ONE map-combined aggregate:
+    one scan, no join, no window — the cheapest classifier-eval shape."""
+    df = QUERIES["ml_confusion_matrix"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Scan parquet") == 1, nodes
+    assert not any("Join" in n or n == "Window" for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes  # partial+final
+
+
+@pytest.mark.parametrize("key", ["ml_ks_binned", "text_lang_confusion"])
+def test_bounded_relation_windows_sit_above_aggregate(spark, key):
+    """The KS cumulative/rank windows and the confusion-share window
+    run over BOUNDED aggregates (≤1000 bins / ≤langs² cells), never the
+    raw table: the plan must aggregate below every Window node."""
+    df = QUERIES[key](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    wins = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert wins and aggs, nodes
+    # plan_nodes lists upstream-first: every Window is downstream of
+    # (at a higher index than) the first aggregate pair
+    assert min(wins) > min(aggs), nodes
+
+
+def test_autocorr_daily_lags_broadcast_after_daily_agg(spark):
+    """The lag pairing self-joins the CALENDAR-BOUNDED daily aggregate
+    (never the raw events): both join inputs sit above HashAggregates,
+    and the 7-row lag list broadcasts."""
+    df = QUERIES["ts_autocorr_daily"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastNestedLoop" in n or "BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n for n in nodes), nodes
+    plan = plan_of(df)
+    assert plan.count("events.parquet") <= 2, plan[:2000]
+
+
+def test_new_vs_returning_no_window_over_raw(spark):
+    """first-seen derives from a map-combinable min per user — no
+    window anywhere; shuffles carry only the distinct/user/day keys."""
+    df = QUERIES["ev_new_vs_returning"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
 def test_tablesample_is_map_only_predicate(spark):
     """The TABLESAMPLE parity entry is a pure map-side hash-threshold
     filter: one scan, no join, no hash shuffle — the only exchange is
