@@ -354,6 +354,142 @@ def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_bitmap_distinct — EXACT distinct counting via mergeable bitmaps
+# ---------------------------------------------------------------------------
+# The bitmap-index pattern (roaring-bitmap-lite on dense int keys):
+# instead of shuffling raw user_ids into a COUNT(DISTINCT) (a full
+# repartition of the fact's key column), each task OR-folds user
+# presence into 63-bit chunk masks — bucket = user_id div 63, bit =
+# user_id mod 63 (63 keeps every mask positive: bit 63 would need the
+# sign bit, which DuckDB's << overflow rules reject) — so the shuffle
+# carries only (type, bucket, mask) rows bounded by the KEY DOMAIN
+# /63, not the event count, and bit_or partial-aggregates map-side.
+# popcount(mask) sums recover the EXACT distinct count (verified in
+# the same row against count(distinct)). This is the mergeable exact
+# complement of the HLL sketch tier: same shuffle shape, no error.
+
+BITMAP_ORACLE = """
+WITH masks AS (
+  SELECT event_type,
+         user_id // 63 AS bucket,
+         bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS mask
+  FROM events
+  GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         CAST(SUM(bit_count(mask)) AS BIGINT) AS distinct_users_bitmap,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM masks GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact
+  FROM events GROUP BY 1
+)
+SELECT p.event_type, distinct_users_bitmap, distinct_users_exact, n_buckets,
+       distinct_users_bitmap = distinct_users_exact AS bitmap_exact
+FROM per_type p JOIN exact e ON p.event_type = e.event_type
+ORDER BY p.event_type
+"""
+
+
+@register("agg_bitmap_distinct", BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    masks = (
+        e.groupBy(
+            "event_type",
+            (F.col("user_id") / 63).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            # SQL form: F.shiftleft's numBits param is Python-int-only
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+            ).alias("mask")
+        )
+    )
+    per_type = masks.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("bigint").alias("distinct_users_bitmap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("distinct_users_exact")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "distinct_users_bitmap",
+            "distinct_users_exact",
+            "n_buckets",
+            (F.col("distinct_users_bitmap") == F.col("distinct_users_exact")).alias(
+                "bitmap_exact"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_ttr_lexical_diversity — type-token ratio per language
+# ---------------------------------------------------------------------------
+# The dataset-card lexical-diversity number: per-doc TTR (distinct
+# words / words, exact integer ppm) computed ENTIRELY map-side
+# (array_distinct on the token array — no shuffle touches the token
+# grain), then a per-lang rollup of doc counts and the exact
+# sum-of-ppms for a mean. Unlike corpus_vocab_growth (corpus-level
+# vocab curve), this is the per-document diversity screen that flags
+# keyword-stuffed/templated docs individually.
+
+TTR_ORACLE = """
+WITH per_doc AS (
+  SELECT lang, doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         1000000 * len(list_distinct(toks)) // greatest(len(toks), 1) AS ttr_ppm
+  FROM (
+    SELECT lang, doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm,
+       CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+       CAST(MAX(ttr_ppm) AS BIGINT) AS max_ttr_ppm
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_ttr_lexical_diversity", TTR_ORACLE)
+def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+    ).select(
+        "lang",
+        "n_tokens",
+        F.expr("1000000 * n_types div greatest(n_tokens, 1)").alias("ttr_ppm"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.expr("sum(ttr_ppm) div count(*)").cast("bigint").alias("mean_ttr_ppm"),
+            F.min("ttr_ppm").cast("bigint").alias("min_ttr_ppm"),
+            F.max("ttr_ppm").cast("bigint").alias("max_ttr_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_lang_confusion — langid-vs-label confusion matrix
 # ---------------------------------------------------------------------------
 # The language-ID QA table every corpus card needs: how often the

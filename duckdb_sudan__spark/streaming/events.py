@@ -168,6 +168,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = sessionize_tws_stream(events), "append"
         elif which == "event_gaps":  # stateful per-key lag (CDC delta shape)
             out, mode = event_gaps_stream(events), "append"
+        elif which == "new_vs_returning":  # per-user first-seen classifier
+            out, mode = new_vs_returning_stream(events), "append"
         elif which == "attribution":  # stream-stream interval self-join
             out, mode = attribution_join_stream(events), "append"
         elif which == "scd2":  # stateful SCD2 dimension build
@@ -373,6 +375,97 @@ def event_gaps_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             _gaps_fn,
             GAPS_OUT_SCHEMA,
             GAPS_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user first-seen classification (the
+# "new vs returning" stream) — each (user, day) appearance classified
+# against the user's running first-ever day
+# ---------------------------------------------------------------------------
+
+NEWRET_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.TimestampType()),
+        T.StructField("is_new", T.BooleanType()),
+    ]
+)
+# (first_us, last_emitted_us): first-ever day + high-water mark of
+# emitted days; presence = state.exists (the _gaps_fn sentinel rule)
+NEWRET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _new_ret_fn(key, pdf_iter, state):
+    """Per-user (user, day) classifier: the first-ever active day emits
+    is_new=true, every later distinct day is_new=false. O(1) state per
+    user (two day scalars) — the unbounded-key-domain complement of
+    the funnel's per-user scalars. Same cross-batch ordering contract
+    as _gaps_fn: within a batch days dedup+sort locally; across
+    batches days must arrive non-decreasing, and a later batch
+    carrying a day at-or-before the emitted high-water mark is DROPPED
+    (already-emitted classifications can't be retracted in append
+    mode). Floor-to-day uses Python floor division so pre-epoch
+    timestamps land on the correct day boundary."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    has = state.exists
+    first_us, last_us = state.get if has else (0, 0)
+    chunks = [c for c in pdf_iter if len(c)]
+    if not chunks:
+        if has:
+            state.update((int(first_us), int(last_us)))
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    us = (
+        pdf["ts"].astype("int64") // 1000
+        if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+        else pdf["ts"].astype("int64")
+    )
+    days = sorted({(int(u) // _DAY_US) * _DAY_US for u in us})
+    out = []
+    for d in days:
+        if has and d <= last_us:
+            continue  # duplicate or late cross-batch day: drop
+        if not has:
+            first_us, has = d, True
+            out.append({"user_id": key[0], "day": pd.Timestamp(d, unit="us"), "is_new": True})
+        else:
+            out.append({"user_id": key[0], "day": pd.Timestamp(d, unit="us"), "is_new": False})
+        last_us = d
+    state.update((int(first_us), int(last_us)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def new_vs_returning_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ev_new_vs_returning's streaming twin: per-user first-seen state
+    (applyInPandasWithState, 2 scalars per user) classifies each
+    distinct active day as new/returning as it happens — the live
+    growth-dashboard feed. The drained per-(user, day) rows aggregate
+    exactly to the batch entry's daily counts (asserted in
+    tests/test_sources_streaming.py). Batch-equivalence assumes
+    per-user non-decreasing day arrival across micro-batches; late
+    days are dropped, never re-classified — see _new_ret_fn."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _new_ret_fn,
+            NEWRET_OUT_SCHEMA,
+            NEWRET_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )

@@ -283,6 +283,16 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(final).orderBy("doc_id")
 
 
+@register("stream_new_vs_returning")  # rows-only: ≡ batch ev_new_vs_returning (tested)
+def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-seen classification as a stream (O(1) state per
+    user): each distinct (user, day) appearance emits new/returning as
+    it happens. Drained rows aggregate EXACTLY to the batch
+    ev_new_vs_returning daily counts; asserted in
+    tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "new_vs_returning")
+
+
 @register("stream_event_gaps")  # rows-only: custom stateful lag operator
 def stream_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, type) inter-event gaps as a stream — the CDC

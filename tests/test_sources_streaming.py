@@ -880,6 +880,38 @@ def test_stream_event_gaps_matches_batch_lag(spark):
     assert drained.where(F.col("gap_us") < 0).count() == 0
 
 
+def test_stream_new_vs_returning_matches_batch(spark):
+    """The per-user first-seen classification stream must aggregate
+    EXACTLY to the batch ev_new_vs_returning daily counts, and emit
+    exactly ONE is_new=true row per user (the first-ever day)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    drained = QUERIES["stream_new_vs_returning"](spark, SF_DIR)
+    sagg = {
+        tuple(r)
+        for r in drained.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.count_if(F.col("is_new")).cast("bigint").alias("n_new"),
+            F.count_if(~F.col("is_new")).cast("bigint").alias("n_returning"),
+        )
+        .collect()
+    }
+    bagg = {tuple(r) for r in QUERIES["ev_new_vs_returning"](spark, SF_DIR).collect()}
+    assert sagg == bagg
+    assert len(sagg) > 0
+    # exactly one new-day row per user; (user, day) rows are unique
+    per_user = drained.groupBy("user_id").agg(
+        F.count_if(F.col("is_new")).alias("n_new_rows")
+    )
+    assert per_user.where(F.col("n_new_rows") != 1).count() == 0
+    assert drained.groupBy("user_id", "day").count().where(F.col("count") > 1).count() == 0
+
+
 def test_stream_event_gaps_pre_epoch_timestamps(spark, tmp_path):
     """Negative epoch-microsecond timestamps must flow through the
     stateful-lag stream exactly like the batch window — the 'has
