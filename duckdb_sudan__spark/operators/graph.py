@@ -210,3 +210,76 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — deterministic synchronous LPA communities
+# ---------------------------------------------------------------------------
+# Rows-only like PageRank (iterative fixed-point; a SQL oracle would
+# carry state through a recursive CTE). The contract is a local
+# numpy replay of the IDENTICAL synchronous rule (tests/test_graph.py)
+# plus structural invariants (community ids are member node ids;
+# count within [1, |V|]).
+
+LPA_ITERS = 4
+
+_LPA_CACHE_HANDLES: list[DataFrame] = []
+
+
+@register("graph_label_propagation")  # rows-only: ≡ local sync replay, tested
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the k-NN similarity graph by
+    DETERMINISTIC synchronous label propagation: every node starts as
+    its own community (community = vec_id), and each of LPA_ITERS
+    rounds simultaneously re-labels every node with its neighbors'
+    most frequent community — ties broken by SMALLEST community id, so
+    the update is a pure function of the previous labeling (classic
+    async LPA is visit-order-dependent; this variant is reproducible
+    on any cluster size). Communities after a fixed round budget are
+    the dedup/curriculum grouping signal one tier softer than
+    connected components (dedup_components): CC merges anything
+    touching, LPA keeps weakly-bridged clusters apart.
+
+    Plan per round: undirected edges (persisted once) ⋈ labels on the
+    neighbor endpoint → per-(node, community) counts → argmax via one
+    window bounded by node DEGREE (k-NN caps it at 2K — never a
+    whole-graph window); labels persist per round, previous round
+    unpersisted (the Pregel-on-DataFrames loop, lineage one round
+    deep). 100 TB: O(|E|) rows move per round, |V|-row state."""
+    while _LPA_CACHE_HANDLES:
+        _LPA_CACHE_HANDLES.pop().unpersist()
+    edges = emb_knn_graph(spark, sf_dir).select(
+        F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+    ).distinct()
+    # both directions: each endpoint sees the other as a neighbor
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    _LPA_CACHE_HANDLES.append(und)
+    labels = und.select(F.col("u").alias("vec_id")).distinct().select(
+        "vec_id", F.col("vec_id").alias("community")
+    ).persist()
+    labels.count()
+
+    from pyspark.sql.window import Window
+
+    for _ in range(LPA_ITERS):
+        neigh = und.join(
+            labels.withColumnRenamed("vec_id", "v"), "v"
+        ).select(F.col("u").alias("vec_id"), "community")
+        counts = neigh.groupBy("vec_id", "community").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        wr = Window.partitionBy("vec_id").orderBy(F.desc("n"), "community")
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "community")
+            .persist()
+        )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+
+    _LPA_CACHE_HANDLES.append(labels)
+    return labels.orderBy("vec_id")

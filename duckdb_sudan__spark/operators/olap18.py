@@ -354,6 +354,81 @@ def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ev_markov_prediction_accuracy — next-event prediction readout
+# ---------------------------------------------------------------------------
+# The eval half of ev_transition_matrix (olap5.py:322): predict each
+# transition's next event as the argmax next-type of its prev-type
+# (tie → lexicographically smallest, so the predictor is
+# deterministic), and report IN-SAMPLE accuracy per prev-type in
+# exact integer ppm. Shape: the transition-pair aggregate (≤|types|²
+# rows) is built once; the predictor is a rank-1 row per prev over
+# that tiny relation; scoring is a join of the pair counts against
+# the ≤|types|-row predictor — the fact table pays exactly the one
+# user_id lag shuffle + one pair-grain shuffle, nothing else.
+
+MARKOV_PRED_ORACLE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), pred AS (
+  SELECT prev_type, next_type AS predicted_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY prev_type
+                                     ORDER BY cnt DESC, next_type) AS rn FROM pairs)
+  WHERE rn = 1
+)
+SELECT p.prev_type, pr.predicted_type,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_transitions,
+       CAST(SUM(p.cnt) FILTER (p.next_type = pr.predicted_type) AS BIGINT) AS n_correct,
+       CAST(1000000 * SUM(p.cnt) FILTER (p.next_type = pr.predicted_type)
+            // SUM(p.cnt) AS BIGINT) AS accuracy_ppm
+FROM pairs p JOIN pred pr ON p.prev_type = pr.prev_type
+GROUP BY p.prev_type, pr.predicted_type
+ORDER BY p.prev_type
+"""
+
+
+@register("ev_markov_prediction_accuracy", MARKOV_PRED_ORACLE)
+def ev_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wr = Window.partitionBy("prev_type").orderBy(F.desc("cnt"), "next_type")
+    pred = (
+        pairs.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_type"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_transitions"),
+            F.sum(F.when(F.col("next_type") == F.col("predicted_type"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "cast(1000000 * sum(case when next_type = predicted_type then cnt else 0 end)"
+                " div sum(cnt) as bigint)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_bitmap_distinct — EXACT distinct counting via mergeable bitmaps
 # ---------------------------------------------------------------------------
 # The bitmap-index pattern (roaring-bitmap-lite on dense int keys):

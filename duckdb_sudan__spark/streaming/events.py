@@ -133,6 +133,34 @@ def hll_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def bitmap_distinct_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly EXACT-distinct rollup via mergeable bitmaps — the exact
+    complement of hll_rollup_stream with the same state posture: the
+    streaming state per (window, type, bucket) is ONE int64 chunk mask
+    (bucket = user_id div 63, bit = user_id mod 63), bit_or-merged
+    across micro-batches by the engine's partial aggregation. State is
+    bounded by the ACTIVE-KEY domain /63 per open window (not the
+    event count), and masks from any shard/replay OR together
+    idempotently — drained popcounts are IDENTICAL to a batch
+    recompute regardless of arrival order (asserted in tests). The
+    popcount presentation runs sink-side over the drained masks
+    (agg_bitmap_distinct's batch idiom, olap18.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type"),
+            (F.col("user_id") / 63).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+            ).alias("mask")
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "bucket", "mask")
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumbling") -> DataFrame:
     """Drive a stream to completion against the static events file and
     return the result as a DataFrame (used by tests and the
@@ -150,6 +178,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = sessionize_stream(events), "complete"
         elif which == "hll_rollup":
             out, mode = hll_rollup_stream(events), "complete"
+        elif which == "bitmap_distinct":  # exact mergeable-bitmap rollup
+            out, mode = bitmap_distinct_stream(events), "complete"
         elif which == "funnel":  # stateful append-mode operator
             out, mode = funnel_stream(events), "append"
         elif which == "funnel_windowed":  # attribution-window funnel

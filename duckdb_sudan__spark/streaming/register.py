@@ -49,6 +49,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "dedup")
 
 
+@register("stream_bitmap_distinct")  # rows-only: ≡ batch bitmap recompute (tested)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly EXACT distinct users per event type maintained by the
+    stream as mergeable 63-bit chunk bitmaps (one int64 of state per
+    (window, type, bucket) key — see events.bitmap_distinct_stream);
+    the popcount presentation aggregates the drained masks sink-side.
+    Drained counts are identical to a batch recompute because bit_or
+    merges are order-insensitive and idempotent (asserted in
+    tests/test_sources_streaming.py)."""
+    masks = run_stream_to_memory(spark, sf_dir, "bitmap_distinct")
+    return (
+        masks.groupBy("window_start", "event_type")
+        .agg(
+            F.sum(F.bit_count("mask")).cast("bigint").alias("distinct_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 @register("stream_attribution")  # rows-only: stream-stream interval join
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "attribution")

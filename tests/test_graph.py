@@ -49,3 +49,50 @@ def test_pagerank_invariants(spark):
     # output is sorted by rank desc (ties vec_id asc)
     ranks = [(r.rank, r.vec_id) for r in rows]
     assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+
+
+def _reference_lpa(edges, n_iters):
+    """Pure-Python synchronous label propagation with the IDENTICAL
+    rule (most frequent neighbor community, ties -> smallest id),
+    independent of the Spark join loop."""
+    from collections import Counter
+
+    und = set()
+    for a, b in edges:
+        u, v = (a, b) if a <= b else (b, a)
+        und.add((u, v))
+    neigh = {}
+    for u, v in und:
+        neigh.setdefault(u, set()).add(v)
+        neigh.setdefault(v, set()).add(u)
+    labels = {v: v for v in neigh}
+    for _ in range(n_iters):
+        new = {}
+        for v, ns in neigh.items():
+            c = Counter(labels[x] for x in ns)
+            # most frequent, ties by smallest community id
+            new[v] = min(c, key=lambda k: (-c[k], k))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_local_replay(spark):
+    from duckdb_sudan__spark.operators.graph import LPA_ITERS
+    from duckdb_sudan__spark.operators.similarity import emb_knn_graph
+
+    edges = [(r.id_a, r.id_b) for r in emb_knn_graph(spark, SF_DIR).collect()]
+    expect = _reference_lpa(edges, LPA_ITERS)
+    got = {r.vec_id: r.community for r in QUERIES["graph_label_propagation"](spark, SF_DIR).collect()}
+    assert got == expect
+
+
+def test_label_propagation_invariants(spark):
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    nodes = {r.vec_id for r in rows}
+    comms = {r.community for r in rows}
+    # every community id is a member node's id, count within [1, |V|]
+    assert comms <= nodes
+    assert 1 <= len(comms) <= len(nodes)
+    # deterministic: a second run labels identically
+    again = {(r.vec_id, r.community) for r in QUERIES["graph_label_propagation"](spark, SF_DIR).collect()}
+    assert again == {(r.vec_id, r.community) for r in rows}

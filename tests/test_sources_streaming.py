@@ -880,6 +880,35 @@ def test_stream_event_gaps_matches_batch_lag(spark):
     assert drained.where(F.col("gap_us") < 0).count() == 0
 
 
+def test_stream_bitmap_distinct_equals_exact_counts(spark):
+    """The mergeable-bitmap streaming rollup must be EXACT: drained
+    popcounts equal count(distinct user_id) per (hour, type) computed
+    directly — the whole point of the bitmap tier over the HLL twin
+    (bit_or merges are order-insensitive AND lossless)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.session import load_table
+
+    operators.load_all()
+    drained = QUERIES["stream_bitmap_distinct"](spark, SF_DIR)
+    got = {
+        (r.window_start, r.event_type): r.distinct_users for r in drained.collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_new_vs_returning_matches_batch(spark):
     """The per-user first-seen classification stream must aggregate
     EXACTLY to the batch ev_new_vs_returning daily counts, and emit

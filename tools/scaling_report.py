@@ -199,15 +199,20 @@ def main() -> None:
         for key, t1, t16, r in rows:
             f.write(f"| {key} | {t1:.2f} | {t16:.2f} | {r:.1f}× |\n")
         f.write("\n## ANN recall vs the exact tier, at 1× and 16×\n\n")
-        f.write("Top-k agreement with `ann_topk_cosine` on the SAME corpus — the "
-                "recall pins in tests hold at the fixture scale; this demonstrates "
-                "them on the 16× corpus, where every vector gains 15 near-variants "
-                "(0.001·i nudges), the adversarial regime for coarse cells: variant "
-                "clusters straddle cell boundaries, so probe misses cost whole "
-                "groups. The hash/code tiers (LSH, PQ) degrade gracefully; the "
-                "IVF-probed tiers show the documented N_PROBE/N_CENTROIDS recall "
-                "trade at fixed probe budget — the production knob a 100 TB "
-                "deployment turns UP with corpus size.\n\n")
+        f.write("Top-k agreement with `ann_topk_cosine` on the SAME corpus. Read "
+                "the two columns differently: at 16× every vector's own 15 "
+                "near-variants (0.001·i nudges) dominate the TRUE top-k and land "
+                "in the same hash bucket / coarse cell by construction, so every "
+                "tier saturates at 1.0 — the scaled corpus is the EASY regime for "
+                "recall (it is the dedup regime these tiers serve). The 1× column "
+                "is the discriminative one: single-probe 12-plane LSH on 2k "
+                "vectors leaves ~every bucket near-empty (recall ≈ 0 for "
+                "RETRIEVAL — by design it is a near-dup candidate generator, not "
+                "a top-k index; its correctness tier is the dedup tests), the "
+                "IVF-probed tiers show the fixed N_PROBE/N_CENTROIDS=4/16 "
+                "coverage trade (the knob a deployment turns up with corpus "
+                "size), and PQ/ADC — which scans ALL codes, approximating only "
+                "the distance — holds its pinned ≥0.9.\n\n")
         f.write("| tier | recall@k 1× | recall@k 16× |\n")
         f.write("|---|---|---|\n")
         for key, r1, r16 in recall_rows:
