@@ -603,3 +603,286 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "labeled_lang", "predicted_lang", "n", "_num div _den AS share_ppm"
     ).orderBy("labeled_lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# ml_drift_chi2_weekly — score-distribution drift, first week vs last
+# ---------------------------------------------------------------------------
+# The monitoring table behind every "retrain?" decision: compare the
+# value distribution of the FIRST 7 days (baseline) against the LAST
+# 7 days (current) over the same fixed-width bins as
+# ml_calibration_bins, entirely in integer arithmetic — shares in
+# exact ppm and the chi-square-style drift contribution
+# (base_ppm − cur_ppm)² // base_ppm per bin as a scaled integer, so
+# no float ever reaches the hash AND the consumer's total drift
+# statistic is an exact integer sum (a float Σ over bins would vary
+# with partial-agg order). Horizon days derive from the data itself
+# (min/max epoch-day broadcast as a 1-row scalar).
+
+DRIFT_ORACLE = f"""
+WITH spans AS (
+  SELECT MIN(CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS INTEGER)) AS d0,
+         MAX(CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS INTEGER)) AS d1
+  FROM events
+), binned AS (
+  SELECT CAST(least({CALIB_BINS - 1}, floor(value / {CALIB_BIN_WIDTH})) AS INTEGER) AS bin,
+         CAST(COUNT(*) FILTER (dn < d0 + 7) AS BIGINT) AS n_base,
+         CAST(COUNT(*) FILTER (dn > d1 - 7) AS BIGINT) AS n_cur
+  FROM (SELECT value,
+               CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS INTEGER) AS dn
+        FROM events), spans
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM binned
+)
+SELECT bin, n_base, n_cur,
+       CAST(1000000 * n_base // NULLIF(tb, 0) AS BIGINT) AS base_ppm,
+       CAST(1000000 * n_cur // NULLIF(tc, 0) AS BIGINT) AS cur_ppm,
+       CAST(((1000000 * n_base // NULLIF(tb, 0)) - (1000000 * n_cur // NULLIF(tc, 0)))
+            * ((1000000 * n_base // NULLIF(tb, 0)) - (1000000 * n_cur // NULLIF(tc, 0)))
+            // NULLIF(1000000 * n_base // NULLIF(tb, 0), 0) AS BIGINT) AS chi2_contrib_scaled
+FROM binned, tot
+ORDER BY bin
+"""
+
+
+@register("ml_drift_chi2_weekly", DRIFT_ORACLE)
+def ml_drift_chi2_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dn = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("int")
+    bin_ = F.least(
+        F.lit(CALIB_BINS - 1), F.floor(F.col("value") / CALIB_BIN_WIDTH)
+    ).cast("int")
+    base = e.select(bin_.alias("bin"), dn.alias("dn"))
+    spans = base.agg(F.min("dn").alias("d0"), F.max("dn").alias("d1"))
+    binned = (
+        base.crossJoin(F.broadcast(spans))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("dn") < F.col("d0") + 7).cast("bigint").alias("n_base"),
+            F.count_if(F.col("dn") > F.col("d1") - 7).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bin", "n_base", "n_cur",
+            "cast(1000000 * n_base div nullif(tb, 0) as bigint) AS base_ppm",
+            "cast(1000000 * n_cur div nullif(tc, 0) as bigint) AS cur_ppm",
+            "cast(((1000000 * n_base div nullif(tb, 0)) - (1000000 * n_cur div nullif(tc, 0)))"
+            " * ((1000000 * n_base div nullif(tb, 0)) - (1000000 * n_cur div nullif(tc, 0)))"
+            " div nullif(1000000 * n_base div nullif(tb, 0), 0) as bigint) AS chi2_contrib_scaled",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_importance_mi — mutual information in integer bitlen units
+# ---------------------------------------------------------------------------
+# Feature-selection readout: how much does the value bin know about
+# the purchase label? MI = H(X) + H(Y) − H(X,Y) in the repo's
+# log-free surrogate (agg_entropy_bits' idiom: entropy_scaled =
+# N·bitlen(N) − Σ c·bitlen(c), all BIGINT), so the whole statistic is
+# ONE exact integer — order-independent under any partial-agg
+# schedule. MI_scaled = Σc_xy·bl(c_xy) + N·bl(N) − Σc_x·bl(c_x) −
+# Σc_y·bl(c_y) (the N·bl(N) terms of the three entropies collapse).
+# The bitlen surrogate can place the statistic slightly off true
+# log2-MI (documented); what's pinned is exact cross-engine equality.
+
+MI_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(least({CALIB_BINS - 1}, floor(value / {CALIB_BIN_WIDTH})) AS INTEGER) AS x,
+         CAST(event_type = 'purchase' AS INTEGER) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * length(printf('%b', c))) AS BIGINT) AS s_xy
+  FROM g
+), xs AS (
+  SELECT CAST(SUM(cx * length(printf('%b', cx))) AS BIGINT) AS s_x
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM g GROUP BY x)
+), ys AS (
+  SELECT CAST(SUM(cy * length(printf('%b', cy))) AS BIGINT) AS s_y
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM g GROUP BY y)
+)
+SELECT n,
+       CAST(n * length(printf('%b', n)) - s_x AS BIGINT) AS h_x_scaled,
+       CAST(n * length(printf('%b', n)) - s_y AS BIGINT) AS h_y_scaled,
+       CAST(n * length(printf('%b', n)) - s_xy AS BIGINT) AS h_xy_scaled,
+       CAST(s_xy + n * length(printf('%b', n)) - s_x - s_y AS BIGINT) AS mi_scaled_bits
+FROM xy, xs, ys
+"""
+
+
+@register("ml_feature_importance_mi", MI_ORACLE)
+def ml_feature_importance_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(CALIB_BINS - 1), F.floor(F.col("value") / CALIB_BIN_WIDTH)
+    ).cast("int")
+    g = (
+        e.select(bin_.alias("x"), (F.col("event_type") == "purchase").cast("int").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    xy = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.length(F.bin("c"))).cast("bigint").alias("s_xy"),
+    )
+    xs = (
+        g.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+        .agg(F.sum(F.col("cx") * F.length(F.bin("cx"))).cast("bigint").alias("s_x"))
+    )
+    ys = (
+        g.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+        .agg(F.sum(F.col("cy") * F.length(F.bin("cy"))).cast("bigint").alias("s_y"))
+    )
+    return (
+        xy.crossJoin(F.broadcast(xs))
+        .crossJoin(F.broadcast(ys))
+        .selectExpr(
+            "n",
+            "cast(n * length(bin(n)) - s_x as bigint) AS h_x_scaled",
+            "cast(n * length(bin(n)) - s_y as bigint) AS h_y_scaled",
+            "cast(n * length(bin(n)) - s_xy as bigint) AS h_xy_scaled",
+            "cast(s_xy + n * length(bin(n)) - s_x - s_y as bigint) AS mi_scaled_bits",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_collocation_lift — corpus collocation extraction by lift
+# ---------------------------------------------------------------------------
+# The lexicon/tokenizer-sizing companion to bpe_pair_counts: rank word
+# bigrams by LIFT = P(w1 w2) / (P(w1)·P(w2)) = (c_xy · N) / (c_x · c_y)
+# — the PMI exponent without the libm log (DETERMINISM.md rule 3). All
+# counts are exact bigints; the lift is ONE double expression from
+# those ints (mult/div only — the same IEEE sequence both engines), a
+# min-support filter keeps noise bigrams out, and the top-20 ordering
+# tiebreaks on the words so the cut is total. Shape: token explode →
+# two count-grain shuffles (unigrams, bigrams) → broadcast unigram
+# lookup onto the ≥MIN_COLLOC bigrams (a vocabulary-sized relation,
+# not the token stream) → global top-20 of a tiny filtered set.
+
+MIN_COLLOC = 5
+COLLOC_TOP = 20
+
+_COLLOC_TOKS = """
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+"""
+
+COLLOC_ORACLE = f"""
+WITH toks AS ({_COLLOC_TOKS}),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+), n_tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+), bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (SELECT t[s] AS w1, t[s+1] AS w2
+        FROM (SELECT t, UNNEST(generate_series(1, length(t) - 1)) AS s FROM toks))
+  GROUP BY w1, w2
+)
+SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       (CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))
+         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, n_tot
+WHERE c_xy >= {MIN_COLLOC}
+ORDER BY lift DESC, w1, w2
+LIMIT {COLLOC_TOP}
+"""
+
+
+@register("text_collocation_lift", COLLOC_ORACLE)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    t = d.select(toks.alias("t"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bg = (
+        t.select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), s -> struct(t[s-1] AS w1, t[s] AS w2))")
+            ).alias("p")
+        )
+        .where(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .where(F.col("c_xy") >= MIN_COLLOC)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            (
+                (F.col("c_xy").cast("double") * F.col("n").cast("double"))
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(COLLOC_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_weekday_seasonality_index — per-weekday revenue index
+# ---------------------------------------------------------------------------
+# The planogram/staffing table: each weekday's share of purchase
+# revenue as an index where 1,000,000 = a flat week (index_ppm =
+# 1e6 · 7 · dow_rev // total_rev). Weekday from pure epoch-day
+# arithmetic ((days + 3) % 7, Monday=0 — the catalogued engine
+# dow-numbering split never enters), revenue in exact cents, ONE
+# map-combined shuffle into ≤7 groups.
+
+WEEKDAY_IDX_ORACLE = """
+WITH by_dow AS (
+  SELECT CAST((CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS INTEGER) AS dow_mon0,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM by_dow)
+SELECT dow_mon0, rev_cents, total,
+       CAST(1000000 * 7 * rev_cents // total AS BIGINT) AS index_ppm
+FROM by_dow, tot
+ORDER BY dow_mon0
+"""
+
+
+@register("q_weekday_seasonality_index", WEEKDAY_IDX_ORACLE)
+def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    by_dow = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(((days + 3) % 7).cast("int").alias("dow_mon0"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    )
+    tot = by_dow.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "dow_mon0", "rev_cents", "total",
+            "cast(1000000 * 7 * rev_cents div total as bigint) AS index_ppm",
+        )
+        .orderBy("dow_mon0")
+    )
