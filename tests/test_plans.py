@@ -131,6 +131,44 @@ def test_new_vs_returning_no_window_over_raw(spark):
     assert not any("CartesianProduct" in n for n in nodes), nodes
 
 
+def test_bitmap_distinct_mask_aggregates_no_window(spark):
+    """The bitmap tier's point: masks partial-aggregate map-side (two
+    HashAggregate pairs — masks then popcounts), no window anywhere;
+    the only raw-key repartition is the verification column's
+    count(distinct), which the bitmap branch exists to replace."""
+    df = QUERIES["agg_bitmap_distinct"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 4, nodes
+
+
+@pytest.mark.parametrize("key", ["ml_drift_chi2_weekly", "q_weekday_seasonality_index",
+                                 "ml_feature_importance_mi"])
+def test_r10_scalar_broadcast_aggregates_no_window(spark, key):
+    """Drift/weekday/MI: the data-derived scalars (horizon, totals)
+    ride 1-row broadcasts (BroadcastNestedLoopJoin) onto BOUNDED
+    aggregates — no Window node, no sort-merge join, no cartesian."""
+    df = QUERIES[key](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert any("BroadcastNestedLoop" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n or "CartesianProduct" in n for n in nodes), nodes
+
+
+def test_collocation_min_support_below_unigram_joins(spark):
+    """The min-support filter prunes the bigram relation BEFORE the
+    unigram lookups join it (vocabulary grain, not token stream), and
+    the corpus-total scalar broadcasts."""
+    df = QUERIES["text_collocation_lift"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+    # the c_xy >= MIN_COLLOC predicate exists as a filter (pushed into
+    # the aggregate's output, upstream of the joins)
+    assert "c_xy" in plan
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
 def test_tablesample_is_map_only_predicate(spark):
     """The TABLESAMPLE parity entry is a pure map-side hash-threshold
     filter: one scan, no join, no hash shuffle — the only exchange is
