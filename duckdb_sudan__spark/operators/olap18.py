@@ -886,3 +886,106 @@ def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_mon0")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_pr_curve_binned — precision/recall curve over the bounded bin grid
+# ---------------------------------------------------------------------------
+# The threshold-picking table AUC and KS summarize away: for every
+# OBSERVED score bin (≤KS_BINS rows), treat "value >= bin threshold"
+# as the positive prediction and emit exact TP / predicted-positive /
+# precision / recall — all integers, the cumulative-from-the-top
+# window running over the bin aggregate only (the ml_ks_binned rule).
+# A 100 TB scoring run pays one map-combined shuffle into ≤1000 bins.
+
+PR_CURVE_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least({KS_BINS - 1}, floor(value * {KS_BIN_SCALE})) AS INTEGER) AS bin,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS np,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT bin,
+         SUM(np) OVER (ORDER BY bin DESC) AS tp,
+         SUM(nt) OVER (ORDER BY bin DESC) AS pp,
+         SUM(np) OVER () AS p
+  FROM binned
+)
+SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pp,
+       CAST(1000000 * tp // pp AS BIGINT) AS precision_ppm,
+       CAST(1000000 * tp // p AS BIGINT) AS recall_ppm
+FROM cum
+ORDER BY bin
+"""
+
+
+@register("ml_pr_curve_binned", PR_CURVE_ORACLE)
+def ml_pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(KS_BINS - 1), F.floor(F.col("value") * KS_BIN_SCALE)
+    ).cast("int")
+    binned = (
+        e.select((F.col("event_type") == "purchase").alias("pos"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("pos")).cast("bigint").alias("np"),
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        binned.select(
+            "bin",
+            F.sum("np").over(wtop).cast("bigint").alias("tp"),
+            F.sum("nt").over(wtop).cast("bigint").alias("pp"),
+            F.sum("np").over(wall).alias("p"),
+        )
+        .selectExpr(
+            "bin", "tp", "pp",
+            "cast(1000000 * tp div pp as bigint) AS precision_ppm",
+            "cast(1000000 * tp div p as bigint) AS recall_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_brier_score — calibration error as one exact statistic
+# ---------------------------------------------------------------------------
+# Brier = mean (p − y)² with p = the value-derived probability proxy
+# (value·2000 ppm, exact: value has 2 decimals and < 500) and y ∈
+# {0, 1e6} ppm. Per-row squared error ≤ 1e12 fits BIGINT; the SUM
+# accumulates as DECIMAL(38,0) so the statistic is exact at ANY row
+# count (a double Σ would drift with partial-agg order —
+# DETERMINISM.md rule 3). The mean is one double division from two
+# exact integers. One map-combined 1-row aggregate.
+
+BRIER_ORACLE = """
+WITH rows_ AS (
+  SELECT CAST(round(value * 2000) AS BIGINT) AS p_ppm,
+         CAST(event_type = 'purchase' AS BIGINT) * 1000000 AS y_ppm
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST((p_ppm - y_ppm) * (p_ppm - y_ppm) AS DECIMAL(38,0))) AS VARCHAR) AS sum_sq_ppm2,
+       CAST(SUM(CAST((p_ppm - y_ppm) * (p_ppm - y_ppm) AS DECIMAL(38,0))) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS brier
+FROM rows_
+"""
+
+
+@register("ml_brier_score", BRIER_ORACLE)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = F.round(F.col("value") * 2000).cast("bigint")
+    y = (F.col("event_type") == "purchase").cast("bigint") * 1000000
+    sq = ((p - y) * (p - y)).cast("decimal(38,0)")
+    return e.select(sq.alias("sq")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq").cast("string").alias("sum_sq_ppm2"),
+        (
+            F.sum("sq").cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
+        ).alias("brier"),
+    )

@@ -797,3 +797,133 @@ def zorder_write(spark: SparkSession, sf_dir: str, path: str, n_files: int = 8) 
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# files_snapshot_time_travel — manifest-based snapshots without the jars
+# ---------------------------------------------------------------------------
+# The Iceberg/Delta time-travel model reduced to its primitive: data
+# files are immutable; a SNAPSHOT is a manifest (list of file paths);
+# commits append/remove files by writing a NEW manifest. Staged here
+# as three immutable parquet files + two JSON manifests:
+#   file A: doc_id % 4 != 3 AND doc_id % 10 != 0   (stable base)
+#   file B: doc_id % 4 != 3 AND doc_id % 10 == 0   (deleted in v2)
+#   file C: doc_id % 4 == 3                        (appended in v2)
+#   manifest v1 = [A, B]; manifest v2 = [A, C]
+# so v2 is NOT a superset of v1 — real snapshot semantics (append +
+# delete), and reading version N is spark.read.parquet(*manifest[N]):
+# partition pruning, column pruning, and pushdown all still apply
+# because time travel only changes the FILE LIST. The env-gated
+# Delta/Iceberg MERGE leg (this container lacks the jars) composes
+# with exactly this read path. Reference parity: the reference's TTL
+# cache serves point-in-time provider responses (cache.hpp:10-38);
+# this is the table-grain version of the same ask.
+
+SNAPSHOT_ORACLE = f"""
+SELECT version, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM (
+  SELECT 1 AS version, * FROM documents WHERE doc_id % 4 <> 3
+  UNION ALL
+  SELECT 2 AS version, * FROM documents
+  WHERE doc_id % 4 = 3 OR (doc_id % 4 <> 3 AND doc_id % 10 <> 0)
+)
+GROUP BY version, lang
+ORDER BY version, lang
+"""
+
+_SNAP_ROOT = "/root/repo/tmp/snapshots"
+
+
+def _snapshot_write(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the immutable files + JSON manifests (atomic staging +
+    fingerprint marker, the _schema_evo_write discipline)."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    sf_base = sf_cache_key(sf_dir)
+    _prune_stale_siblings(_SNAP_ROOT, sf_base)
+    final = os.path.join(_SNAP_ROOT, sf_base)
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
+    marker = os.path.join(final, "_snap_ok")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    not3 = F.col("doc_id") % 4 != 3
+    staging = f"{final}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    parts = {
+        "A": d.where(not3 & (F.col("doc_id") % 10 != 0)),
+        "B": d.where(not3 & (F.col("doc_id") % 10 == 0)),
+        "C": d.where(~not3),
+    }
+    for name, df in parts.items():
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, f"file_{name}"))
+    manifests = {"1": ["file_A", "file_B"], "2": ["file_A", "file_C"]}
+    for v, files in manifests.items():
+        with open(os.path.join(staging, f"manifest_v{v}.json"), "w") as fh:
+            json.dump({"version": int(v), "files": files}, fh)
+    with open(os.path.join(staging, "_snap_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
+def read_snapshot(spark: SparkSession, table_root: str, version: int):
+    """Time-travel read: resolve the manifest, read exactly its file
+    list. The whole mechanism — the rest is ordinary parquet."""
+    import json
+    import os
+
+    with open(os.path.join(table_root, f"manifest_v{version}.json")) as fh:
+        m = json.load(fh)
+    return spark.read.parquet(*(os.path.join(table_root, f) for f in m["files"]))
+
+
+def _register_snapshots() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+
+    @register("files_snapshot_time_travel", SNAPSHOT_ORACLE)
+    def files_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Read BOTH snapshots through their manifests and aggregate
+        per (version, lang) — proving v1 still serves the deleted
+        file B after v2's commit (snapshot isolation) and v2 serves
+        the append minus the delete. Matches the oracle's predicate
+        reconstruction of each snapshot's contents exactly."""
+        root = _snapshot_write(spark, sf_dir)
+        out = None
+        for v in (1, 2):
+            agg = (
+                read_snapshot(spark, root, v)
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("n_chars").cast("bigint").alias("total_chars"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc"),
+                )
+                .select(F.lit(v).alias("version"), "lang", "n_rows",
+                        "total_chars", "min_doc", "max_doc")
+            )
+            out = agg if out is None else out.unionByName(agg)
+        return out.orderBy("version", "lang")
+
+
+_register_snapshots()

@@ -1021,3 +1021,33 @@ def test_gaps_fn_drops_late_cross_batch_arrival():
     assert [int(g) for g in out2["gap_us"]] == [30 * 60 * 1000000], out2
     assert st.get[0] == pd.Timestamp("2024-01-01 11:00:00").value // 1000
     assert st.get[1] == 4
+
+
+def test_snapshot_time_travel_isolation(spark):
+    """Snapshot semantics: v1 still serves file B's rows AFTER v2's
+    commit removed it (snapshot isolation), v2 serves the append minus
+    the delete, and the shared file A is read by BOTH manifests
+    without data copying (one physical file on disk)."""
+    import json
+    import os
+
+    from duckdb_sudan__spark import operators  # noqa: F401
+    from duckdb_sudan__spark.sources.files import (
+        _snapshot_write,
+        read_snapshot,
+    )
+
+    operators.load_all()
+    root = _snapshot_write(spark, SF_DIR)
+    v1 = read_snapshot(spark, root, 1)
+    v2 = read_snapshot(spark, root, 2)
+    # deleted-in-v2 rows (doc_id%4!=3 and %10==0) visible only in v1
+    delpred = "doc_id % 4 != 3 AND doc_id % 10 = 0"
+    assert v1.where(delpred).count() > 0
+    assert v2.where(delpred).count() == 0
+    # appended-in-v2 rows (doc_id%4==3) visible only in v2
+    assert v1.where("doc_id % 4 = 3").count() == 0
+    assert v2.where("doc_id % 4 = 3").count() > 0
+    # both manifests reference the SAME file_A path — no data copy
+    ms = [json.load(open(os.path.join(root, f"manifest_v{v}.json"))) for v in (1, 2)]
+    assert "file_A" in ms[0]["files"] and "file_A" in ms[1]["files"]
