@@ -470,9 +470,14 @@ ORDER BY p.event_type
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     masks = (
+        # integer div, not /63-in-DOUBLE: the double quotient rounds
+        # past 2^53 and truncates (vs DuckDB's floor //) on negatives;
+        # exact for the whole non-negative int64 key domain (r10
+        # review). Key domain is non-negative by contract (bit = id
+        # mod 63 must be >= 0).
         e.groupBy(
             "event_type",
-            (F.col("user_id") / 63).cast("bigint").alias("bucket"),
+            F.expr("user_id div 63").alias("bucket"),
         )
         .agg(
             # SQL form: F.shiftleft's numBits param is Python-int-only
@@ -512,7 +517,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grain), then a per-lang rollup of doc counts and the exact
 # sum-of-ppms for a mean. Unlike corpus_vocab_growth (corpus-level
 # vocab curve), this is the per-document diversity screen that flags
-# keyword-stuffed/templated docs individually.
+# keyword-stuffed/templated docs individually. Tokenization splits on
+# the literal space (the repo's oracled-tokenizer convention): regex
+# \s classes differ between Java and RE2 (\x0B is Java-\s but not
+# RE2-\s), so a \s+ split is NOT a cross-engine contract (r10 review).
 
 TTR_ORACLE = """
 WITH per_doc AS (
@@ -522,7 +530,7 @@ WITH per_doc AS (
          1000000 * len(list_distinct(toks)) // greatest(len(toks), 1) AS ttr_ppm
   FROM (
     SELECT lang, doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
     FROM documents
   )
 )
@@ -541,7 +549,7 @@ ORDER BY lang
 @register("text_ttr_lexical_diversity", TTR_ORACLE)
 def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     per_doc = d.select(
         "lang",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -774,8 +782,9 @@ def ml_feature_importance_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_COLLOC = 5
 COLLOC_TOP = 20
 
+# literal-space tokenization (the \s-class cross-engine rule, see TTR)
 _COLLOC_TOKS = """
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
   FROM documents
 """
 
@@ -805,7 +814,7 @@ LIMIT {COLLOC_TOP}
 @register("text_collocation_lift", COLLOC_ORACLE)
 def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     t = d.select(toks.alias("t"))
     uni = (
         t.select(F.explode("t").alias("w"))
@@ -814,7 +823,12 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
     bg = (
-        t.select(
+        # docs with < 2 tokens are filtered BEFORE the sequence —
+        # Spark's sequence(1, 0) counts DOWN and t[s] would index out
+        # of bounds under ANSI, while DuckDB's generate_series(1, 0)
+        # is empty (DETERMINISM.md rule 18; r10 review)
+        t.where(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.expr("transform(sequence(1, size(t) - 1), s -> struct(t[s-1] AS w1, t[s] AS w2))")
             ).alias("p")
@@ -860,7 +874,7 @@ WITH by_dow AS (
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ), tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM by_dow)
 SELECT dow_mon0, rev_cents, total,
-       CAST(1000000 * 7 * rev_cents // total AS BIGINT) AS index_ppm
+       CAST(1000000 * 7 * rev_cents // NULLIF(total, 0) AS BIGINT) AS index_ppm
 FROM by_dow, tot
 ORDER BY dow_mon0
 """
@@ -882,7 +896,7 @@ def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_dow.crossJoin(F.broadcast(tot))
         .selectExpr(
             "dow_mon0", "rev_cents", "total",
-            "cast(1000000 * 7 * rev_cents div total as bigint) AS index_ppm",
+            "cast(1000000 * 7 * rev_cents div nullif(total, 0) as bigint) AS index_ppm",
         )
         .orderBy("dow_mon0")
     )
@@ -913,7 +927,7 @@ WITH binned AS (
 )
 SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pp,
        CAST(1000000 * tp // pp AS BIGINT) AS precision_ppm,
-       CAST(1000000 * tp // p AS BIGINT) AS recall_ppm
+       CAST(1000000 * tp // NULLIF(p, 0) AS BIGINT) AS recall_ppm
 FROM cum
 ORDER BY bin
 """
@@ -945,7 +959,9 @@ def ml_pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "bin", "tp", "pp",
             "cast(1000000 * tp div pp as bigint) AS precision_ppm",
-            "cast(1000000 * tp div p as bigint) AS recall_ppm",
+            # nullif: zero positives must yield NULL (as DuckDB's //
+            # does), not an ANSI DIVIDE_BY_ZERO (r10 review)
+            "cast(1000000 * tp div nullif(p, 0) as bigint) AS recall_ppm",
         )
         .orderBy("bin")
     )

@@ -150,7 +150,9 @@ def bitmap_distinct_stream(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(
             F.window("ts", "1 hour").alias("win"),
             F.col("event_type"),
-            (F.col("user_id") / 63).cast("bigint").alias("bucket"),
+            # integer div (not double /63): exact over the whole
+            # non-negative int64 key domain — matches the batch twin
+            F.expr("user_id div 63").alias("bucket"),
         )
         .agg(
             F.bit_or(
@@ -367,9 +369,11 @@ def _gaps_fn(key, pdf_iter, state):
     pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"], kind="stable")
     out = []
     for t_us, eid in zip(pdf["_us"], pdf["event_id"]):
-        if has_prev and (int(t_us), int(eid)) < (int(last_us), int(last_eid)):
-            # late cross-batch arrival: its true predecessor left the
-            # O(1) state — drop explicitly (see docstring contract)
+        if has_prev and (int(t_us), int(eid)) <= (int(last_us), int(last_eid)):
+            # late OR re-delivered cross-batch arrival: <= also drops
+            # an at-least-once replay of the exact last event, which
+            # would otherwise emit a spurious gap_us=0 duplicate
+            # (r10 review) — see docstring contract
             continue
         if has_prev:
             out.append(

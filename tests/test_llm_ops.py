@@ -1264,3 +1264,39 @@ def test_mm_dedup_phash_real_matches_local_reference(spark):
     assert got, "fixture planted near-dups but none were found"
     for a, b, _ in got:  # pairs only within a planted group
         assert a // PPM_DEDUP_GROUP == b // PPM_DEDUP_GROUP, (a, b)
+
+
+def test_collocation_lift_short_doc_guard(spark, tmp_path):
+    """A corpus containing empty and single-token documents must not
+    crash the bigram explode (Spark sequence(1, 0) counts DOWN and
+    t[s] would index out of bounds under ANSI — DETERMINISM.md rule
+    18; the r10 review reproduced the crash before the size >= 2
+    guard landed)."""
+    import duckdb
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    con = duckdb.connect()
+    # 6 copies of a two-token doc (c_xy >= MIN_COLLOC), one single-token
+    # doc, one empty doc — the latter two exercise the guard
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1::BIGINT, 'alpha beta', 'en', 'web', 10::BIGINT),
+            (2::BIGINT, 'alpha beta', 'en', 'web', 10::BIGINT),
+            (3::BIGINT, 'alpha beta', 'en', 'web', 10::BIGINT),
+            (4::BIGINT, 'alpha beta', 'en', 'web', 10::BIGINT),
+            (5::BIGINT, 'alpha beta', 'en', 'web', 10::BIGINT),
+            (6::BIGINT, 'alpha beta', 'en', 'web', 10::BIGINT),
+            (7::BIGINT, 'solo', 'en', 'web', 4::BIGINT),
+            (8::BIGINT, '', 'en', 'web', 0::BIGINT)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{tmp_path}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+    rows = QUERIES["text_collocation_lift"](spark, str(tmp_path)).collect()
+    assert [(r.w1, r.w2, r.c_xy) for r in rows] == [("alpha", "beta", 6)]

@@ -1021,6 +1021,11 @@ def test_gaps_fn_drops_late_cross_batch_arrival():
     assert [int(g) for g in out2["gap_us"]] == [30 * 60 * 1000000], out2
     assert st.get[0] == pd.Timestamp("2024-01-01 11:00:00").value // 1000
     assert st.get[1] == 4
+    # batch 3: at-least-once RE-DELIVERY of the exact last event must
+    # also drop (<=, not <) — no spurious gap_us=0 duplicate row
+    got3 = list(_gaps_fn(key, iter([batch([(4, "2024-01-01 11:00:00")])]), st))
+    assert got3 == [], got3
+    assert st.get[1] == 4  # state unchanged
 
 
 def test_snapshot_time_travel_isolation(spark):

@@ -84,6 +84,28 @@ OPS = [
 RECALL_TIERS = ["ann_lsh_cosine", "ann_ivf_cosine", "ann_pq_adc", "ann_ivfpq"]
 
 
+# bump when build_big_corpus's SCHEMA or content recipe changes — a
+# stale gitignored tmp/sf1.6x from an older recipe must rebuild, not
+# silently serve (r10 review: the r10 `source` column addition would
+# have been invisible behind a bare existence check)
+_CORPUS_RECIPE = "v2:with-source"
+
+
+def _corpus_fingerprint() -> str:
+    return (
+        f"{_CORPUS_RECIPE}:{os.path.getmtime(os.path.join(BASE, 'documents.parquet'))}"
+        f":{os.path.getmtime(os.path.join(BASE, 'embeddings.parquet'))}"
+    )
+
+
+def big_corpus_current() -> bool:
+    marker = os.path.join(BIG, "_big_ok")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        return fh.read().strip() == _corpus_fingerprint()
+
+
 def build_big_corpus() -> None:
     import duckdb
 
@@ -105,6 +127,8 @@ def build_big_corpus() -> None:
            (SELECT UNNEST(range({COPIES})) AS i) c
     ) TO '{BIG}/embeddings.parquet' (FORMAT parquet, ROW_GROUP_SIZE 2000)
     """)
+    with open(os.path.join(BIG, "_big_ok"), "w") as fh:
+        fh.write(_corpus_fingerprint())
 
 
 def main() -> None:
@@ -113,7 +137,7 @@ def main() -> None:
     from duckdb_sudan__spark.session import get_spark
 
     operators.load_all()
-    if not os.path.exists(os.path.join(BIG, "documents.parquet")):
+    if not big_corpus_current():
         build_big_corpus()
 
     spark = get_spark("scaling_report")
@@ -140,19 +164,25 @@ def main() -> None:
         rows.append((key, t1, t16, t16 / t1))
 
     # ANN recall at both scales: top-k agreement with the exact tier
-    # (these rows collect the N_QUERIES×k result relations — small)
-    def topk_recall(key: str, sf: str) -> float:
-        exact = {
+    # (these rows collect the N_QUERIES×k result relations — small).
+    # The exact tier is computed ONCE per scale, not once per tier
+    # (r10 review: it's the most expensive ANN query in the set).
+    def exact_pairs(sf: str) -> set:
+        return {
             (r.query_id, r.neighbor_id)
             for r in QUERIES["ann_topk_cosine"](spark, sf).collect()
         }
+
+    def topk_recall(key: str, sf: str, exact: set) -> float:
         appr = {
             (r.query_id, r.neighbor_id) for r in QUERIES[key](spark, sf).collect()
         }
         return len(exact & appr) / max(len(exact), 1)
 
+    exact1, exact16 = exact_pairs(BASE), exact_pairs(BIG)
     recall_rows = [
-        (key, topk_recall(key, BASE), topk_recall(key, BIG)) for key in RECALL_TIERS
+        (key, topk_recall(key, BASE, exact1), topk_recall(key, BIG, exact16))
+        for key in RECALL_TIERS
     ]
 
     # LSH falsifiability: count the exact relations the minhash query
