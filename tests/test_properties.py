@@ -585,3 +585,32 @@ def test_ivfpq_recall_vs_ivf_and_exact_rerank_values(spark):
     assert len(hits) / len(ivf) >= 0.9, len(hits) / len(ivf)
     for k in hits:
         assert ivf[k] == ivfpq[k], k
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=300, unique=True),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_md5_prefix_slice_rank_equals_single_window_rank(doc_ids, prefix_len):
+    """The FORMULA behind the r10 cache-free sample_exact_stratified:
+    rank-by-(md5, id) computed as (count in strictly-smaller hash-
+    prefix slices) + (local rank within the slice) must equal the
+    single-window global rank, for ANY prefix length — because a
+    fixed-width lowercase-hex prefix orders exactly like the full
+    hash. Pure Python; independent of either engine."""
+    import hashlib
+
+    rows = [(hashlib.md5(str(i).encode()).hexdigest(), i) for i in doc_ids]
+    global_rank = {r: k + 1 for k, r in enumerate(sorted(rows))}
+    slices = {}
+    for h, i in rows:
+        slices.setdefault(h[:prefix_len], []).append((h, i))
+    # offset = total count in strictly-smaller slices (prefix order)
+    off, offsets = 0, {}
+    for s in sorted(slices):
+        offsets[s] = off
+        off += len(slices[s])
+    for s, members in slices.items():
+        for local_rank, r in enumerate(sorted(members), start=1):
+            assert offsets[s] + local_rank == global_rank[r], (s, r)

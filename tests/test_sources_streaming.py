@@ -1056,3 +1056,49 @@ def test_snapshot_time_travel_isolation(spark):
     # both manifests reference the SAME file_A path — no data copy
     ms = [json.load(open(os.path.join(root, f"manifest_v{v}.json"))) for v in (1, 2)]
     assert "file_A" in ms[0]["files"] and "file_A" in ms[1]["files"]
+
+
+def test_new_ret_fn_drops_late_and_duplicate_days():
+    """_new_ret_fn's cross-batch contract, driven directly: a later
+    batch re-delivering an already-emitted day (or carrying an
+    EARLIER day) is dropped via the high-water mark; the first-ever
+    day is the only is_new=true emission; state never regresses."""
+    import pandas as pd
+
+    from duckdb_sudan__spark.streaming.events import _new_ret_fn
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(tss):
+        return pd.DataFrame({"ts": pd.to_datetime(tss)})
+
+    st_ = FakeState()
+    key = (9,)
+    out1 = list(_new_ret_fn(key, iter([batch(
+        ["2024-01-02 08:00:00", "2024-01-02 09:00:00", "2024-01-03 10:00:00"]
+    )]), st_))[0]
+    assert [(str(d.date()), bool(n)) for d, n in zip(out1["day"], out1["is_new"])] == [
+        ("2024-01-02", True), ("2024-01-03", False)
+    ]
+    # batch 2: duplicate day 03 (re-delivery) + LATE day 01 → both drop;
+    # new day 04 emits returning
+    got2 = list(_new_ret_fn(key, iter([batch(
+        ["2024-01-03 23:00:00", "2024-01-01 05:00:00", "2024-01-04 01:00:00"]
+    )]), st_))
+    out2 = got2[0]
+    assert [(str(d.date()), bool(n)) for d, n in zip(out2["day"], out2["is_new"])] == [
+        ("2024-01-04", False)
+    ]
+    first_us, last_us = st_.get
+    assert first_us == pd.Timestamp("2024-01-02").value // 1000
+    assert last_us == pd.Timestamp("2024-01-04").value // 1000
