@@ -197,7 +197,7 @@ _WINDOW_PRIORITY = [
     "stats_moments",
 ]
 
-# r11 window priority, computed at r10: FIRST the 18 oracled entries
+# r11 window priority, computed at r10: FIRST the 21 oracled entries
 # added in r10 (each dual-SF dual-mode verified on registration,
 # never driver-checked):
 #   q1_pricing_decimal, sample_tablesample, ml_confusion_matrix,
@@ -206,13 +206,15 @@ _WINDOW_PRIORITY = [
 #   text_ttr_lexical_diversity, ev_markov_prediction_accuracy,
 #   ml_drift_chi2_weekly, ml_feature_importance_mi,
 #   text_collocation_lift, q_weekday_seasonality_index,
-#   ml_pr_curve_binned, ml_brier_score, files_snapshot_time_travel
+#   ml_pr_curve_binned, ml_brier_score, files_snapshot_time_travel,
+#   q_order_size_distribution, q_discount_qty_elasticity,
+#   ev_peak_hour_by_type
 # then the 11 r5-checked rows left over from the r10 window —
 #   str_funcs, sudan_ds_worldbank, text_fingerprint, text_langid,
 #   text_normalize, text_quality, text_repetition, text_tokens,
 #   text_vocab_topk, ts_gapfill_days, w3_window_frames
 # — then the oldest remaining class (the r6-checked rows,
-# alphabetically) fills the remaining 21 slots.
+# alphabetically) fills the remaining 18 slots.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

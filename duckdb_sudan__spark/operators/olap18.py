@@ -1005,3 +1005,130 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
         ).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_order_size_distribution — basket-size histogram
+# ---------------------------------------------------------------------------
+# The order-profile table (pricing, packing, fraud baselines): how
+# many orders have k line items. Two distributive aggregates — one
+# shuffle on the natural orderkey, then a map-combined shuffle into
+# ≤|max basket| groups — shares in exact ppm. No window anywhere.
+
+ORDER_SIZE_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS order_size
+  FROM lineitem GROUP BY l_orderkey
+), hist AS (
+  SELECT order_size, CAST(COUNT(*) AS BIGINT) AS n_orders FROM sizes GROUP BY order_size
+), tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM hist)
+SELECT order_size, n_orders,
+       CAST(1000000 * n_orders // NULLIF(total, 0) AS BIGINT) AS share_ppm
+FROM hist, tot
+ORDER BY order_size
+"""
+
+
+@register("q_order_size_distribution", ORDER_SIZE_ORACLE)
+def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    sizes = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_size")
+    )
+    hist = sizes.groupBy("order_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    tot = hist.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "order_size", "n_orders",
+            "cast(1000000 * n_orders div nullif(total, 0) as bigint) AS share_ppm",
+        )
+        .orderBy("order_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_discount_qty_elasticity — demand response per discount band
+# ---------------------------------------------------------------------------
+# Does a deeper discount move more units? Per integer discount band
+# (cents — l_discount has 2 decimals, so the band key is exact):
+# line count, exact quantity sum, and mean quantity in integer
+# milli-units (1000·Σq // n — quantities are integral doubles, so the
+# milli mean is exact). ≤11 bands: the cheapest possible shuffle.
+
+DISCOUNT_ELASTICITY_ORACLE = """
+SELECT CAST(round(l_discount * 100) AS INTEGER) AS discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(1000 * SUM(CAST(round(l_quantity) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_qty_milli
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q_discount_qty_elasticity", DISCOUNT_ELASTICITY_ORACLE)
+def q_discount_qty_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.expr(
+                "cast(1000 * sum(cast(round(l_quantity) as bigint)) div count(*) as bigint)"
+            ).alias("mean_qty_milli"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_peak_hour_by_type — busiest hour per event type
+# ---------------------------------------------------------------------------
+# The capacity-planning readout: each type's peak hour-of-day with its
+# count and share. Argmax via rank over the ≤types×24 aggregate (total
+# order: count DESC, hour ASC), shares in exact ppm — one map-combined
+# fact shuffle into ≤120 groups, windows on the tiny grid only.
+
+PEAK_HOUR_ORACLE = """
+WITH by_hour AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, hr, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rn
+  FROM by_hour
+)
+SELECT event_type, hr AS peak_hour, n AS peak_count,
+       CAST(1000000 * n // NULLIF(total, 0) AS BIGINT) AS peak_share_ppm
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("ev_peak_hour_by_type", PEAK_HOUR_ORACLE)
+def ev_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    by_hour = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wtot = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n"), "hr")
+    return (
+        by_hour.select(
+            "event_type", "hr", "n",
+            F.sum("n").over(wtot).cast("bigint").alias("total"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            "event_type", "hr AS peak_hour", "n AS peak_count",
+            "cast(1000000 * n div nullif(total, 0) as bigint) AS peak_share_ppm",
+        )
+        .orderBy("event_type")
+    )
