@@ -167,54 +167,58 @@ def _sudan_oracles() -> dict[str, str]:
 #   unpivot_nation_counts, w1_window_rank, w2_window_running,
 #   w4_value_windows
 _WINDOW_PRIORITY = [
-    # ================= r10 window (the committed r9-close plan) ========
-    # -- 1-11: the 11 oracled entries added in the r9 waves AFTER the
-    #          slack slots filled (dual-SF dual-mode verified locally on
-    #          registration, never driver-checked) ---------------------
-    "ev_attribution_time_decay", "q_churn_inactive_customers",
-    "q_orders_backlog_aging", "agg_array_agg_sorted",
-    "ts_rolling_corr_pairs", "ml_auc_exact", "ml_temporal_split",
-    "ml_class_weights", "q_nation_trade_balance", "ev_entry_exit_matrix",
-    "ev_bot_users_heuristic",
-    # -- 12-50: the longest-unchecked rotation. With the r4 debt closed
-    #           by CORRECTNESS_r09, the oldest class is the 50 rows whose
-    #           latest driver check is r5 (computed from
-    #           CORRECTNESS_r01..r09 at r10 open); the 39
-    #           alphabetically-first fill the window, the remaining 11
-    #           (str_funcs .. w3_window_frames) roll to r11 -------------
-    "agg_topk_orders", "ann_range_search", "ann_topk_cosine",
-    "array_funcs", "corpus_length_histogram", "dataset_token_budget",
-    "decontaminate_ngram_overlap", "dedup_components", "dedup_embedding",
-    "dedup_exact", "dedup_ngram_jaccard", "dt_funcs", "emb_centroids",
-    "ev_asof_join", "ev_json_props", "ev_range_join", "ev_sessionize",
-    "ev_tumbling", "grouping_sets_sales", "list_sort_lambda",
-    "merge_upsert", "pack_sequences", "pipeline_clean_corpus",
-    "pipeline_training_mix", "q11_important_parts", "q12_late_lines",
-    "q13_cust_distribution", "q15_top_supplier", "q22_global_sales",
-    "q2_min_cost_supp", "q5_local_supplier", "q6_forecast_revenue",
-    "q8_market_share", "q9_product_profit", "sample_hash_stratified",
-    "series_calendar", "setops_multiset", "skew_salted_join",
-    "stats_moments",
+    # ================= r11 window (the committed r10-close plan, with
+    # the r10 verdict's one amendment applied) ===========================
+    # -- 1: agg_array_agg_sorted, the sole ERR row of CORRECTNESS_r10
+    #       (driver's pandas canonicalizer can't hash ARRAY cells). The
+    #       entry now serializes both arrays to comma-joined strings on
+    #       both sides (olap17.py, the agg_histogram convention); the
+    #       verdict puts it at slot 1 ahead of the committed list so the
+    #       fix lands a green driver row this round ----------------------
+    "agg_array_agg_sorted",
+    # -- 2-22: the 21 oracled entries added in r10 (each dual-SF
+    #          dual-mode verified on registration, never driver-checked) -
+    "q1_pricing_decimal", "sample_tablesample", "ml_confusion_matrix",
+    "ml_calibration_bins", "ml_ks_binned", "ev_new_vs_returning",
+    "ts_autocorr_daily", "text_lang_confusion", "agg_bitmap_distinct",
+    "text_ttr_lexical_diversity", "ev_markov_prediction_accuracy",
+    "ml_drift_chi2_weekly", "ml_feature_importance_mi",
+    "text_collocation_lift", "q_weekday_seasonality_index",
+    "ml_pr_curve_binned", "ml_brier_score", "files_snapshot_time_travel",
+    "q_order_size_distribution", "q_discount_qty_elasticity",
+    "ev_peak_hour_by_type",
+    # -- 23-33: the 11 r5-checked rows left over from the r10 window ----
+    "str_funcs", "sudan_ds_worldbank", "text_fingerprint", "text_langid",
+    "text_normalize", "text_quality", "text_repetition", "text_tokens",
+    "text_vocab_topk", "ts_gapfill_days", "w3_window_frames",
+    # -- 34-50: the oldest remaining class — the 50 rows whose latest
+    #           driver check is r6 (computed from CORRECTNESS_r01..r10 at
+    #           r11 open); the 17 alphabetically-first fill the window,
+    #           the remaining 33 roll to r12 ----------------------------
+    "agg_filter_clause", "agg_gini_diversity", "agg_histogram",
+    "agg_mode_quantile", "agg_quantile_multi", "agg_regression",
+    "agg_width_bucket_hist", "bm25_rank", "dataset_shard_assign",
+    "decontaminate_substring", "dedup_doc_prefix", "emb_knn_graph",
+    "emb_quantize_int8", "ev_asof_forward", "ev_asof_nearest",
+    "ev_funnel_windowed", "ev_rfm_scores",
 ]
 
-# r11 window priority, computed at r10: FIRST the 21 oracled entries
-# added in r10 (each dual-SF dual-mode verified on registration,
-# never driver-checked):
-#   q1_pricing_decimal, sample_tablesample, ml_confusion_matrix,
-#   ml_calibration_bins, ml_ks_binned, ev_new_vs_returning,
-#   ts_autocorr_daily, text_lang_confusion, agg_bitmap_distinct,
-#   text_ttr_lexical_diversity, ev_markov_prediction_accuracy,
-#   ml_drift_chi2_weekly, ml_feature_importance_mi,
-#   text_collocation_lift, q_weekday_seasonality_index,
-#   ml_pr_curve_binned, ml_brier_score, files_snapshot_time_travel,
-#   q_order_size_distribution, q_discount_qty_elasticity,
-#   ev_peak_hour_by_type
-# then the 11 r5-checked rows left over from the r10 window —
-#   str_funcs, sudan_ds_worldbank, text_fingerprint, text_langid,
-#   text_normalize, text_quality, text_repetition, text_tokens,
-#   text_vocab_topk, ts_gapfill_days, w3_window_frames
-# — then the oldest remaining class (the r6-checked rows,
-# alphabetically) fills the remaining 18 slots.
+# r12 window priority, computed at r11: FIRST any oracled entries added
+# in r11 (dual-SF dual-mode verified on registration, never
+# driver-checked), THEN the 33 r6-checked rows left over from the r11
+# window, alphabetically —
+#   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
+#   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
+#   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,
+#   mm_manifest_stats, ngram_lm_counts, pipeline_chunk_index,
+#   pipeline_dedup_cascade, sample_temperature_mix, setops_by_name,
+#   sketch_heavy_hitters, str_distance, str_regex_extract_all,
+#   str_try_parse, sudan_wb_pivot, summarize_stats, text_chunk_overlap,
+#   text_ngram_novelty, text_pii_scrub, tfidf_topk, ts_time_bucket,
+#   win_distribution, win_exclude_current, win_ignore_nulls,
+#   win_rolling_regression, win_running_distinct, win_time_range_sliding
+# — then the oldest remaining class (r7-checked rows, alphabetically)
+# fills any remaining slots.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -756,12 +756,18 @@ def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list(x ORDER BY x) ≡ Spark sort_array(collect_list(x)) — groups are
 # DIM-SIZED (suppliers per nation), so the collect buffer is bounded
 # by the dimension, not the fact table.
+#
+# r11: the arrays are serialized to canonical comma-joined strings on
+# BOTH sides (agg_histogram's 'v:c' convention) — the DRIVER's pandas
+# canonicalizer sort_values() dies on unhashable list cells, so a
+# driver-hashable entry must emit scalars. Element order inside the
+# string is the sorted order, so the serialization is deterministic.
 
 ARRAY_AGG_ORACLE = """
 SELECT s_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-       list(s_suppkey ORDER BY s_suppkey) AS suppkeys,
-       list(CAST(round(s_acctbal * 100) AS BIGINT) ORDER BY round(s_acctbal * 100), s_suppkey) AS balances_cents
+       array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppkeys,
+       array_to_string(list(CAST(round(s_acctbal * 100) AS BIGINT) ORDER BY round(s_acctbal * 100), s_suppkey), ',') AS balances_cents
 FROM supplier
 GROUP BY s_nationkey ORDER BY s_nationkey
 """
@@ -771,12 +777,15 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 def agg_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     cents = F.round(F.col("s_acctbal") * 100).cast("bigint")
+    as_csv = lambda col: F.array_join(  # noqa: E731 — shared serializer
+        F.transform(F.sort_array(F.collect_list(col)), lambda x: x.cast("string")), ","
+    )
     return (
         s.groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
-            F.sort_array(F.collect_list(cents)).alias("balances_cents"),
+            as_csv(F.col("s_suppkey")).alias("suppkeys"),
+            as_csv(cents).alias("balances_cents"),
         )
         .orderBy("s_nationkey")
     )
