@@ -260,7 +260,11 @@ def _external_busy_sec(
     """CPU seconds consumed between the snapshots by processes outside
     this process's subtree. New pids count in full; pids that exited
     mid-block drop out (a lower bound — sustained background load, the
-    class that poisoned BENCH_r09, cannot hide from it)."""
+    class that poisoned BENCH_r09, cannot hide from it). Parent links
+    are the UNION of both snapshots: a descendant whose intermediate
+    parent exits mid-block is re-parented to pid 1 in the after
+    snapshot, and after-only links would misclassify its whole CPU
+    delta as external (spuriously tripping the hot-block retry)."""
     me = os.getpid()
 
     def in_tree(pid: int) -> bool:
@@ -269,7 +273,12 @@ def _external_busy_sec(
             if pid == me:
                 return True
             seen.add(pid)
-            pid = after.get(pid, (0, 0))[0]
+            # after's link first (current truth), before's as fallback —
+            # covers the exited-intermediate-parent re-parenting case
+            nxt = after.get(pid, (0, 0))[0]
+            if nxt <= 1:
+                nxt = before.get(pid, (nxt, 0))[0]
+            pid = nxt
         return pid == me
 
     hz = os.sysconf("SC_CLK_TCK") or 100
@@ -346,15 +355,47 @@ def run_block(spark, keys: list[str], sf_dir: str) -> dict:
     return best
 
 
+# Quiet-box gate (r10 verdict item 3): BENCH_r09 and BENCH_r10 were both
+# captured on recently-hammered boxes (loadavg 3-6 at start) and
+# understated the engine by ~30% vs the cold-box A/B in BENCH_NOTES.md.
+# Cooldown-and-retry until the 1-min loadavg drops below the gate, with
+# a bounded total wait so a driver run can never hang; the final loadavg
+# ships in the JSON either way so a hot capture is always visible.
+LOADAVG_GATE = 1.0
+LOADAVG_POLL_SEC = 20
+LOADAVG_MAX_WAIT_SEC = 900
+
+
+def _await_quiet_box() -> tuple[list[float], dict]:
+    """Poll loadavg[0] until it is under LOADAVG_GATE or the wait budget
+    runs out. Returns (final loadavg triple, gate report for the JSON).
+    Disable with SPARK_GRAFT_LOADGATE=0 (local smoke loops)."""
+    try:
+        initial = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        return [], {"enabled": False, "reason": "no getloadavg"}
+    if os.environ.get("SPARK_GRAFT_LOADGATE", "1") == "0":
+        return initial, {"enabled": False, "initial": initial}
+    waited = 0.0
+    load = list(initial)
+    while load and load[0] >= LOADAVG_GATE and waited < LOADAVG_MAX_WAIT_SEC:
+        time.sleep(LOADAVG_POLL_SEC)
+        waited += LOADAVG_POLL_SEC
+        load = [round(x, 2) for x in os.getloadavg()]
+    return load, {
+        "enabled": True,
+        "initial": initial,
+        "waited_sec": round(waited, 1),
+        "satisfied": bool(load and load[0] < LOADAVG_GATE),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # pre-Spark loadavg: nothing of ours is running yet, so this is the
     # unambiguous external-load state of the box at bench start
-    try:
-        load_at_start = [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # pragma: no cover
-        load_at_start = []
+    load_at_start, load_gate = _await_quiet_box()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     staged_dir, max_partition_bytes = stage_multi_rowgroup(sf_dir)
@@ -394,6 +435,7 @@ def main() -> None:
         # machine-load proxy (r9 verdict item 2): loadavg before any of
         # our work started, plus per-block external CPU (see run_block)
         "loadavg_at_start": load_at_start,
+        "loadavg_gate": load_gate,
         "ncpus": ncpus,
         "external_cpu_sec": block["external_cpu_sec"],
         "block_wall_sec": block["block_wall_sec"],
