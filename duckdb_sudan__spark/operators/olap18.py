@@ -474,7 +474,12 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past 2^53 and truncates (vs DuckDB's floor //) on negatives;
         # exact for the whole non-negative int64 key domain (r10
         # review). Key domain is non-negative by contract (bit = id
-        # mod 63 must be >= 0).
+        # mod 63 must be >= 0): DuckDB floor-// and Spark truncating
+        # div DIVERGE on negatives and a negative shift is undefined —
+        # raise_error makes a negative-keyed dataset fail loudly
+        # instead of returning silently divergent masks (ADVICE r10).
+        # The branch is codegen-cheap: one comparison per row, no
+        # extra pass.
         e.groupBy(
             "event_type",
             F.expr("user_id div 63").alias("bucket"),
@@ -482,7 +487,13 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # SQL form: F.shiftleft's numBits param is Python-int-only
             F.bit_or(
-                F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+                F.expr(
+                    "shiftleft(cast(1 as bigint), IF(user_id >= 0,"
+                    " cast(user_id % 63 as int),"
+                    " cast(raise_error('agg_bitmap_distinct: negative"
+                    " user_id breaks the cross-engine bitmap contract"
+                    " (floor vs truncating div)') as int)))"
+                )
             ).alias("mask")
         )
     )

@@ -70,6 +70,25 @@ def _prune_stale_siblings(root: str, sf_base: str) -> None:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
+def _swap_staging(staging: str, final: str, marker: str) -> None:
+    """Atomic staging→final swap shared by every cache writer here.
+    ADVICE r10: a failed rename must NOT be swallowed — returning a
+    final path that does not exist surfaces later as a confusing
+    missing-manifest/missing-file read error. The ONE benign failure is
+    a concurrent same-sf build winning the race (its files are
+    byte-equivalent by determinism): detectable because final then
+    exists with a valid marker. Anything else re-raises."""
+    import os
+    import shutil
+
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+
+
 def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
@@ -218,12 +237,7 @@ def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     with open(os.path.join(staging, "_rt_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    try:
-        os.rename(staging, final)
-    except OSError:
-        # a concurrent same-sf build won the rename; its files are
-        # byte-equivalent (deterministic content) — drop ours
-        shutil.rmtree(staging, ignore_errors=True)
+    _swap_staging(staging, final, marker)
     return final
 
 
@@ -364,10 +378,7 @@ def _stage_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_dpp_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    try:
-        os.rename(staging, final)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
+    _swap_staging(staging, final, marker)
     return final
 
 
@@ -545,10 +556,7 @@ def _schema_evo_write(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_rt_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    try:
-        os.rename(staging, final)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
+    _swap_staging(staging, final, marker)
     return final
 
 
@@ -877,10 +885,7 @@ def _snapshot_write(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_snap_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    try:
-        os.rename(staging, final)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
+    _swap_staging(staging, final, marker)
     return final
 
 

@@ -155,8 +155,16 @@ def bitmap_distinct_stream(events: DataFrame, watermark: str = "1 hour") -> Data
             F.expr("user_id div 63").alias("bucket"),
         )
         .agg(
+            # negative keys break the contract loudly, matching the
+            # batch twin's guard (ADVICE r10): a negative shift amount
+            # is undefined and floor-vs-truncating div diverges
             F.bit_or(
-                F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+                F.expr(
+                    "shiftleft(cast(1 as bigint), IF(user_id >= 0,"
+                    " cast(user_id % 63 as int),"
+                    " cast(raise_error('bitmap_distinct_stream: negative"
+                    " user_id breaks the bitmap contract') as int)))"
+                )
             ).alias("mask")
         )
         .select(F.col("win.start").alias("window_start"), "event_type", "bucket", "mask")

@@ -208,7 +208,22 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver (r9 verdict watch item).
         from duckdb_sudan__spark.streaming.sinks import _persist_result
 
-        drained = spark.read.parquet(os.path.join(pairs_dir, "batch-*"))
+        # Explicit schema + empty-glob guard (ADVICE r10): a zero-row
+        # drain leaves the batch-* glob empty — schema inference would
+        # fail (and a no-match glob raises even WITH a schema) where the
+        # old memory sink returned an empty typed relation. The pairs
+        # schema is fixed by dedup._shard_pairs: (id_a, id_b) carry the
+        # doc_id type, est_jaccard the rounded signature agreement.
+        import glob as _glob
+
+        id_type = shard.schema["doc_id"].dataType.simpleString()
+        pairs_schema = f"id_a {id_type}, id_b {id_type}, est_jaccard double"
+        if _glob.glob(os.path.join(pairs_dir, "batch-*")):
+            drained = spark.read.schema(pairs_schema).parquet(
+                os.path.join(pairs_dir, "batch-*")
+            )
+        else:  # zero micro-batches drained: empty relation, same schema
+            drained = spark.createDataFrame([], pairs_schema)
         fp = f"v1:{os.path.getmtime(os.path.join(sf_dir, 'documents.parquet'))}"
         final = _persist_result(drained, sf_dir, "stream_dedup_incr_pairs", fp)
     return spark.read.parquet(final).orderBy("id_a", "id_b")
@@ -297,7 +312,11 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (r9 verdict watch item: no collect in any entry's return path).
         from duckdb_sudan__spark.streaming.sinks import _persist_result
 
-        drained = spark.read.parquet(sink)
+        # Explicit schema (ADVICE r10): a zero-row drain leaves the sink
+        # dir with only _spark_metadata and no data files — inference
+        # would fail where the old memory sink returned an empty typed
+        # relation. The output schema is the scored stream's own.
+        drained = spark.read.schema(scored.schema).parquet(sink)
         fp = f"v1:{os.path.getmtime(os.path.join(sf_dir, 'documents.parquet'))}"
         final = _persist_result(drained, sf_dir, "stream_quality_gate", fp)
     return spark.read.parquet(final).orderBy("doc_id")

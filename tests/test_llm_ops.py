@@ -1300,3 +1300,37 @@ def test_collocation_lift_short_doc_guard(spark, tmp_path):
     con.close()
     rows = QUERIES["text_collocation_lift"](spark, str(tmp_path)).collect()
     assert [(r.w1, r.w2, r.c_xy) for r in rows] == [("alpha", "beta", 6)]
+
+
+def test_bitmap_distinct_negative_key_fails_loudly(spark, tmp_path):
+    """ADVICE r10: the bitmap tier is cross-engine-exact only for
+    non-negative user_id (DuckDB floor-// vs Spark truncating div
+    diverge on negatives; a negative shift amount is undefined). The
+    contract is now ENFORCED — a negative key must raise, never return
+    silently divergent masks. Batch operator and streaming building
+    block both carry the guard."""
+    from datetime import datetime
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.streaming.events import bitmap_distinct_stream
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 5, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 1), -7, "view", 1.0, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    with pytest.raises(SparkRuntimeException, match="negative user_id"):
+        QUERIES["agg_bitmap_distinct"](spark, str(tmp_path)).collect()
+    with pytest.raises(SparkRuntimeException, match="negative user_id"):
+        bitmap_distinct_stream(df).collect()
+
+    # the positive-key rows still aggregate fine through the guard
+    ok = spark.createDataFrame([rows[0]], schema)
+    assert bitmap_distinct_stream(ok).count() == 1
