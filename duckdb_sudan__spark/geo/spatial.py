@@ -322,3 +322,220 @@ def _register_state_areas() -> None:
 
 
 _register_state_areas()
+
+
+# ---------------------------------------------------------------------------
+# sudan_state_intersect_area — polygon x polygon intersection area
+# ---------------------------------------------------------------------------
+# The first generic-geometry workflow a geospatial user hits after
+# point-in-state (the reference's docs drive its geojson into DuckDB
+# spatial's ST_Intersection/ST_Area, docs/functions.md:170): how much
+# of each admin area falls inside an arbitrary query region (an AOI
+# box, a raster tile, a flood-model footprint). Spark-first shape is
+# identical to sudan_state_areas: the boundary relation is dim-sized
+# (18 rows), so the clip runs in ONE Arrow map stage with the clip
+# region as a plan literal — no shuffle, no join; at 100 TB of query
+# regions you'd broadcast the states instead and map over the regions.
+#
+# Determinism contract: Sutherland-Hodgman against a convex clip box
+# introduces intersection vertices at RATIONAL coordinates, so all
+# clipping runs in exact Fraction arithmetic on the integer microdeg
+# grid; 2*area is then an exact rational, rounded once to int64.
+# The oracle (below) is an INDEPENDENTLY CODED clipper — trapezoid-
+# form shoelace, reversed half-plane order, differently-structured
+# loop — baked as a VALUES oracle (data-independent offline geometry
+# => SF-invariant), exactly the sudan_state_areas verification idiom.
+
+# query AOI: lon 28-34 E, lat 12-17 N (central Sudan) in microdegrees
+_AOI_BOX = (28_000_000, 34_000_000, 12_000_000, 17_000_000)  # W, E, S, N
+
+
+def _sh_clip_halfplane(pts, keep, intersect):
+    """One Sutherland-Hodgman pass: keep() tests the closed half-plane,
+    intersect() returns the exact crossing point of segment a->b."""
+    out = []
+    n = len(pts)
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        ka, kb = keep(a), keep(b)
+        if ka:
+            out.append(a)
+            if not kb:
+                out.append(intersect(a, b))
+        elif kb:
+            out.append(intersect(a, b))
+    return out
+
+
+def _clip_ring_to_box(ring, box):
+    """Clip one ring (microdeg int pairs, closed or open) to the box;
+    returns the clipped ring as exact Fraction pairs (possibly [])."""
+    from fractions import Fraction
+
+    w, e, s, n = box
+    pts = [(Fraction(int(x)), Fraction(int(y))) for x, y in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def ix_v(c):  # crossing of a->b with the vertical line x = c
+        def f(a, b):
+            t = (c - a[0]) / (b[0] - a[0])
+            return (Fraction(c), a[1] + t * (b[1] - a[1]))
+        return f
+
+    def ix_h(c):  # crossing with the horizontal line y = c
+        def f(a, b):
+            t = (c - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), Fraction(c))
+        return f
+
+    for keep, ix in (
+        (lambda p: p[0] >= w, ix_v(w)),
+        (lambda p: p[0] <= e, ix_v(e)),
+        (lambda p: p[1] >= s, ix_h(s)),
+        (lambda p: p[1] <= n, ix_h(n)),
+    ):
+        if len(pts) < 3:
+            return []
+        pts = _sh_clip_halfplane(pts, keep, ix)
+    return pts if len(pts) >= 3 else []
+
+
+def _clip_2area(doc: dict, box) -> int:
+    """round(2 * area(geom ∩ box)) in microdeg², even-odd semantics:
+    per part, clipped outer ring area minus clipped hole areas.
+    Determinant-form shoelace over exact Fractions; ONE terminal
+    round, so two exact implementations must agree bit-for-bit."""
+    from fractions import Fraction
+
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    total = Fraction(0)
+    for poly in polys:
+        for ri, ring in enumerate(poly):
+            grid = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+            pts = _clip_ring_to_box(grid, box)
+            if not pts:
+                continue
+            s = Fraction(0)
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+                s += x0 * y1 - x1 * y0  # determinant form
+            total += abs(s) if ri == 0 else -abs(s)
+    return round(total)
+
+
+# --- independently coded oracle clipper (trapezoid shoelace, reversed
+# --- half-plane order, while-loop structure) -------------------------------
+
+
+def _oracle_halfplane(points, inside, cross):
+    clipped = []
+    m = len(points)
+    i = 0
+    while i < m:
+        cur = points[i]
+        nxt = points[(i + 1) % m]
+        ci, ni = inside(cur), inside(nxt)
+        if ci and ni:
+            clipped.append(nxt)
+        elif ci and not ni:
+            clipped.append(cross(cur, nxt))
+        elif ni:
+            clipped.append(cross(cur, nxt))
+            clipped.append(nxt)
+        i += 1
+    return clipped
+
+
+def _oracle_clip_2area(doc: dict, box) -> int:
+    from fractions import Fraction
+
+    w, e, s, n = box
+    planes = (
+        (lambda p: p[1] <= n, lambda a, b: (a[0] + (Fraction(n) - a[1]) * (b[0] - a[0]) / (b[1] - a[1]), Fraction(n))),
+        (lambda p: p[1] >= s, lambda a, b: (a[0] + (Fraction(s) - a[1]) * (b[0] - a[0]) / (b[1] - a[1]), Fraction(s))),
+        (lambda p: p[0] <= e, lambda a, b: (Fraction(e), a[1] + (Fraction(e) - a[0]) * (b[1] - a[1]) / (b[0] - a[0]))),
+        (lambda p: p[0] >= w, lambda a, b: (Fraction(w), a[1] + (Fraction(w) - a[0]) * (b[1] - a[1]) / (b[0] - a[0]))),
+    )
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    total = Fraction(0)
+    for poly in polys:
+        for ri, ring in enumerate(poly):
+            pts = [
+                (Fraction(round(x * 1_000_000)), Fraction(round(y * 1_000_000)))
+                for x, y in (ring[:-1] if ring[0] == ring[-1] else ring)
+            ]
+            for inside, cross in planes:
+                if len(pts) < 3:
+                    pts = []
+                    break
+                pts = _oracle_halfplane(pts, inside, cross)
+            if len(pts) < 3:
+                continue
+            acc = Fraction(0)  # trapezoid form: Σ (x0+x1)(y1-y0)
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+                acc += (x0 + x1) * (y1 - y0)
+            total += abs(acc) if ri == 0 else -abs(acc)
+    return round(total)
+
+
+def _intersect_area_oracle() -> str:
+    import json as _json
+
+    from duckdb_sudan__spark.oracle import values_sql
+
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = _json.loads(geo_states.state_boundary_geojson(i))
+        a2, _parts, _holes = _geom_2area_and_parts(doc)
+        c2 = _oracle_clip_2area(doc, _AOI_BOX)
+        rows.append((iso, name, c2, a2, 1_000_000 * c2 // a2))
+    return (
+        values_sql(
+            sorted(rows),
+            ["iso_code", "state_name", "clip_area2_microdeg2",
+             "area2_microdeg2", "pct_in_aoi_ppm"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+        )
+        + " ORDER BY iso_code"
+    )
+
+
+def _register_intersect_area() -> None:
+    @register("sudan_state_intersect_area", _intersect_area_oracle())
+    def sudan_state_intersect_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Share of each state inside the AOI box: clip every served
+        ring to the box (exact-Fraction Sutherland-Hodgman), shoelace
+        the clipped rings, divide by the state's own area (integer
+        ppm — floor div matches DuckDB // on non-negatives). One Arrow
+        map over the 18-row boundary relation; the AOI is a literal."""
+        bounds = geo_states.sudan_boundaries(spark, "state")
+
+        @F.pandas_udf("struct<clip2:bigint,area2:bigint>")
+        def clip_of(geojson: pd.Series) -> pd.DataFrame:
+            out = []
+            for g in geojson:
+                doc = json.loads(g)
+                a2, _p, _h = _geom_2area_and_parts(doc)
+                out.append({"clip2": _clip_2area(doc, _AOI_BOX), "area2": a2})
+            return pd.DataFrame(out)
+
+        return (
+            bounds.select("iso_code", "state_name", clip_of(F.col("geojson")).alias("c"))
+            .select(
+                "iso_code",
+                "state_name",
+                F.col("c.clip2").alias("clip_area2_microdeg2"),
+                F.col("c.area2").alias("area2_microdeg2"),
+                # area2 reaches ~5e13 microdeg² — 1e6 * clip2 overflows
+                # int64, so the ppm ratio multiplies in DECIMAL (exact)
+                # and div returns the integral quotient as BIGINT
+                F.expr(
+                    "cast(1000000 * cast(c.clip2 as decimal(19,0))"
+                    " div cast(c.area2 as decimal(19,0)) as bigint)"
+                ).alias("pct_in_aoi_ppm"),
+            )
+            .orderBy("iso_code")
+        )
+
+
+_register_intersect_area()

@@ -427,3 +427,54 @@ def test_state_areas_sum_to_country_envelope(spark):
     total = sum(r.area2_microdeg2 for r in rows)
     assert abs(total - env2) < 1_000_000_000, (total, env2)
     assert abs(total - env2) / env2 < 3e-6
+
+
+def test_clip_2area_synthetic_cases():
+    """Exact-Fraction Sutherland-Hodgman pins on synthetic geometry:
+    containment (clip == full area), disjoint (0), half-overlap
+    (exact rational area), and a hole that is itself clipped. Both
+    independently-coded clippers (query-side determinant form vs
+    oracle-side trapezoid form) must agree bit-for-bit on every case."""
+    from duckdb_sudan__spark.geo.spatial import _clip_2area, _oracle_clip_2area
+
+    box = (0, 10_000_000, 0, 10_000_000)  # 0..10 deg square, microdeg
+
+    def poly(*rings):
+        return {"type": "Polygon", "coordinates": [list(r) for r in rings]}
+
+    sq = lambda x0, y0, x1, y1: [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]  # noqa: E731
+
+    # fully inside: clip == 2*area == 2*(4deg)^2
+    inside = poly(sq(2, 2, 6, 6))
+    want = 2 * (4_000_000 ** 2)
+    assert _clip_2area(inside, box) == want == _oracle_clip_2area(inside, box)
+
+    # fully outside
+    outside = poly(sq(20, 20, 30, 30))
+    assert _clip_2area(outside, box) == 0 == _oracle_clip_2area(outside, box)
+
+    # half overlap: square 5..15 deg clipped to 5..10 in x
+    half = poly(sq(5, 2, 15, 8))
+    want = 2 * (5_000_000 * 6_000_000)
+    assert _clip_2area(half, box) == want == _oracle_clip_2area(half, box)
+
+    # outer ring with a contained hole (the GeoJSON contract: holes
+    # lie inside their outer ring): subtract-clipped-hole equals
+    # area(P ∩ box) exactly under that containment
+    holed = poly(sq(0, 0, 8, 8), sq(2, 2, 6, 6))
+    want = 2 * (8_000_000 ** 2) - 2 * (4_000_000 ** 2)
+    assert _clip_2area(holed, box) == want == _oracle_clip_2area(holed, box)
+
+    # non-convex (L-shape) crossing the box edge: exact rational agreement
+    ell = {"type": "Polygon", "coordinates": [[
+        (-2, -2), (6, -2), (6, 4), (2, 4), (2, 12), (-2, 12), (-2, -2)
+    ]]}
+    a, b = _clip_2area(ell, box), _oracle_clip_2area(ell, box)
+    assert a == b > 0
+
+    # MultiPolygon: parts sum
+    multi = {"type": "MultiPolygon",
+             "coordinates": [poly(sq(1, 1, 3, 3))["coordinates"],
+                             poly(sq(5, 5, 20, 6))["coordinates"]]}
+    want = 2 * (2_000_000 ** 2) + 2 * (5_000_000 * 1_000_000)
+    assert _clip_2area(multi, box) == want == _oracle_clip_2area(multi, box)
