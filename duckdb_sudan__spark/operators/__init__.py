@@ -50,6 +50,7 @@ def load_all() -> None:
         olap16,
         olap17,
         olap18,
+        olap19,
         relational,
         similarity,
         sketches,

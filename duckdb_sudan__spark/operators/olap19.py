@@ -1,0 +1,394 @@
+"""ML-evaluation wave 2 (r11): lift/gain curve, calibration ECE, ROC
+grid, PSI drift, and market-concentration HHI.
+
+The r10 verdict named the first two as the next real-user gaps after
+the r10 ML-eval family (SURVEY §2): every scoring pipeline publishes a
+gains chart and an expected-calibration-error scalar next to the PR
+curve and Brier score. All five follow the family's determinism
+rules (DETERMINISM.md):
+
+- windows/cumulative sums only over BOUNDED binned aggregates (the
+  ≤1000-row score grid olap18 established), never the raw table;
+- exact integer/DECIMAL moments through the shuffle; ONE terminal
+  double expression per output (correctly-rounded IEEE ops agree
+  across engines), or integer ppm via floor division;
+- no libm in hashed values: PSI's log ratio rides the bit-length
+  log2 quantization (agg_entropy_bits / corpus_zipf_fit idiom);
+- products that can exceed int64 at sf1 multiply in DECIMAL(38,0) on
+  the Spark side and HUGEINT in DuckDB (r10 pitfall convention).
+
+Reference parity: the reference engine (a DuckDB extension) gets
+these readouts from DuckDB's SQL surface; file:line cites are to the
+composing entries in this repo (olap18.py) rather than reference
+source, which has no ML-eval layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.operators.olap18 import (
+    CALIB_BIN_WIDTH,
+    CALIB_BINS,
+    KS_BIN_SCALE,
+    KS_BINS,
+)
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# ml_lift_gain_curve — cumulative-response (gains) chart on the score grid
+# ---------------------------------------------------------------------------
+# "If we contact the top-scored X% of the population, what share of
+# all responders do we capture, and at what multiple of random?"
+# Composes ml_pr_curve_binned's bounded grid (olap18.py): bin scores
+# map-side, cumulate FROM THE TOP over the ≤1000-row aggregate.
+# gain = tp/p, population depth = pp/N, lift = (tp/pp)/(p/N)
+# = tp*N/(pp*p) — the ppm lift multiplies in DECIMAL/HUGEINT because
+# tp*N reaches ~3.6e19 at sf1 (int64 overflows at 9.2e18).
+
+LIFT_GAIN_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least({KS_BINS - 1}, floor(value * {KS_BIN_SCALE})) AS INTEGER) AS bin,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS np,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT bin,
+         SUM(np) OVER (ORDER BY bin DESC) AS tp,
+         SUM(nt) OVER (ORDER BY bin DESC) AS pp,
+         SUM(np) OVER () AS p,
+         SUM(nt) OVER () AS n
+  FROM binned
+)
+SELECT bin,
+       CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pp,
+       CAST(1000000 * pp // n AS BIGINT) AS depth_ppm,
+       CAST(1000000 * tp // NULLIF(p, 0) AS BIGINT) AS gain_ppm,
+       CAST(1000000 * CAST(tp AS HUGEINT) * CAST(n AS HUGEINT)
+            // NULLIF(CAST(pp AS HUGEINT) * CAST(p AS HUGEINT), 0) AS BIGINT) AS lift_ppm
+FROM cum
+ORDER BY bin
+"""
+
+
+@register("ml_lift_gain_curve", LIFT_GAIN_ORACLE)
+def ml_lift_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(KS_BINS - 1), F.floor(F.col("value") * KS_BIN_SCALE)
+    ).cast("int")
+    binned = (
+        e.select((F.col("event_type") == "purchase").alias("pos"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("pos")).cast("bigint").alias("np"),
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        binned.select(
+            "bin",
+            F.sum("np").over(wtop).cast("bigint").alias("tp"),
+            F.sum("nt").over(wtop).cast("bigint").alias("pp"),
+            F.sum("np").over(wall).alias("p"),
+            F.sum("nt").over(wall).alias("n"),
+        )
+        .selectExpr(
+            "bin", "tp", "pp",
+            "cast(1000000 * pp div n as bigint) AS depth_ppm",
+            "cast(1000000 * tp div nullif(p, 0) as bigint) AS gain_ppm",
+            # DECIMAL: tp*n ~3.6e19 at sf1 exceeds int64
+            "cast(1000000 * cast(tp as decimal(19,0)) * cast(n as decimal(19,0))"
+            " div nullif(cast(pp as decimal(19,0)) * cast(p as decimal(19,0)), 0)"
+            " as bigint) AS lift_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_ece — expected calibration error as ONE exact scalar
+# ---------------------------------------------------------------------------
+# ECE = Σ_b (n_b/N)·|conf_b − acc_b|. With conf in exact ppm
+# (p_ppm = round(value·2000), the ml_brier_score proxy) the per-bin
+# term n_b·|conf_b − acc_b| telescopes to |Σp_ppm − 1e6·pos_b| —
+# EXACT integers end to end; the scalar is one integer sum over
+# ≤CALIB_BINS rows divided once. No double ever enters a SUM.
+
+ECE_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least({CALIB_BINS - 1}, floor(value / {CALIB_BIN_WIDTH})) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(round(value * 2000) AS BIGINT)) AS BIGINT) AS sum_p_ppm,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_pos
+  FROM events GROUP BY 1
+)
+SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(abs(sum_p_ppm - 1000000 * n_pos)) AS BIGINT) AS ece_num_ppm,
+       CAST(SUM(abs(sum_p_ppm - 1000000 * n_pos)) AS DOUBLE)
+         / (CAST(SUM(n_b) AS DOUBLE) * 1e6) AS ece
+FROM binned
+"""
+
+
+@register("ml_calibration_ece", ECE_ORACLE)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(CALIB_BINS - 1), F.floor(F.col("value") / CALIB_BIN_WIDTH)
+    ).cast("int")
+    p_ppm = F.round(F.col("value") * 2000).cast("bigint")
+    binned = (
+        e.select("event_type", bin_.alias("bin"), p_ppm.alias("p_ppm"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("p_ppm").cast("bigint").alias("sum_p_ppm"),
+            F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n_pos"),
+        )
+    )
+    num = F.abs(F.col("sum_p_ppm") - F.lit(1000000) * F.col("n_pos"))
+    return binned.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(num).cast("bigint").alias("ece_num_ppm"),
+        (
+            F.sum(num).cast("double")
+            / (F.sum("n_b").cast("double") * F.lit(1e6))
+        ).alias("ece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_roc_curve_binned — TPR/FPR grid (completes the PR/KS/ROC triad)
+# ---------------------------------------------------------------------------
+# Same bounded-grid shape as ml_pr_curve_binned: cumulate tp and fp
+# from the top score bin; tpr = tp/P, fpr = fp/Neg in exact ppm.
+# A thresholded model review reads all three curves off one scan.
+
+ROC_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least({KS_BINS - 1}, floor(value * {KS_BIN_SCALE})) AS INTEGER) AS bin,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS np,
+         CAST(COUNT(*) FILTER (event_type <> 'purchase') AS BIGINT) AS nn
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT bin,
+         SUM(np) OVER (ORDER BY bin DESC) AS tp,
+         SUM(nn) OVER (ORDER BY bin DESC) AS fp,
+         SUM(np) OVER () AS p,
+         SUM(nn) OVER () AS neg
+  FROM binned
+)
+SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(1000000 * tp // NULLIF(p, 0) AS BIGINT) AS tpr_ppm,
+       CAST(1000000 * fp // NULLIF(neg, 0) AS BIGINT) AS fpr_ppm
+FROM cum
+ORDER BY bin
+"""
+
+
+@register("ml_roc_curve_binned", ROC_ORACLE)
+def ml_roc_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(KS_BINS - 1), F.floor(F.col("value") * KS_BIN_SCALE)
+    ).cast("int")
+    binned = (
+        e.select((F.col("event_type") == "purchase").alias("pos"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("pos")).cast("bigint").alias("np"),
+            F.count_if(~F.col("pos")).cast("bigint").alias("nn"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        binned.select(
+            "bin",
+            F.sum("np").over(wtop).cast("bigint").alias("tp"),
+            F.sum("nn").over(wtop).cast("bigint").alias("fp"),
+            F.sum("np").over(wall).alias("p"),
+            F.sum("nn").over(wall).alias("neg"),
+        )
+        .selectExpr(
+            "bin", "tp", "fp",
+            "cast(1000000 * tp div nullif(p, 0) as bigint) AS tpr_ppm",
+            "cast(1000000 * fp div nullif(neg, 0) as bigint) AS fpr_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_psi_drift_bits — population-stability index, log-free integer form
+# ---------------------------------------------------------------------------
+# PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) between a baseline week and the
+# following week. libm ln is not a cross-engine contract (text2.py
+# header), so the log ratio rides the bit-length log2 quantization:
+# ln(p/q) → bitlen(na·NB) − bitlen(nb·NA) (bitlen = floor(log2)+1;
+# exact on integers, within 1 bit per term — the agg_entropy_bits /
+# corpus_zipf_fit idiom). The scaled statistic
+#   psi_scaled = Σ (na·NB − nb·NA)·(bitlen(na·NB) − bitlen(nb·NA))
+# is ALL-INTEGER (DECIMAL-exact through the sum: |terms| ≤ ~2e13·64
+# at sf1) and ≥ 0 term-by-term (sign(p−q) = sign of the bit
+# difference or the term is 0), so the one terminal double division
+# by NA·NB yields the bit-space PSI deterministically. Bins with
+# na=0 or nb=0 are excluded (standard PSI practice — reported so the
+# consumer sees the support). Weeks are keyed on epoch-day div 7
+# (engine-neutral; no weekday() — r9 pitfall).
+
+PSI_ORACLE = """
+WITH weeks AS (
+  SELECT CAST(floor(value * 2) AS INTEGER) // 100 AS bin,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+  FROM events
+), bounds AS (
+  SELECT MIN(wk) AS w0 FROM weeks
+), counts AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (wk = w0)     AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (wk = w0 + 1) AS BIGINT) AS nb
+  FROM weeks, bounds GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM counts
+), terms AS (
+  -- na·tb ≤ ~3.6e13 at sf1: the per-term products fit BIGINT (printf
+  -- '%b' needs one); only the SUM of (x−y)·bitdiff gets HUGEINT headroom
+  SELECT bin, na, nb, ta, tb,
+         na * tb AS x,
+         nb * ta AS y
+  FROM counts, tot WHERE na > 0 AND nb > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(MIN(ta) AS BIGINT) AS n_base, CAST(MIN(tb) AS BIGINT) AS n_next,
+       CAST(SUM(CAST(x - y AS HUGEINT) * (length(printf('%b', x))
+                                          - length(printf('%b', y)))) AS VARCHAR)
+         AS psi_scaled,
+       CAST(SUM(CAST(x - y AS HUGEINT) * (length(printf('%b', x))
+                                          - length(printf('%b', y)))) AS DOUBLE)
+         / (CAST(MIN(ta) AS DOUBLE) * CAST(MIN(tb) AS DOUBLE)) AS psi_bits
+FROM terms
+"""
+
+
+@register("ml_psi_drift_bits", PSI_ORACLE)
+def ml_psi_drift_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def bitlen(col):
+        # floor(log2)+1 of a positive DECIMAL, exact: length of the
+        # base-2 digit string (conv works on the bigint range; inputs
+        # here are ≤ na·tb ~ 2e13 at sf1, well inside)
+        return F.length(F.conv(col.cast("bigint").cast("string"), 10, 2)).cast("long")
+
+    weeks = e.select(
+        (F.floor(F.col("value") * 2).cast("int") / 100).cast("int").alias("bin"),
+        F.expr("datediff(cast(ts as date), date'1970-01-01') div 7").alias("wk"),
+    )
+    w0 = weeks.agg(F.min("wk").alias("w0"))
+    counts = (
+        weeks.crossJoin(F.broadcast(w0))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("wk") == F.col("w0")).cast("bigint").alias("na"),
+            F.count_if(F.col("wk") == F.col("w0") + 1).cast("bigint").alias("nb"),
+        )
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    terms = (
+        counts.select(
+            "bin", "na", "nb",
+            F.sum("na").over(wall).cast("bigint").alias("ta"),
+            F.sum("nb").over(wall).cast("bigint").alias("tb"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "na", "nb", "ta", "tb",
+            (F.col("na").cast("decimal(19,0)") * F.col("tb")).alias("x"),
+            (F.col("nb").cast("decimal(19,0)") * F.col("ta")).alias("y"),
+        )
+    )
+    term = (F.col("x") - F.col("y")).cast("decimal(38,0)") * (
+        bitlen(F.col("x")) - bitlen(F.col("y"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.min("ta").cast("bigint").alias("n_base"),
+        F.min("tb").cast("bigint").alias("n_next"),
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("psi_scaled"),
+        (
+            F.sum(term).cast("double")
+            / (F.min("ta").cast("double") * F.min("tb").cast("double"))
+        ).alias("psi_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hhi_concentration — Herfindahl–Hirschman index per nation
+# ---------------------------------------------------------------------------
+# Market-concentration readout: HHI = Σ_customers share², share =
+# customer spend / nation spend. Exact: spend in cents (bigint),
+# Σ spend² in DECIMAL/HUGEINT (cents² reaches ~3.6e15 per customer —
+# the SUM needs headroom), hhi_ppm = 1e6·Σs² // T² with the product
+# in DECIMAL(38,0)/HUGEINT (T² ~1e24 at sf1). Two distributive
+# aggregations — customer grain then nation grain — no window.
+
+HHI_ORACLE = """
+WITH spend AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), per_nation AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sum_sq
+  FROM spend GROUP BY c_nationkey
+)
+SELECT c_nationkey, n_customers, total_cents,
+       CAST(1000000 * sum_sq // (CAST(total_cents AS HUGEINT) * total_cents) AS BIGINT)
+         AS hhi_ppm
+FROM per_nation
+ORDER BY c_nationkey
+"""
+
+
+@register("agg_hhi_concentration", HHI_ORACLE)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # aggregate the FACT side to customer grain first (map-combined,
+    # one shuffle on custkey), THEN attach the 2-column dim via
+    # broadcast — the join moves |customers| rows, not |orders|
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    per_nation = spend.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    return (
+        per_nation.selectExpr(
+            "c_nationkey", "n_customers", "total_cents",
+            "cast(1000000 * sum_sq div (cast(total_cents as decimal(19,0))"
+            " * cast(total_cents as decimal(19,0))) as bigint) AS hhi_ppm",
+        )
+        .orderBy("c_nationkey")
+    )

@@ -2250,3 +2250,62 @@ def test_bot_heuristic_double_threshold_broadcast(spark):
     plan = plan_of(df)
     assert plan.count("events.parquet") <= 1, plan[:2000]
     assert "InMemoryTableScan" in plan  # cached user-grain counts, two consumers
+
+
+@pytest.mark.parametrize("key", ["ml_lift_gain_curve", "ml_roc_curve_binned"])
+def test_r11_curves_window_only_over_binned_grid(spark, key):
+    """Gains/ROC curves cumulate over the ≤1000-row score-bin
+    aggregate, never the raw events: the Window sits downstream of the
+    first HashAggregate pair (upstream-first node order)."""
+    df = QUERIES[key](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    wins = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert wins and aggs, nodes
+    assert min(wins) > min(aggs), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_ece_single_pass_no_window(spark):
+    """ECE telescopes to integer sums over the bin aggregate — two
+    HashAggregate pairs, no window, no join."""
+    df = QUERIES["ml_calibration_ece"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 4, nodes
+
+
+def test_psi_windows_bounded_and_scalar_broadcast(spark):
+    """PSI: the week anchor is a 1-row broadcast onto the scan; the
+    totals window runs over the ≤10-row bin aggregate (downstream of
+    the first HashAggregate); no sort-merge join anywhere."""
+    df = QUERIES["ml_psi_drift_bits"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastNestedLoop" in n for n in nodes), nodes
+    assert not any("SortMergeJoin" in n for n in nodes), nodes
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    wins = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert wins and aggs and min(wins) > min(aggs), nodes
+
+
+def test_hhi_aggregates_fact_before_dim_join(spark):
+    """HHI: orders aggregate to customer grain BEFORE the broadcast
+    dim join (the join moves |customers| rows, not |orders|) — the
+    BroadcastHashJoin sits downstream of the first HashAggregate."""
+    df = QUERIES["agg_hhi_concentration"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    joins = [i for i, n in enumerate(nodes) if "BroadcastHashJoin" in n]
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert joins and aggs, nodes
+    assert min(joins) > min(aggs), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_intersect_area_single_stage_no_shuffle_before_sort(spark):
+    """The clip is one Arrow map over the 18-row boundary relation —
+    no Exchange other than the final orderBy's range partitioning."""
+    df = QUERIES["sudan_state_intersect_area"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert shuffle_count(nodes) <= 1, nodes
