@@ -392,3 +392,186 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# struct_funcs_parity — STRUCT construction/extraction surface
+# ---------------------------------------------------------------------------
+# Completes the nested-type parity triad next to list_funcs_parity
+# (olap15) and map_funcs_parity (olap16): DuckDB struct_pack /
+# dot-extraction / nested structs ≡ Spark named_struct / getField.
+# The final projection flattens every value back to scalars — the
+# driver's pandas canonicalizer hashes scalars only (the
+# agg_array_agg_sorted lesson, r10).
+
+STRUCT_FUNCS_ORACLE = """
+WITH s AS (
+  SELECT s_suppkey,
+         struct_pack(key := s_suppkey,
+                     nat := s_nationkey,
+                     bal_cents := CAST(round(s_acctbal * 100) AS BIGINT)) AS sup,
+         struct_pack(outer_key := s_suppkey,
+                     inner_s := struct_pack(nk := s_nationkey,
+                                            name_len := CAST(length(s_name) AS BIGINT))) AS nested
+  FROM supplier
+)
+SELECT s_suppkey,
+       sup.nat AS nat_from_struct,
+       sup.bal_cents AS bal_from_struct,
+       nested.inner_s.nk AS nested_nk,
+       nested.inner_s.name_len AS nested_name_len,
+       CAST(sup.key = nested.outer_key AS BOOLEAN) AS keys_agree
+FROM s
+ORDER BY s_suppkey
+"""
+
+
+@register("struct_funcs_parity", STRUCT_FUNCS_ORACLE)
+def struct_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    sup = F.struct(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_nationkey").alias("nat"),
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    nested = F.struct(
+        F.col("s_suppkey").alias("outer_key"),
+        F.struct(
+            F.col("s_nationkey").alias("nk"),
+            F.length("s_name").cast("bigint").alias("name_len"),
+        ).alias("inner_s"),
+    )
+    return (
+        s.select("s_suppkey", sup.alias("sup"), nested.alias("nested"))
+        .select(
+            "s_suppkey",
+            F.col("sup.nat").alias("nat_from_struct"),
+            F.col("sup.bal_cents").alias("bal_from_struct"),
+            F.col("nested.inner_s.nk").alias("nested_nk"),
+            F.col("nested.inner_s.name_len").alias("nested_name_len"),
+            (F.col("sup.key") == F.col("nested.outer_key")).alias("keys_agree"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_hazard_curve — discrete-time churn hazard over the day grid
+# ---------------------------------------------------------------------------
+# Observation-window survival readout: lifetime t = last-seen day −
+# first-seen day per user; d_t = users ending at offset t, at_risk_t =
+# users with lifetime ≥ t; hazard_ppm = 1e6·d_t // at_risk_t. ONE
+# fact shuffle (user grain: min/max day in one partial agg), then a
+# map-combined histogram into ≤|calendar days| groups and a cumulative
+# window over that bounded grid only. Right-censoring is deliberately
+# not modeled (every user's window ends at the corpus edge) — this is
+# the descriptive lifetime table, stated so consumers don't read it
+# as a Kaplan–Meier estimate.
+
+HAZARD_ORACLE = """
+WITH lifetimes AS (
+  SELECT user_id,
+         CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS BIGINT) AS t
+  FROM events GROUP BY user_id
+), hist AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS d_t FROM lifetimes GROUP BY t
+), cum AS (
+  SELECT t, d_t, SUM(d_t) OVER (ORDER BY t DESC) AS at_risk
+  FROM hist
+)
+SELECT t, d_t, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(1000000 * d_t // at_risk AS BIGINT) AS hazard_ppm
+FROM cum
+ORDER BY t
+"""
+
+
+@register("ev_hazard_curve", HAZARD_ORACLE)
+def ev_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    lifetimes = e.groupBy("user_id").agg(
+        F.datediff(F.max(day), F.min(day)).cast("bigint").alias("t")
+    )
+    hist = lifetimes.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("d_t"))
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.select("t", "d_t", F.sum("d_t").over(wdesc).cast("bigint").alias("at_risk"))
+        .selectExpr("t", "d_t", "at_risk",
+                    "cast(1000000 * d_t div at_risk as bigint) AS hazard_ppm")
+        .orderBy("t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen_slope — robust trend per event type (median of slopes)
+# ---------------------------------------------------------------------------
+# The outlier-immune alternative to agg_regression's OLS: slope =
+# median over all day pairs of (y2−y1)/(d2−d1). Pairs are generated
+# from the DAY-GRAIN aggregate only (≤90 days → ≤4k pairs per type —
+# bounded; never the raw table). Each pairwise slope is ONE double
+# division of exact integers (micro-units numerator < 2^53 — exact in
+# double; correctly-rounded division agrees across engines); the
+# median is the LOWER-MIDDLE element by (slope, d1, d2) rank — no
+# interpolation, so no engine-specific (a+b)/2 vs a+(b−a)/2 ulp risk.
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(1000000 * (b.cents - a.cents) AS DOUBLE) / (b.d - a.d) AS slope_micro,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+), ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope_micro AS theil_sen_slope_micro
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+
+@register("ts_theil_sen_slope", THEIL_SEN_ORACLE)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").cast("bigint").alias("d"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("event_type").alias("et2"), F.col("d").alias("d2"),
+                     F.col("cents").alias("c2"))
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d2") > F.col("d1"))
+    ).select(
+        "event_type", "d1", "d2",
+        (
+            (F.lit(1000000) * (F.col("c2") - F.col("c1"))).cast("double")
+            / (F.col("d2") - F.col("d1"))
+        ).alias("slope_micro"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_micro", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    return (
+        pairs.select(
+            "event_type", "slope_micro",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_pairs"),
+        )
+        .where(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .selectExpr("event_type", "cast(n_pairs as bigint) AS n_pairs",
+                    "slope_micro AS theil_sen_slope_micro")
+        .orderBy("event_type")
+    )

@@ -189,6 +189,16 @@ GROUP BY lang ORDER BY lang
 """
 
 
+ORC_ROUNDTRIP_ORACLE = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM read_parquet('{_RT_ROOT}/*/orc/_twin/*.parquet')
+WHERE corpus_n = (SELECT COUNT(*) FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the (doc_id, lang, n_chars, corpus_n) projection of
     documents as CSV/JSONL/partitioned-parquet under
@@ -213,7 +223,7 @@ def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
     sf_base = sf_cache_key(sf_dir)
     _prune_stale_siblings(_RT_ROOT, sf_base)
-    sub = {"csv": "csv", "json": "jsonl", "parquet": "parquet"}[fmt]
+    sub = {"csv": "csv", "json": "jsonl", "parquet": "parquet", "orc": "orc"}[fmt]
     final = os.path.join(_RT_ROOT, sf_base, sub)
     src = os.path.join(sf_dir, "documents.parquet")
     fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
@@ -231,6 +241,15 @@ def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         d.coalesce(1).write.mode("overwrite").option("header", "true").csv(staging)
     elif fmt == "json":
         d.coalesce(1).write.mode("overwrite").json(staging)
+    elif fmt == "orc":
+        # DuckDB has no ORC reader, so the oracle consumes a parquet
+        # TWIN written from the same deterministic relation into an
+        # underscore-prefixed subdir (Hadoop readers treat _-prefixed
+        # paths as hidden, so spark.read.orc never sees it; the oracle
+        # glob names it explicitly). Aggregates are order-insensitive,
+        # so the two writes only need to agree as a row SET.
+        d.coalesce(1).write.mode("overwrite").orc(staging)
+        d.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "_twin"))
     else:
         # one file per partition dir, not one per task
         d.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(staging)
@@ -298,6 +317,21 @@ def _register_roundtrips() -> None:
             spark, path, header=True,
             schema="doc_id bigint, lang string, n_chars bigint, corpus_n bigint",
         )
+        return _roundtrip_agg(back)
+
+    @register("files_orc_roundtrip", ORC_ROUNDTRIP_ORACLE)
+    def files_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ORC sink+source through the hash gate — the fourth file
+        format (the warehouse-interchange one Hive/Trino shops still
+        hand over). DuckDB cannot read ORC, so the write stages a
+        parquet TWIN of the same relation next to the ORC files (in a
+        _-prefixed dir the ORC reader ignores); Spark aggregates the
+        ORC read-back, the oracle aggregates the twin, and the hash
+        equality proves the ORC writer+reader preserved the rows
+        exactly (any ORC-side row loss/corruption diverges from the
+        twin). Same per-sf path + corpus_n discriminator contract."""
+        path = _roundtrip_write(spark, sf_dir, "orc")
+        back = read_orc(spark, path)
         return _roundtrip_agg(back)
 
     @register("files_jsonl_roundtrip", JSONL_ROUNDTRIP_ORACLE)

@@ -1334,3 +1334,36 @@ def test_bitmap_distinct_negative_key_fails_loudly(spark, tmp_path):
     # the positive-key rows still aggregate fine through the guard
     ok = spark.createDataFrame([rows[0]], schema)
     assert bitmap_distinct_stream(ok).count() == 1
+
+
+def test_theil_sen_even_pair_count(spark, tmp_path):
+    """Regression: the median rank (n_pairs+1)//2 must use INTEGRAL
+    division on the Spark side — a double (n+1)/2 never equals any
+    row_number when n_pairs is even (4 days -> 6 pairs here), silently
+    dropping the group. Exact-match vs the oracle on the even case."""
+    from datetime import datetime
+
+    import duckdb
+
+    from duckdb_sudan__spark.operators import ORACLES, QUERIES
+
+    rows = [
+        (i, datetime(2024, 1, 1 + d, 10), 1, "view", float(v), "{}")
+        for i, (d, v) in enumerate([(0, 1.0), (1, 3.0), (2, 2.0), (3, 7.0)])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = [
+        (r.event_type, r.n_pairs, r.theil_sen_slope_micro)
+        for r in QUERIES["ts_theil_sen_slope"](spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(ORACLES["ts_theil_sen_slope"]).fetchall()]
+    con.close()
+    assert got == want and got[0][1] == 6
