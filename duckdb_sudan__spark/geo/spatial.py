@@ -539,3 +539,136 @@ def _register_intersect_area() -> None:
 
 
 _register_intersect_area()
+
+
+# ---------------------------------------------------------------------------
+# sudan_state_centroid_bbox — polygon centroid + bounding box
+# ---------------------------------------------------------------------------
+# The second generic-geometry rung after intersection area: label
+# placement / map-extent queries need each area's centroid and bbox
+# (DuckDB spatial's ST_Centroid / ST_Extent workflow). Centroid of a
+# polygon is (Σ (x0+x1)·cross, Σ (y0+y1)·cross) / (3·Σ cross) with
+# cross = x0·y1 − x1·y0 — exact integers on the microdeg grid until
+# the ONE terminal division per axis; holes subtract by signed cross.
+# Presented as microdeg BIGINTs (round of the exact rational — the
+# same one-terminal-round contract as the clip entry). BBox is exact
+# min/max ints. Oracle: independently coded accumulation (per-vertex
+# loop vs the query's zip form) baked as VALUES — SF-invariant.
+
+def _centroid_bbox(doc: dict) -> tuple:
+    """(cx_microdeg, cy_microdeg, west, south, east, north) — query-side
+    form: zip over ring edges, signed cross accumulation (CCW outer
+    rings positive, holes negative by their own winding after the
+    even-odd |outer| − |holes| convention used for areas does NOT
+    apply to centroids — signed accumulation handles any winding)."""
+    from fractions import Fraction
+
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    sa = Fraction(0)
+    sx = Fraction(0)
+    sy = Fraction(0)
+    xs: list[int] = []
+    ys: list[int] = []
+    for poly in polys:
+        for ring in poly:
+            pts = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+            if pts[0] == pts[-1]:
+                pts = pts[:-1]
+            xs.extend(p[0] for p in pts)
+            ys.extend(p[1] for p in pts)
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+                cross = x0 * y1 - x1 * y0
+                sa += cross
+                sx += (x0 + x1) * cross
+                sy += (y0 + y1) * cross
+    cx = round(sx / (3 * sa))
+    cy = round(sy / (3 * sa))
+    return cx, cy, min(xs), min(ys), max(xs), max(ys)
+
+
+def _oracle_centroid_bbox(doc: dict) -> tuple:
+    """Independently coded accumulation: explicit index loop, factored
+    shoelace terms, bbox via running min/max — same exact rationals."""
+    from fractions import Fraction
+
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    area6 = Fraction(0)  # 6 * signed area
+    mx = Fraction(0)
+    my = Fraction(0)
+    w = s_ = e = n = None
+    for poly in polys:
+        for ring in poly:
+            pts = [(round(p[0] * 1_000_000), round(p[1] * 1_000_000)) for p in ring]
+            if pts[0] == pts[-1]:
+                pts.pop()
+            m = len(pts)
+            for i in range(m):
+                x0, y0 = pts[i]
+                x1, y1 = pts[(i + 1) % m]
+                t = Fraction(x0) * y1 - Fraction(x1) * y0
+                area6 += 3 * t
+                mx += (x0 + x1) * t
+                my += (y0 + y1) * t
+                for xx, yy in ((x0, y0),):
+                    w = xx if w is None or xx < w else w
+                    e = xx if e is None or xx > e else e
+                    s_ = yy if s_ is None or yy < s_ else s_
+                    n = yy if n is None or yy > n else n
+    return round(mx / area6), round(my / area6), w, s_, e, n
+
+
+def _centroid_bbox_oracle() -> str:
+    import json as _json
+
+    from duckdb_sudan__spark.oracle import values_sql
+
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = _json.loads(geo_states.state_boundary_geojson(i))
+        cx, cy, w, s_, e, n = _oracle_centroid_bbox(doc)
+        rows.append((iso, name, cx, cy, w, s_, e, n))
+    return (
+        values_sql(
+            sorted(rows),
+            ["iso_code", "state_name", "centroid_x_microdeg", "centroid_y_microdeg",
+             "bbox_w", "bbox_s", "bbox_e", "bbox_n"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT",
+             "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+        )
+        + " ORDER BY iso_code"
+    )
+
+
+def _register_centroid_bbox() -> None:
+    @register("sudan_state_centroid_bbox", _centroid_bbox_oracle())
+    def sudan_state_centroid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Centroid + bbox of every served state geometry: one Arrow
+        map over the 18-row boundary relation (same shape as the area
+        and clip entries); exact-rational centroid with one terminal
+        round per axis, exact integer bbox."""
+        bounds = geo_states.sudan_boundaries(spark, "state")
+
+        @F.pandas_udf(
+            "struct<cx:bigint,cy:bigint,w:bigint,s:bigint,e:bigint,n:bigint>"
+        )
+        def cb_of(geojson: pd.Series) -> pd.DataFrame:
+            out = []
+            for g in geojson:
+                cx, cy, w, s_, e, n = _centroid_bbox(json.loads(g))
+                out.append({"cx": cx, "cy": cy, "w": w, "s": s_, "e": e, "n": n})
+            return pd.DataFrame(out)
+
+        return (
+            bounds.select("iso_code", "state_name", cb_of(F.col("geojson")).alias("c"))
+            .select(
+                "iso_code", "state_name",
+                F.col("c.cx").alias("centroid_x_microdeg"),
+                F.col("c.cy").alias("centroid_y_microdeg"),
+                F.col("c.w").alias("bbox_w"), F.col("c.s").alias("bbox_s"),
+                F.col("c.e").alias("bbox_e"), F.col("c.n").alias("bbox_n"),
+            )
+            .orderBy("iso_code")
+        )
+
+
+_register_centroid_bbox()

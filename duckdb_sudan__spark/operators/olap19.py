@@ -575,3 +575,140 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "slope_micro AS theil_sen_slope_micro")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_groups_frame_emulated — GROUPS frame mode bridged to Spark
+# ---------------------------------------------------------------------------
+# The SQL:2011 GROUPS frame (peer groups of the ORDER key count as
+# one frame unit) is in neither engine here — Spark has ROWS/RANGE
+# only, and this DuckDB build parses but rejects GROUPS ("not
+# implemented yet") — so BOTH sides bridge it, independently:
+# - Spark (query): dense_rank() numbers the peer groups, then a RANGE
+#   frame over that rank — RANGE ±1 on a gap-free group number IS
+#   GROUPS ±1; both windows share (partition, order) so Spark stacks
+#   them over ONE sort (the engine-fusion fact in the build notes).
+# - DuckDB (oracle): a genuinely different formulation — per-nation
+#   peer groups materialized with row_number over DISTINCT buckets,
+#   per-group sums, then a |group-index| ≤ 1 self-join re-aggregated
+#   per supplier. Agreement proves the bridge implements GROUPS
+#   semantics, not just that two identical rewrites agree.
+# Domain: the dim-sized supplier relation (windows over a dimension,
+# never the fact table); coarse balance buckets manufacture real ties
+# so GROUPS genuinely differs from ROWS.
+
+GROUPS_FRAME_ORACLE = """
+WITH s AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+         CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM supplier
+), b AS (
+  SELECT s_nationkey, bal_bucket,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY bal_bucket) AS gidx
+  FROM (SELECT DISTINCT s_nationkey, bal_bucket FROM s)
+), sg AS (
+  SELECT s.s_suppkey, s.s_nationkey, s.bal_bucket, s.cents, b.gidx
+  FROM s JOIN b USING (s_nationkey, bal_bucket)
+), agg AS (
+  SELECT s_nationkey, gidx,
+         CAST(SUM(cents) AS BIGINT) AS gcents,
+         CAST(COUNT(*) AS BIGINT) AS gn
+  FROM sg GROUP BY 1, 2
+)
+SELECT sg.s_suppkey, sg.s_nationkey, sg.bal_bucket,
+       CAST(SUM(a.gcents) AS BIGINT) AS neighborhood_cents,
+       CAST(SUM(a.gn) AS BIGINT) AS neighborhood_n
+FROM sg JOIN agg a
+  ON a.s_nationkey = sg.s_nationkey AND abs(a.gidx - sg.gidx) <= 1
+GROUP BY sg.s_suppkey, sg.s_nationkey, sg.bal_bucket
+ORDER BY sg.s_nationkey, sg.bal_bucket, sg.s_suppkey
+"""
+
+
+@register("win_groups_frame_emulated", GROUPS_FRAME_ORACLE)
+def win_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    base = s.select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("s_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    )
+    wg = Window.partitionBy("s_nationkey").orderBy("bal_bucket")
+    ranked = base.select(
+        "*", F.dense_rank().over(wg).alias("grp")
+    )
+    wr = Window.partitionBy("s_nationkey").orderBy("grp").rangeBetween(-1, 1)
+    return (
+        ranked.select(
+            "s_suppkey", "s_nationkey", "bal_bucket",
+            F.sum("cents").over(wr).cast("bigint").alias("neighborhood_cents"),
+            F.count(F.lit(1)).over(wr).cast("bigint").alias("neighborhood_n"),
+        )
+        .orderBy("s_nationkey", "bal_bucket", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_backtest_mae — rolling-origin backtest of two naive models
+# ---------------------------------------------------------------------------
+# The evaluation harness around ts_seasonal_naive (olap12): for every
+# day with history, score the seasonal-naive forecast ŷ_d = y_{d−7}
+# against naive-1 ŷ_d = y_{d−1} on daily cents; MAE in exact integer
+# cents (floor div), skill = mae7/mae1 in ppm. All lags over the
+# bounded day grid; one fact shuffle into the daily aggregate.
+
+BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, cents,
+         lag(cents, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7,
+         lag(cents, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs(cents - y7)) AS BIGINT) AS sae_seasonal7,
+       CAST(SUM(abs(cents - y1)) AS BIGINT) AS sae_naive1,
+       CAST(SUM(abs(cents - y7)) // COUNT(*) AS BIGINT) AS mae7_cents,
+       CAST(SUM(abs(cents - y1)) // COUNT(*) AS BIGINT) AS mae1_cents,
+       CAST(1000000 * SUM(abs(cents - y7)) // NULLIF(SUM(abs(cents - y1)), 0) AS BIGINT)
+         AS skill_ppm
+FROM lagged
+WHERE y7 IS NOT NULL AND y1 IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ts_forecast_backtest_mae", BACKTEST_ORACLE)
+def ts_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type", "cents",
+        F.lag("cents", 7).over(w).alias("y7"),
+        F.lag("cents", 1).over(w).alias("y1"),
+    ).where(F.col("y7").isNotNull() & F.col("y1").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.abs(F.col("cents") - F.col("y7"))).cast("bigint").alias("sae_seasonal7"),
+            F.sum(F.abs(F.col("cents") - F.col("y1"))).cast("bigint").alias("sae_naive1"),
+        )
+        .selectExpr(
+            "event_type", "n_scored", "sae_seasonal7", "sae_naive1",
+            "cast(sae_seasonal7 div n_scored as bigint) AS mae7_cents",
+            "cast(sae_naive1 div n_scored as bigint) AS mae1_cents",
+            "cast(1000000 * sae_seasonal7 div nullif(sae_naive1, 0) as bigint) AS skill_ppm",
+        )
+        .orderBy("event_type")
+    )

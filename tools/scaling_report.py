@@ -74,6 +74,20 @@ OPS = [
     # TABLESAMPLE predicate, and the langid confusion matrix
     # (token-grain map + langs² aggregate)
     "sample_exact_stratified", "sample_tablesample", "text_lang_confusion",
+    # r11 rotation (r10 verdict item 6): the r10 wave 2-6 additions —
+    # exact bitmap distinct (the shuffle carries domain/63 mask rows;
+    # 16x key domain => 16x masks, growth ~linear in the domain), its
+    # STREAMING twin (same mask state maintained by the engine), the
+    # deterministic synchronous LPA over the 16x k-NN graph (O(|E|)
+    # per round), and the vocabulary-grain collocation lift (token
+    # stream grows 16x, the bigram vocab much slower)
+    "agg_bitmap_distinct", "stream_bitmap_distinct",
+    "graph_label_propagation", "text_collocation_lift",
+    # r11 additions with pair/window stages worth a 16x row: Theil-Sen
+    # (pairs from the bounded day grid — day count is SF-invariant, so
+    # growth should track the daily-aggregate scan), the hazard curve
+    # (user-grain shuffle), and the gains curve (bounded bin grid)
+    "ts_theil_sen_slope", "ev_hazard_curve", "ml_lift_gain_curve",
 ]
 
 # ANN recall at scale (r9 verdict item 7): the recall pins in
@@ -88,13 +102,14 @@ RECALL_TIERS = ["ann_lsh_cosine", "ann_ivf_cosine", "ann_pq_adc", "ann_ivfpq"]
 # stale gitignored tmp/sf1.6x from an older recipe must rebuild, not
 # silently serve (r10 review: the r10 `source` column addition would
 # have been invisible behind a bare existence check)
-_CORPUS_RECIPE = "v2:with-source"
+_CORPUS_RECIPE = "v3:with-events"
 
 
 def _corpus_fingerprint() -> str:
     return (
         f"{_CORPUS_RECIPE}:{os.path.getmtime(os.path.join(BASE, 'documents.parquet'))}"
         f":{os.path.getmtime(os.path.join(BASE, 'embeddings.parquet'))}"
+        f":{os.path.getmtime(os.path.join(BASE, 'events.parquet'))}"
     )
 
 
@@ -126,6 +141,17 @@ def build_big_corpus() -> None:
       FROM read_parquet('{BASE}/embeddings.parquet'),
            (SELECT UNNEST(range({COPIES})) AS i) c
     ) TO '{BIG}/embeddings.parquet' (FORMAT parquet, ROW_GROUP_SIZE 2000)
+    """)
+    # 16x events (r10 verdict item 6): shifted event AND user ids so the
+    # bitmap-distinct key domain and the per-user state both grow 16x —
+    # the regime that stresses mask-bucket counts and streaming state
+    con.execute(f"""
+    COPY (
+      SELECT event_id + 100000000 * c.i AS event_id, ts,
+             user_id + 100000 * c.i AS user_id, event_type, value, props
+      FROM read_parquet('{BASE}/events.parquet'),
+           (SELECT UNNEST(range({COPIES})) AS i) c
+    ) TO '{BIG}/events.parquet' (FORMAT parquet, ROW_GROUP_SIZE 50000)
     """)
     with open(os.path.join(BIG, "_big_ok"), "w") as fh:
         fh.write(_corpus_fingerprint())
