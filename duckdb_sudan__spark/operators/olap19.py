@@ -712,3 +712,251 @@ def ts_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_by_sample_fraction — AUC learning-style curve on nested samples
+# ---------------------------------------------------------------------------
+# "Would a quarter of the eval set have told us the same thing?" —
+# the metric-stability readout next to ml_auc_exact (olap17.py):
+# exact AUC on NESTED deterministic 25%/50%/100% subsets. Nesting via
+# the repo's portable sampling idiom (sample_tablesample): first hex
+# digit of md5(seed:event_id) under a threshold — the 25% set is a
+# subset of the 50% set by construction, so differences between rows
+# are sampling noise only. Everything rides the score-grain trick:
+# per (fraction, score-cents, hex-class) counts first (domain-bounded),
+# the rank window only over that grain.
+
+AUC_FRAC_SEED = 7
+# nested thresholds on the first hex digit: <'4' = 4/16, <'8' = 8/16,
+# <'g' = all 16/16
+AUC_FRACTIONS = [("f025", "4"), ("f050", "8"), ("f100", "g")]
+
+_AUC_FRac_VALUES = ", ".join(f"('{n}', '{t}')" for n, t in AUC_FRACTIONS)
+
+AUC_FRAC_ORACLE = f"""
+WITH scored AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         substr(md5('{AUC_FRAC_SEED}:' || CAST(event_id AS VARCHAR)), 1, 1) AS h1
+  FROM events
+), fr AS (SELECT * FROM (VALUES {_AUC_FRac_VALUES}) t(fraction, thresh)),
+grain AS (
+  SELECT fraction, s,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM scored JOIN fr ON h1 < thresh
+  GROUP BY fraction, s
+), cum AS (
+  SELECT fraction, n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (PARTITION BY fraction ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+  FROM grain
+)
+SELECT fraction,
+       CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+       CAST(floor(1000000.0 * CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+            / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))) AS BIGINT)
+         AS auc_ppm
+FROM cum
+GROUP BY fraction
+ORDER BY fraction
+"""
+
+
+@register("ml_auc_by_sample_fraction", AUC_FRAC_ORACLE)
+def ml_auc_by_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fr = spark.createDataFrame(AUC_FRACTIONS, "fraction string, thresh string")
+    scored = e.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        F.substring(
+            F.md5(F.concat(F.lit(f"{AUC_FRAC_SEED}:"), F.col("event_id").cast("string"))),
+            1, 1,
+        ).alias("h1"),
+    )
+    grain = (
+        scored.join(F.broadcast(fr), F.col("h1") < F.col("thresh"))
+        .groupBy("fraction", "s")
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
+        )
+    )
+    w = Window.partitionBy("fraction").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grain.select(
+        "fraction", "n_pos", "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("bigint").alias("neg_below"),
+    )
+    return (
+        cum.groupBy("fraction")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+            F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg")))
+            .cast("bigint")
+            .alias("u2"),
+        )
+        .select(
+            "fraction", "n_pos", "n_neg", "u2",
+            F.floor(
+                1000000.0 * F.col("u2").cast("double")
+                / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            ).cast("bigint").alias("auc_ppm"),
+        )
+        .orderBy("fraction")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_rolling_mad — robust rolling anomaly flags on the day grid
+# ---------------------------------------------------------------------------
+# The robust twin of ev_anomaly_zscore (olap11): a day is anomalous
+# when |x − rolling_median| > 3·rolling_MAD over the trailing 15-day
+# window. Medians cannot stack as window aggregates in either engine,
+# so the window materializes as a bounded day-grid self-join
+# (≤15 rows per scored day, O(days·15) — days are SF-invariant) and
+# both medians are GROUPED exact percentiles on integer cents (dyadic
+# interpolation — exact in both engines on integers, the agg_median
+# contract; MAD's inputs sit on the half-cent grid, still dyadic).
+
+MAD_WINDOW_DAYS = 15
+
+ROLLING_MAD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS di,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.di, a.cents AS x, b.cents AS v
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type
+   AND b.di BETWEEN a.di - {MAD_WINDOW_DAYS - 1} AND a.di
+), med AS (
+  SELECT event_type, di, MIN(x) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n_window,
+         median(v) AS med
+  FROM pairs GROUP BY event_type, di
+), mad AS (
+  SELECT p.event_type, p.di, m.x, m.n_window, m.med,
+         median(abs(p.v - m.med)) AS mad
+  FROM pairs p JOIN med m ON p.event_type = m.event_type AND p.di = m.di
+  GROUP BY p.event_type, p.di, m.x, m.n_window, m.med
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(*) FILTER (n_window = {MAD_WINDOW_DAYS}
+                             AND abs(x - med) > 3 * mad) AS BIGINT) AS n_anomalies,
+       CAST(SUM(CASE WHEN abs(x - med) > 3 * mad THEN abs(x - med) ELSE 0 END) AS DOUBLE)
+         AS sum_anomalous_dev
+FROM mad
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ts_anomaly_rolling_mad", ROLLING_MAD_ORACLE)
+def ts_anomaly_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").cast("bigint").alias("di"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    b = daily.select(F.col("event_type").alias("et2"), F.col("di").alias("di2"),
+                     F.col("cents").alias("v"))
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("di2") >= F.col("di") - (MAD_WINDOW_DAYS - 1))
+        & (F.col("di2") <= F.col("di")),
+    ).select("event_type", "di", F.col("cents").alias("x"), "v")
+    med = pairs.groupBy("event_type", "di").agg(
+        F.min("x").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n_window"),
+        F.percentile("v", F.lit(0.5)).alias("med"),
+    )
+    mad = (
+        pairs.join(med.select("event_type", "di", "med"), ["event_type", "di"])
+        .groupBy("event_type", "di")
+        .agg(F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    scored = med.join(mad, ["event_type", "di"])
+    is_anom = F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.count_if(is_anom & (F.col("n_window") == MAD_WINDOW_DAYS))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.sum(
+                F.when(is_anom, F.abs(F.col("x") - F.col("med"))).otherwise(F.lit(0))
+            ).cast("double").alias("sum_anomalous_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_customer_reorder_gaps — reorder latency distribution per segment
+# ---------------------------------------------------------------------------
+# Retail replenishment readout: days between consecutive orders per
+# customer (lag over the per-customer order sequence — partitions
+# bounded by orders-per-customer, the ev_inter_event_gaps posture),
+# rolled up per market segment with an exact dyadic median.
+
+REORDER_GAPS_ORACLE = """
+WITH seq AS (
+  SELECT c_mktsegment,
+         CAST(CAST(o_orderdate AS DATE)
+              - lag(CAST(o_orderdate AS DATE))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS BIGINT) AS gap_days
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+       CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+       median(gap_days) AS median_gap
+FROM seq WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@register("q_customer_reorder_gaps", REORDER_GAPS_ORACLE)
+def q_customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).cast("bigint").alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        seq.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_gap"),
+            F.max("gap_days").cast("bigint").alias("max_gap"),
+            F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+            F.percentile("gap_days", F.lit(0.5)).alias("median_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
