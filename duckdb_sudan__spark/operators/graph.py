@@ -283,3 +283,123 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _LPA_CACHE_HANDLES.append(labels)
     return labels.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_histogram — undirected degree distribution of the k-NN graph
+# ---------------------------------------------------------------------------
+# The graph-health readout read before any graph algorithm: the
+# UNDIRECTED degree varies per node (out-degree is K by construction,
+# but in-degree doesn't reciprocate), and its distribution predicts
+# LPA/PageRank behavior and dedup-cluster fan-out. Composes the
+# oracled emb_knn_graph exactly like graph_triangle_count: distinct
+# unordered edges, per-node counts over both endpoints, then a
+# bounded histogram (degree ≤ 2K).
+
+DEGREE_HIST_ORACLE = f"""
+WITH knn AS ({KNN_GRAPH_ORACLE}),
+und AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v FROM knn
+), deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+  GROUP BY x
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("graph_degree_histogram", DEGREE_HIST_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = emb_knn_graph(spark, sf_dir)
+    und = edges.select(
+        F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_common_neighbors — link prediction / dedup candidate generation
+# ---------------------------------------------------------------------------
+# Common-neighbor counting: the simplest link predictor and the
+# candidate generator graph-based dedup uses one tier above direct
+# k-NN pairs ("two docs near the same neighbors are probably near
+# each other"). Wedge enumeration through the shared endpoint (cost
+# Σ deg² — k-NN caps deg at 2K, so O(|V|·K²), never |V|²), existing
+# edges removed by an anti join, top-10 by (count DESC, pair) —
+# deterministic total order.
+
+COMMON_NEIGHBORS_ORACLE = f"""
+WITH knn AS ({KNN_GRAPH_ORACLE}),
+und AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v FROM knn
+), adj AS (
+  SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und
+), wedges AS (
+  SELECT a.y AS u, b.y AS w, a.x AS via
+  FROM adj a JOIN adj b ON a.x = b.x AND a.y < b.y
+), cand AS (
+  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedges
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = wedges.u AND und.v = wedges.w)
+  GROUP BY u, w
+)
+SELECT u, w, n_common
+FROM (SELECT *, row_number() OVER (ORDER BY n_common DESC, u, w) AS rn FROM cand)
+WHERE rn <= 10
+ORDER BY n_common DESC, u, w
+"""
+
+
+_CN_CACHE_HANDLES: list[DataFrame] = []
+
+
+@register("graph_common_neighbors", COMMON_NEIGHBORS_ORACLE)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # release the previous run's pin (the _TRI_CACHE_HANDLES idiom:
+    # bench runs the entry repeatedly in one session)
+    while _CN_CACHE_HANDLES:
+        _CN_CACHE_HANDLES.pop().unpersist()
+    edges = emb_knn_graph(spark, sf_dir)
+    und = edges.select(
+        F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+    ).distinct().persist()
+    _CN_CACHE_HANDLES.append(und)
+    adj = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    a = adj.select(F.col("x"), F.col("y").alias("u"))
+    b = adj.select(F.col("x"), F.col("y").alias("w"))
+    wedges = a.join(b, "x").where(F.col("u") < F.col("w"))
+    cand = (
+        wedges.join(
+            und,
+            (wedges.u == und.u) & (wedges.w == und.v),
+            "left_anti",
+        )
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    from pyspark.sql.window import Window as W
+
+    top = (
+        cand.select(
+            "u", "w", "n_common",
+            F.row_number().over(W.orderBy(F.desc("n_common"), "u", "w")).alias("rn"),
+        )
+        .where(F.col("rn") <= 10)
+        .select("u", "w", "n_common")
+        .orderBy(F.desc("n_common"), "u", "w")
+    )
+    return top

@@ -514,3 +514,145 @@ def corpus_bigram_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled.cast("bigint").alias("entropy_scaled_bits"),
         F.round(scaled.cast("double") / F.col("total").cast("double"), 6).alias("mean_bits"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# sample_soft_dedup_weights — downweight duplicates instead of dropping
+# ---------------------------------------------------------------------------
+# The soft alternative to dedup_exact's keep-canonical: every copy
+# survives with weight 1/n_copies, so the training mix preserves
+# coverage while each duplicated CONTENT contributes exactly one unit
+# of mass (the "soft dedup" used when provenance must be kept).
+# Weight in exact ppm (1e6 // n_copies — floor div on positives);
+# per-lang rollup reports raw vs effective counts and the mass saved.
+# Same BOW fingerprint as dedup_exact (one shuffle on fp, window
+# bounded by copy-group size, then a map-combined lang rollup).
+
+from duckdb_sudan__spark.operators.text import SQL_BOW_FP, bow_fingerprint_expr  # noqa: E402
+
+SOFT_DEDUP_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, lang, {SQL_BOW_FP} AS fp FROM documents
+), w AS (
+  SELECT lang, CAST(1000000 // COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS w_ppm
+  FROM fp
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS raw_n,
+       CAST(SUM(w_ppm) AS BIGINT) AS effective_mass_ppm,
+       CAST(1000000 - SUM(w_ppm) // COUNT(*) AS BIGINT) AS mass_saved_ppm_per_doc
+FROM w GROUP BY lang ORDER BY lang
+"""
+
+
+@register("sample_soft_dedup_weights", SOFT_DEDUP_ORACLE)
+def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "lang", bow_fingerprint_expr().alias("fp"))
+    wfp = Window.partitionBy("fp")
+    w = fp.select(
+        "lang",
+        F.expr("1000000").cast("bigint").alias("m"),
+        F.count(F.lit(1)).over(wfp).cast("bigint").alias("n_copies"),
+    ).selectExpr("lang", "cast(m div n_copies as bigint) AS w_ppm")
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("raw_n"),
+            F.sum("w_ppm").cast("bigint").alias("effective_mass_ppm"),
+        )
+        .selectExpr(
+            "lang", "raw_n", "effective_mass_ppm",
+            "cast(1000000 - effective_mass_ppm div raw_n as bigint)"
+            " AS mass_saved_ppm_per_doc",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_data_card — the dataset-card summary table in one pass
+# ---------------------------------------------------------------------------
+# The per-language table a dataset card publishes: volume (docs,
+# whitespace tokens, chars), exact-duplicate rate, and mean rule-based
+# quality — all from ONE scan + the fp window. Quality is the oracled
+# text_quality expression quantized per doc to exact ppm (round of an
+# identical double on both engines), so the SUM is integer-exact at
+# any row count and the mean is one terminal floor division.
+
+from duckdb_sudan__spark.operators.text import (  # noqa: E402
+    _sql_n_tokens,
+    _stop_regex,
+    n_tokens_expr,
+)
+
+DATA_CARD_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST({_sql_n_tokens()} AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         COUNT(*) OVER (PARTITION BY {SQL_BOW_FP}) > 1 AS is_dup,
+         CAST(round((least(1.0, {_sql_n_tokens()} / 100.0) * 0.4
+              + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]'))
+                      / greatest(length(text), 1)) * 0.3
+              + least(1.0, len(regexp_extract_all(lower(text), '{_stop_regex("en")}'))
+                           / greatest({_sql_n_tokens()}, 1) * 5.0) * 0.3) * 1000000)
+           AS BIGINT) AS q_ppm
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(1000000 * COUNT(*) FILTER (is_dup) // COUNT(*) AS BIGINT) AS dup_rate_ppm,
+       CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_quality_ppm
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("pipeline_data_card", DATA_CARD_ORACLE)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = n_tokens_expr()
+    punct_ratio = (
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    )
+    stop_ratio = (
+        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    quality = (
+        F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
+    )
+    wfp = Window.partitionBy(bow_fingerprint_expr())
+    per_doc = d.select(
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.count(F.lit(1)).over(wfp) > 1).alias("is_dup"),
+        F.round(quality * 1000000).cast("bigint").alias("q_ppm"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_if(F.col("is_dup")).cast("bigint").alias("n_dup_docs"),
+            F.sum("q_ppm").cast("bigint").alias("sum_q"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "total_tokens", "total_chars", "n_dup_docs",
+            "cast(1000000 * n_dup_docs div n_docs as bigint) AS dup_rate_ppm",
+            "cast(sum_q div n_docs as bigint) AS mean_quality_ppm",
+        )
+        .orderBy("lang")
+    )
