@@ -960,3 +960,143 @@ def q_customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_cross_correlation_lags — lead/lag correlation between two series
+# ---------------------------------------------------------------------------
+# "Do views lead purchases, and by how many days?" — the
+# cross-correlation function at lags −7..+7 between the daily view
+# and purchase cent series. ts_rolling_corr_pairs' determinism recipe
+# (olap17.py) generalized across a lag table: every moment (n, Σx,
+# Σy, Σx², Σy², Σxy) is an exact integer sum over the aligned
+# day-grid join, and corr is the one fixed-sequence double expression
+# both engines evaluate identically. The lag table is a 15-row
+# broadcast; the join is day-grid × lags — bounded.
+
+XCORR_MAX_LAG = 7
+
+_XCORR_LAG_VALUES = ", ".join(f"({k})" for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1))
+
+XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS di,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), lags AS (SELECT * FROM (VALUES {_XCORR_LAG_VALUES}) t(lag_days)),
+aligned AS (
+  SELECT l.lag_days, a.x, b.y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.di = a.di + l.lag_days
+), m AS (
+  SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM aligned GROUP BY lag_days
+)
+SELECT lag_days, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS xcorr
+FROM m
+ORDER BY lag_days
+"""
+
+
+@register("ts_cross_correlation_lags", XCORR_ORACLE)
+def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").cast("bigint").alias("di")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint").alias("y"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)], "lag_days bigint"
+    )
+    b = daily.select(F.col("di").alias("di2"), F.col("y").alias("y2"))
+    aligned = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("di2") == F.col("di") + F.col("lag_days"))
+        .select("lag_days", "x", F.col("y2").alias("y"))
+    )
+    m = aligned.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n_d, sx_d, sy_d = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx_d, syy_d, sxy_d = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    return m.select(
+        "lag_days", "n",
+        (
+            (n_d * sxy_d - sx_d * sy_d)
+            / (F.sqrt(n_d * sxx_d - sx_d * sx_d) * F.sqrt(n_d * syy_d - sy_d * sy_d))
+        ).alias("xcorr"),
+    ).orderBy("lag_days")
+
+
+# ---------------------------------------------------------------------------
+# ev_dose_response_conversion — exposure-bucket conversion rates
+# ---------------------------------------------------------------------------
+# "Do users with more views convert more?" — the dose-response table
+# behind every engagement-theory debate: per user, the view count
+# (dose, bucketed by bit-length — log2 buckets, the repo's log-free
+# idiom) and a converted flag (any purchase); per bucket, users and
+# conversion rate in exact ppm. One user-grain shuffle, then a
+# map-combined rollup into ≤~20 buckets.
+
+DOSE_RESPONSE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_views,
+         COUNT(*) FILTER (event_type = 'purchase') > 0 AS converted
+  FROM events GROUP BY user_id
+), bucketed AS (
+  SELECT CASE WHEN n_views = 0 THEN 0
+              ELSE CAST(length(printf('%b', n_views)) AS BIGINT) END AS dose_bucket,
+         converted
+  FROM per_user
+)
+SELECT dose_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (converted) AS BIGINT) AS n_converted,
+       CAST(1000000 * COUNT(*) FILTER (converted) // COUNT(*) AS BIGINT) AS conversion_ppm
+FROM bucketed GROUP BY dose_bucket ORDER BY dose_bucket
+"""
+
+
+@register("ev_dose_response_conversion", DOSE_RESPONSE_ORACLE)
+def ev_dose_response_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "view").cast("bigint").alias("n_views"),
+        (F.count_if(F.col("event_type") == "purchase") > 0).alias("converted"),
+    )
+    bucket = F.when(F.col("n_views") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("n_views").cast("string"), 10, 2)).cast("bigint")
+    )
+    return (
+        per_user.select(bucket.alias("dose_bucket"), "converted")
+        .groupBy("dose_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count_if(F.col("converted")).cast("bigint").alias("n_converted"),
+        )
+        .selectExpr(
+            "dose_bucket", "n_users", "n_converted",
+            "cast(1000000 * n_converted div n_users as bigint) AS conversion_ppm",
+        )
+        .orderBy("dose_bucket")
+    )

@@ -966,3 +966,111 @@ def _register_snapshots() -> None:
 
 
 _register_snapshots()
+
+
+# ---------------------------------------------------------------------------
+# files_dynamic_partition_overwrite — partition-scoped overwrite semantics
+# ---------------------------------------------------------------------------
+# The lakehouse write mode every daily-batch pipeline depends on:
+# overwriting ONLY the partitions present in the incoming frame
+# (spark.sql.sources.partitionOverwriteMode=dynamic) while untouched
+# partitions survive byte-for-byte. The entry executes the two-step
+# write (full partitioned write, then a dynamic overwrite of the 'en'
+# partition with transformed rows), reads the final tree back, and the
+# ORACLE reconstructs the expected state purely from the source table
+# (CASE on lang) — so a static-overwrite regression (all partitions
+# wiped) or a leaky dynamic write (en rows doubled) both hash-diverge.
+
+_DYNOVER_ROOT = "/root/repo/tmp/dynover"
+
+DYNOVER_ORACLE = """
+WITH expected AS (
+  SELECT lang,
+         doc_id + CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS doc_id,
+         n_chars + CASE WHEN lang = 'en' THEN 7 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM expected GROUP BY lang ORDER BY lang
+"""
+
+
+def _dynover_write(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the two-step dynamic-overwrite state under
+    tmp/dynover/<sf-key> (fingerprint-cached, atomic swap — the
+    roundtrip contract). Step 1: full write partitioned by lang.
+    Step 2: dynamic overwrite of ONLY the en partition with
+    transformed rows (doc_id+1e6, n_chars+7). The session conf is
+    restored in a finally — entries must not leak config."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.session import load_table
+
+    sf_base = sf_cache_key(sf_dir)
+    _prune_stale_siblings(_DYNOVER_ROOT, sf_base)
+    final = os.path.join(_DYNOVER_ROOT, sf_base)
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = f"v1:{sf_base}:{os.path.getmtime(src)}"
+    marker = os.path.join(final, "_dyn_ok")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return final
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    staging = f"{final}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    data_dir = os.path.join(staging, "table")
+    d.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(data_dir)
+    en_patch = (
+        d.where(F.col("lang") == "en")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("n_chars") + 7).alias("n_chars"),
+            F.col("lang"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        en_patch.repartition("lang").write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(data_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with open(os.path.join(staging, "_dyn_ok"), "w") as fh:
+        fh.write(fingerprint)
+    shutil.rmtree(final, ignore_errors=True)
+    _swap_staging(staging, final, marker)
+    return final
+
+
+def _register_dynover() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+
+    @register("files_dynamic_partition_overwrite", DYNOVER_ORACLE)
+    def files_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        root = _dynover_write(spark, sf_dir)
+        back = spark.read.parquet(os.path.join(root, "table"))
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("lang")
+        )
+
+
+_register_dynover()
