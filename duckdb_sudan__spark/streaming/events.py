@@ -210,6 +210,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = event_gaps_stream(events), "append"
         elif which == "new_vs_returning":  # per-user first-seen classifier
             out, mode = new_vs_returning_stream(events), "append"
+        elif which == "lifetime":  # per-user lifetime tracker (update mode)
+            out, mode = lifetime_stream(events), "update"
         elif which == "attribution":  # stream-stream interval self-join
             out, mode = attribution_join_stream(events), "append"
         elif which == "scd2":  # stateful SCD2 dimension build
@@ -1007,6 +1009,83 @@ def scd2_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             SCD2_OUT_SCHEMA,
             SCD2_STATE_SCHEMA,
             "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user lifetime tracking (the hazard
+# curve's streaming feed) — each micro-batch updates (first, last) day
+# state and emits the user's CURRENT lifetime in days
+# ---------------------------------------------------------------------------
+
+LIFETIME_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_days", T.LongType()),
+    ]
+)
+# (first_us, last_us) of the user's observed day range
+LIFETIME_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _lifetime_fn(key, pdf_iter, state):
+    """Update-mode lifetime tracker: O(1) state per user (two day
+    scalars). Emits one (user, t_days) row per micro-batch in which
+    the user's observed [first, last] day range CHANGED — lifetimes
+    only grow, so the sink-side max(t_days) per user is the final
+    lifetime regardless of batch interleaving (unlike the append-mode
+    operators there is NO cross-batch ordering contract at all:
+    min/max are order-free)."""
+    import pandas as pd
+
+    lo = hi = None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        # pandas datetime64 int64 view is NANOseconds — floor to the
+        # day grid in µs (the state schema's unit, like _new_ret_fn)
+        us = (pdf["ts"].astype("int64") // 1000 // _DAY_US) * _DAY_US
+        b_lo, b_hi = int(us.min()), int(us.max())
+        lo = b_lo if lo is None or b_lo < lo else lo
+        hi = b_hi if hi is None or b_hi > hi else hi
+    if lo is None:
+        return
+    if state.exists:
+        (s_lo, s_hi) = state.get
+        lo = min(lo, s_lo)
+        hi = max(hi, s_hi)
+        changed = (lo, hi) != (s_lo, s_hi)
+    else:
+        changed = True
+    state.update((lo, hi))
+    if changed:
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t_days": [(hi - lo) // _DAY_US]}
+        )
+
+
+def lifetime_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ev_hazard_curve's streaming feed: per-user lifetime state
+    maintained by the engine (applyInPandasWithState, update mode);
+    the hazard table is a sink-side rollup over max(t_days) per user
+    (drained ≡ the batch entry, asserted in tests)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _lifetime_fn,
+            LIFETIME_OUT_SCHEMA,
+            LIFETIME_STATE_SCHEMA,
+            "update",
             GroupStateTimeout.NoTimeout,
         )
     )

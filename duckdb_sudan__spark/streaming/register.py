@@ -332,6 +332,30 @@ def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "new_vs_returning")
 
 
+@register("stream_hazard_lifetimes")  # rows-only: ≡ batch ev_hazard_curve (tested)
+def stream_hazard_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_hazard_curve's streaming twin: per-user lifetime state
+    (applyInPandasWithState, update mode — min/max are order-free, so
+    this is the one custom stateful operator with NO cross-batch
+    ordering contract at all); the hazard table is a sink-side rollup
+    over max(t_days) per user. Drained ≡ the batch entry exactly;
+    asserted in tests/test_sources_streaming.py."""
+    from pyspark.sql.window import Window
+
+    drained = run_stream_to_memory(spark, sf_dir, "lifetime")
+    final = drained.groupBy("user_id").agg(
+        F.max("t_days").cast("bigint").alias("t")
+    )
+    hist = final.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("d_t"))
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.select("t", "d_t", F.sum("d_t").over(wdesc).cast("bigint").alias("at_risk"))
+        .selectExpr("t", "d_t", "at_risk",
+                    "cast(1000000 * d_t div at_risk as bigint) AS hazard_ppm")
+        .orderBy("t")
+    )
+
+
 @register("stream_event_gaps")  # rows-only: custom stateful lag operator
 def stream_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, type) inter-event gaps as a stream — the CDC

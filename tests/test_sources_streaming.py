@@ -1102,3 +1102,17 @@ def test_new_ret_fn_drops_late_and_duplicate_days():
     first_us, last_us = st_.get
     assert first_us == pd.Timestamp("2024-01-02").value // 1000
     assert last_us == pd.Timestamp("2024-01-04").value // 1000
+
+
+def test_stream_hazard_lifetimes_equals_batch(spark):
+    """The update-mode lifetime tracker drained and rolled up must
+    reproduce the batch hazard table EXACTLY — min/max state is
+    order-free, so this equivalence has no arrival-order caveat."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+
+    got = [tuple(r) for r in QUERIES["stream_hazard_lifetimes"](spark, SF_DIR).collect()]
+    want = [tuple(r) for r in QUERIES["ev_hazard_curve"](spark, SF_DIR).collect()]
+    assert got == want and len(got) > 0
