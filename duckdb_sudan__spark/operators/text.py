@@ -135,13 +135,65 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_blend(n_tokens, punct_ratio, stop_ratio):
+    """THE quality-score definition (Spark side): length/punct/stopword
+    blend with 0.4/0.3/0.3 weights. Single definition site (r11
+    review) — text_quality, pipeline_clean_corpus and
+    pipeline_data_card (text6.py) all call this; edit weights HERE."""
+    return (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
+    )
+
+
+def _sql_quality_blend(n_tokens: str, punct_ratio: str, stop_ratio: str) -> str:
+    """quality_blend's DuckDB twin — same single-definition contract."""
+    return (
+        f"least(1.0, {n_tokens} / 100.0) * 0.4"
+        f" + (1.0 - {punct_ratio}) * 0.3"
+        f" + least(1.0, {stop_ratio} * 5.0) * 0.3"
+    )
+
+
+def _sql_punct_ratio() -> str:
+    return "len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) / greatest(length(text), 1)"
+
+
+def _sql_stop_ratio() -> str:
+    return (
+        f"len(regexp_extract_all(lower(text), '{_stop_regex('en')}'))"
+        f" / greatest({_sql_n_tokens()}, 1)"
+    )
+
+
+def _sql_quality_inline() -> str:
+    """The full quality expression over raw `text` (for oracles that
+    inline it rather than selecting components first)."""
+    return _sql_quality_blend(_sql_n_tokens(), _sql_punct_ratio(), _sql_stop_ratio())
+
+
+def punct_ratio_expr():
+    return (
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    )
+
+
+def stop_ratio_expr():
+    return (
+        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
+        / F.greatest(n_tokens_expr(), F.lit(1)).cast("double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text_quality — length/punctuation/stopword quality score
 # ---------------------------------------------------------------------------
 
 QUALITY_ORACLE = f"""
 SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
-       least(1.0, n_tokens / 100.0) * 0.4 + (1.0 - punct_ratio) * 0.3 + least(1.0, stop_ratio * 5.0) * 0.3 AS quality
+       {_sql_quality_blend("n_tokens", "punct_ratio", "stop_ratio")} AS quality
 FROM (
   SELECT doc_id,
          CAST({_sql_n_tokens()} AS INTEGER) AS n_tokens,
@@ -157,25 +209,14 @@ ORDER BY doc_id
 @register("text_quality", QUALITY_ORACLE)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_tok = n_tokens_expr()
-    punct_ratio = (
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
-        / F.greatest(F.length("text"), F.lit(1)).cast("double")
-    )
-    stop_ratio = (
-        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
-        / F.greatest(n_tok, F.lit(1)).cast("double")
-    )
     base = d.select(
         "doc_id",
-        n_tok.cast("int").alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
+        n_tokens_expr().cast("int").alias("n_tokens"),
+        punct_ratio_expr().alias("punct_ratio"),
+        stop_ratio_expr().alias("stop_ratio"),
     )
-    quality = (
-        F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.4
-        + (F.lit(1.0) - F.col("punct_ratio")) * 0.3
-        + F.least(F.lit(1.0), F.col("stop_ratio") * 5.0) * 0.3
+    quality = quality_blend(
+        F.col("n_tokens"), F.col("punct_ratio"), F.col("stop_ratio")
     )
     return base.select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", quality.alias("quality")).orderBy("doc_id")
 
@@ -234,10 +275,7 @@ CLEAN_CORPUS_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
          CAST({_sql_n_tokens()} AS INTEGER) AS n_tokens,
-         least(1.0, {_sql_n_tokens()} / 100.0) * 0.4
-           + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) / greatest(length(text), 1)) * 0.3
-           + least(1.0, len(regexp_extract_all(lower(text), '{_stop_regex("en")}'))
-                         / greatest({_sql_n_tokens()}, 1) * 5.0) * 0.3 AS quality
+         {_sql_quality_inline()} AS quality
   FROM documents
 ), gated AS (
   SELECT doc_id, lang, n_tokens, quality, {SQL_BOW_FP} AS bow_fp
@@ -259,19 +297,7 @@ ORDER BY lang
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tok = n_tokens_expr()
-    punct_ratio = (
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
-        / F.greatest(F.length("text"), F.lit(1)).cast("double")
-    )
-    stop_ratio = (
-        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
-        / F.greatest(n_tok, F.lit(1)).cast("double")
-    )
-    quality = (
-        F.least(F.lit(1.0), n_tok / 100.0) * 0.4
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
-    )
+    quality = quality_blend(n_tok, punct_ratio_expr(), stop_ratio_expr())
     gated = d.select(
         "doc_id",
         "lang",

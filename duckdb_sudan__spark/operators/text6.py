@@ -584,8 +584,11 @@ def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from duckdb_sudan__spark.operators.text import (  # noqa: E402
     _sql_n_tokens,
-    _stop_regex,
+    _sql_quality_inline,
     n_tokens_expr,
+    punct_ratio_expr,
+    quality_blend,
+    stop_ratio_expr,
 )
 
 DATA_CARD_ORACLE = f"""
@@ -594,12 +597,7 @@ WITH per_doc AS (
          CAST({_sql_n_tokens()} AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          COUNT(*) OVER (PARTITION BY {SQL_BOW_FP}) > 1 AS is_dup,
-         CAST(round((least(1.0, {_sql_n_tokens()} / 100.0) * 0.4
-              + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]'))
-                      / greatest(length(text), 1)) * 0.3
-              + least(1.0, len(regexp_extract_all(lower(text), '{_stop_regex("en")}'))
-                           / greatest({_sql_n_tokens()}, 1) * 5.0) * 0.3) * 1000000)
-           AS BIGINT) AS q_ppm
+         CAST(round(({_sql_quality_inline()}) * 1000000) AS BIGINT) AS q_ppm
   FROM documents
 )
 SELECT lang,
@@ -619,19 +617,7 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     n_tok = n_tokens_expr()
-    punct_ratio = (
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\r]")).cast("double")
-        / F.greatest(F.length("text"), F.lit(1)).cast("double")
-    )
-    stop_ratio = (
-        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_regex("en"))).cast("double")
-        / F.greatest(n_tok, F.lit(1)).cast("double")
-    )
-    quality = (
-        F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.4
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
-    )
+    quality = quality_blend(n_tok, punct_ratio_expr(), stop_ratio_expr())
     wfp = Window.partitionBy(bow_fingerprint_expr())
     per_doc = d.select(
         "lang",

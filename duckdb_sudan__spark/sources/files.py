@@ -70,14 +70,17 @@ def _prune_stale_siblings(root: str, sf_base: str) -> None:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
-def _swap_staging(staging: str, final: str, marker: str) -> None:
+def _swap_staging(staging: str, final: str, marker: str, fingerprint: str) -> None:
     """Atomic staging→final swap shared by every cache writer here.
     ADVICE r10: a failed rename must NOT be swallowed — returning a
     final path that does not exist surfaces later as a confusing
     missing-manifest/missing-file read error. The ONE benign failure is
-    a concurrent same-sf build winning the race (its files are
-    byte-equivalent by determinism): detectable because final then
-    exists with a valid marker. Anything else re-raises."""
+    a concurrent SAME-fingerprint build winning the race (its files
+    are byte-equivalent by determinism): detectable because final then
+    holds a marker with THIS build's fingerprint (r11 review: a merely
+    EXISTING marker could carry a stale fingerprint from an old-corpus
+    winner — that must re-raise, not silently serve stale files).
+    Anything else re-raises."""
     import os
     import shutil
 
@@ -85,7 +88,12 @@ def _swap_staging(staging: str, final: str, marker: str) -> None:
         os.rename(staging, final)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                winner_ok = fh.read().strip() == fingerprint
+        except OSError:
+            winner_ok = False
+        if not winner_ok:
             raise
 
 
@@ -256,7 +264,7 @@ def _roundtrip_write(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     with open(os.path.join(staging, "_rt_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    _swap_staging(staging, final, marker)
+    _swap_staging(staging, final, marker, fingerprint)
     return final
 
 
@@ -412,7 +420,7 @@ def _stage_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_dpp_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    _swap_staging(staging, final, marker)
+    _swap_staging(staging, final, marker, fingerprint)
     return final
 
 
@@ -590,7 +598,7 @@ def _schema_evo_write(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_rt_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    _swap_staging(staging, final, marker)
+    _swap_staging(staging, final, marker, fingerprint)
     return final
 
 
@@ -919,7 +927,7 @@ def _snapshot_write(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_snap_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    _swap_staging(staging, final, marker)
+    _swap_staging(staging, final, marker, fingerprint)
     return final
 
 
@@ -1046,7 +1054,7 @@ def _dynover_write(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(staging, "_dyn_ok"), "w") as fh:
         fh.write(fingerprint)
     shutil.rmtree(final, ignore_errors=True)
-    _swap_staging(staging, final, marker)
+    _swap_staging(staging, final, marker, fingerprint)
     return final
 
 

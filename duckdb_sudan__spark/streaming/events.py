@@ -1071,16 +1071,20 @@ def _lifetime_fn(key, pdf_iter, state):
         )
 
 
-def lifetime_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def lifetime_stream(events: DataFrame) -> DataFrame:
     """ev_hazard_curve's streaming feed: per-user lifetime state
     maintained by the engine (applyInPandasWithState, update mode);
     the hazard table is a sink-side rollup over max(t_days) per user
-    (drained ≡ the batch entry, asserted in tests)."""
+    (drained ≡ the batch entry, asserted in tests). Deliberately NO
+    watermark (r11 review): a watermark would drop late rows before
+    the state update and silently lose a user's true first-seen day —
+    with order-free min/max state and NoTimeout, arbitrarily late
+    arrivals are correct, and state stays 2 scalars per user either
+    way (a watermark would not shrink it)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        events.groupBy("user_id")
         .applyInPandasWithState(
             _lifetime_fn,
             LIFETIME_OUT_SCHEMA,
