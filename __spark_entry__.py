@@ -203,10 +203,21 @@ _WINDOW_PRIORITY = [
     "ev_funnel_windowed", "ev_rfm_scores",
 ]
 
-# r12 window priority, computed at r11: FIRST any oracled entries added
-# in r11 (dual-SF dual-mode verified on registration, never
-# driver-checked), THEN the 33 r6-checked rows left over from the r11
-# window, alphabetically —
+# r12 window priority, computed at r11: FIRST the 23 oracled entries
+# added in r11 (each dual-SF dual-mode verified on registration, never
+# driver-checked) —
+#   sudan_state_intersect_area, ml_lift_gain_curve, ml_calibration_ece,
+#   ml_roc_curve_binned, ml_psi_drift_bits, agg_hhi_concentration,
+#   struct_funcs_parity, ev_hazard_curve, ts_theil_sen_slope,
+#   files_orc_roundtrip, sudan_state_centroid_bbox,
+#   win_groups_frame_emulated, ts_forecast_backtest_mae,
+#   ml_auc_by_sample_fraction, ts_anomaly_rolling_mad,
+#   q_customer_reorder_gaps, graph_degree_histogram,
+#   graph_common_neighbors, sample_soft_dedup_weights,
+#   pipeline_data_card, files_dynamic_partition_overwrite,
+#   ts_cross_correlation_lags, ev_dose_response_conversion
+# — THEN the 27 alphabetically-first of the 33 r6-checked rows left
+# over from the r11 window (the remaining 6 + rotation debt to r13) —
 #   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
 #   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
 #   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,
