@@ -1100,3 +1100,206 @@ def ev_dose_response_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dose_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_best_f1_threshold — threshold selection on the bounded score grid
+# ---------------------------------------------------------------------------
+# The decision every deployed classifier needs: which score cutoff
+# maximizes F1? Composes the binned confusion counts (the
+# ml_roc_curve_binned cumulations): at threshold = bin b, tp/fp are
+# the from-the-top cumulative sums, fn = P − tp. F1 compares as the
+# integer CROSS-MULTIPLICATION 2·tp·(denominator of the other side) —
+# never a float ratio — so the argmax is exact; ties break to the
+# LOWEST bin (most recall at equal F1) via the (ratio, bin) ordering.
+# F1 itself ships in exact ppm: 2·tp·1e6 // (2·tp + fp + fn).
+
+BEST_F1_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(least({KS_BINS - 1}, floor(value * {KS_BIN_SCALE})) AS INTEGER) AS bin,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS np,
+         CAST(COUNT(*) FILTER (event_type <> 'purchase') AS BIGINT) AS nn
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT bin,
+         CAST(SUM(np) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+         CAST(SUM(nn) OVER (ORDER BY bin DESC) AS BIGINT) AS fp,
+         CAST(SUM(np) OVER () AS BIGINT) AS p
+  FROM binned
+), scored AS (
+  SELECT bin, tp, fp, p - tp AS fn,
+         CAST(2000000 * tp // NULLIF(2 * tp + fp + (p - tp), 0) AS BIGINT) AS f1_ppm
+  FROM cum
+)
+SELECT bin AS best_bin, tp, fp, fn, f1_ppm,
+       CAST(1000000 * tp // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+       CAST(1000000 * tp // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
+FROM (SELECT *, row_number() OVER (ORDER BY f1_ppm DESC, bin) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("ml_best_f1_threshold", BEST_F1_ORACLE)
+def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(KS_BINS - 1), F.floor(F.col("value") * KS_BIN_SCALE)
+    ).cast("int")
+    binned = (
+        e.select((F.col("event_type") == "purchase").alias("pos"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("pos")).cast("bigint").alias("np"),
+            F.count_if(~F.col("pos")).cast("bigint").alias("nn"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = (
+        binned.select(
+            "bin",
+            F.sum("np").over(wtop).cast("bigint").alias("tp"),
+            F.sum("nn").over(wtop).cast("bigint").alias("fp"),
+            F.sum("np").over(wall).cast("bigint").alias("p"),
+        )
+        .selectExpr(
+            "bin", "tp", "fp", "p - tp AS fn",
+            "cast(2000000 * tp div nullif(2 * tp + fp + (p - tp), 0) as bigint) AS f1_ppm",
+        )
+    )
+    wr = Window.orderBy(F.desc("f1_ppm"), "bin")
+    return (
+        scored.select("*", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            "bin AS best_bin", "tp", "fp", "fn", "f1_ppm",
+            "cast(1000000 * tp div nullif(tp + fp, 0) as bigint) AS precision_ppm",
+            "cast(1000000 * tp div nullif(tp + fn, 0) as bigint) AS recall_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_topn_with_other — top-N + OTHER rollup (the reporting primitive)
+# ---------------------------------------------------------------------------
+# Every dashboard's category widget: per nation, the top-3 part
+# brands by revenue plus everything else collapsed into 'OTHER'.
+# Rank over the BOUNDED (nation × brand) aggregate (never the fact
+# table), conditional regroup, revenue in exact cents via the
+# micro-unit accumulator idiom.
+
+TOPN_OTHER_ORACLE = """
+WITH rev AS (
+  SELECT n_name,
+         p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, p_brand
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY cents DESC, p_brand) AS rn
+  FROM rev
+)
+SELECT n_name,
+       CASE WHEN rn <= 3 THEN p_brand ELSE 'OTHER' END AS brand_bucket,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_brands
+FROM ranked
+GROUP BY n_name, CASE WHEN rn <= 3 THEN p_brand ELSE 'OTHER' END
+ORDER BY n_name, revenue_cents DESC, brand_bucket
+"""
+
+
+@register("q_topn_with_other", TOPN_OTHER_ORACLE)
+def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wr = Window.partitionBy("n_name").orderBy(F.desc("cents"), "p_brand")
+    bucketed = rev.select(
+        "n_name", "cents",
+        F.when(F.row_number().over(wr) <= 3, F.col("p_brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("brand_bucket"),
+    )
+    return (
+        bucketed.groupBy("n_name", "brand_bucket")
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        )
+        .orderBy("n_name", F.desc("revenue_cents"), "brand_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_kfold_balance — deterministic k-fold assignment + balance audit
+# ---------------------------------------------------------------------------
+# CV folds that any engine reproduces from the data alone: fold =
+# first hex digit of md5(seed:event_id) mod 5 (the portable sampling
+# idiom). The readout is the audit run before trusting CV numbers:
+# per fold, rows and positive-class share in exact ppm — folds whose
+# class balance drifts flag a leaky or skewed split. Map-side
+# assignment, one bounded rollup; no shuffle of anything but the
+# 5-row aggregate.
+
+KFOLD_SEED = 11
+KFOLD_K = 5
+
+KFOLD_ORACLE = f"""
+WITH assigned AS (
+  SELECT (CAST(('0x' || substr(md5('{KFOLD_SEED}:' || CAST(event_id AS VARCHAR)), 1, 4)) AS INTEGER)) % {KFOLD_K} AS fold,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(1000000 * SUM(pos) // COUNT(*) AS BIGINT) AS pos_share_ppm
+FROM assigned GROUP BY fold ORDER BY fold
+"""
+
+
+@register("ml_kfold_balance", KFOLD_ORACLE)
+def ml_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{KFOLD_SEED}:"), F.col("event_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int")
+        % KFOLD_K
+    )
+    return (
+        e.select(
+            fold.alias("fold"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+        .selectExpr(
+            "fold", "n_rows", "n_pos",
+            "cast(1000000 * n_pos div n_rows as bigint) AS pos_share_ppm",
+        )
+        .orderBy("fold")
+    )

@@ -642,3 +642,66 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_source_priority — governance-aware canonical selection
+# ---------------------------------------------------------------------------
+# When duplicates span SOURCES, "keep the lowest doc_id" is wrong
+# governance: licensed/cleaner feeds must win. Canonical per exact-dup
+# cluster = argmin by (source priority, doc_id) — priority here is
+# the source's numeric suffix (src0 outranks src19), standing in for
+# the license/quality rank a real pipeline configures. Readout per
+# source: docs, kept, dropped, keep-rate ppm — the provenance audit a
+# data-governance review asks for. Same fp shuffle as dedup_exact;
+# the argmin rides one min_by-style struct ordering window.
+
+SOURCE_PRIORITY_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) AS prio,
+         {SQL_BOW_FP} AS fp
+  FROM documents
+), marked AS (
+  SELECT source,
+         (prio, doc_id) = MIN((prio, doc_id)) OVER (PARTITION BY fp) AS kept
+  FROM fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (NOT kept) AS BIGINT) AS n_dropped,
+       CAST(1000000 * COUNT(*) FILTER (kept) // COUNT(*) AS BIGINT) AS keep_rate_ppm
+FROM marked GROUP BY source ORDER BY source
+"""
+
+
+@register("dedup_source_priority", SOURCE_PRIORITY_ORACLE)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source",
+        F.substring("source", 4, 10).cast("bigint").alias("prio"),
+        bow_fingerprint_expr().alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    winner = F.min(F.struct("prio", "doc_id")).over(wfp)
+    marked = fp.select(
+        "source",
+        (F.struct("prio", "doc_id") == winner).alias("kept"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
+            F.count_if(~F.col("kept")).cast("bigint").alias("n_dropped"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_kept", "n_dropped",
+            "cast(1000000 * n_kept div n_docs as bigint) AS keep_rate_ppm",
+        )
+        .orderBy("source")
+    )
