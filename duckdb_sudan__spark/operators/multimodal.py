@@ -747,3 +747,56 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _WAV_DECODE_SCHEMA.fields])
 
     return d.mapInPandas(gen_and_decode, _WAV_DECODE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# mm_brightness_histogram — corpus-level pixel-luma distribution
+# ---------------------------------------------------------------------------
+
+_BRIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("luma_bucket", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+@register("mm_brightness_histogram")  # rows-only: pixel decode isn't SQL
+def mm_brightness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus brightness profile on REAL pixels: decode every P6
+    fixture, ITU-grayscale, bucket every pixel's luma into 16 bands,
+    and aggregate the per-image partial histograms — the
+    exposure/quality screen an image-curation pipeline runs first
+    (all-dark or blown-out shards jump out of this table). The Arrow
+    map emits 16 rows per image (the partial histogram — never pixel
+    rows), so the shuffle carries images×16, not W·H pixels; at
+    100 TB the same plan holds with the decode reading the binary
+    column. Equivalence with a pure-Python decode-everything replay
+    is asserted in tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            frames = []
+            for doc_id in batch["doc_id"]:
+                w, h, rgb = decode_ppm(_ppm_fixture(int(doc_id)))
+                gray = (
+                    0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+                )
+                buckets = np.minimum((gray // 16).astype(np.int64), 15)
+                counts = np.bincount(buckets.ravel(), minlength=16)
+                frames.append(
+                    pd.DataFrame(
+                        {"luma_bucket": np.arange(16, dtype=np.int32),
+                         "n_pixels": counts.astype(np.int64)}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return (
+        d.mapInPandas(gen_and_hist, _BRIGHT_SCHEMA)
+        .groupBy("luma_bucket")
+        .agg(F.sum("n_pixels").cast("bigint").alias("n_pixels"))
+        .orderBy("luma_bucket")
+    )

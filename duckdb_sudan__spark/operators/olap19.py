@@ -1303,3 +1303,135 @@ def ml_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_type_affinity_pmi — event-type co-occurrence lift across users
+# ---------------------------------------------------------------------------
+# "Which behaviors travel together?" — for every event-type pair, the
+# share of users doing BOTH vs the independence expectation:
+# lift = P(x,y)/(P(x)P(y)) = c_xy·N/(c_x·c_y), in exact ppm with the
+# products in DECIMAL (c_x·c_y·1e6 passes int64 around sf10 —
+# convention headroom). The user×type relation dedups in ONE shuffle;
+# pairs self-join on user_id bounded by the 5-type domain (≤10 pairs
+# per user); the text_collocation_lift idiom at the behavior grain.
+
+TYPE_PMI_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+cx AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, c_xy, x.c AS c_x, y.c AS c_y, n_users,
+       CAST(1000000 * CAST(c_xy AS HUGEINT) * n_users
+            // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS lift_ppm
+FROM pairs JOIN cx x ON x.event_type = t1
+           JOIN cx y ON y.event_type = t2, n
+ORDER BY t1, t2
+"""
+
+
+@register("ev_type_affinity_pmi", TYPE_PMI_ORACLE)
+def ev_type_affinity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = ut.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    cx = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = ut.select(F.col("user_id").alias("uid2"), F.col("event_type").alias("t2"))
+    pairs = (
+        ut.join(b, (F.col("user_id") == F.col("uid2"))
+                & (F.col("event_type") < F.col("t2")))
+        .groupBy(F.col("event_type").alias("t1"), "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    return (
+        pairs.join(F.broadcast(cx.selectExpr("event_type AS t1", "c AS c_x")), "t1")
+        .join(F.broadcast(cx.selectExpr("event_type AS t2", "c AS c_y")), "t2")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "t1", "t2", "c_xy", "c_x", "c_y", "n_users",
+            "cast(1000000 * cast(c_xy as decimal(19,0)) * cast(n_users as decimal(19,0))"
+            " div (cast(c_x as decimal(19,0)) * cast(c_y as decimal(19,0))) as bigint)"
+            " AS lift_ppm",
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_intervention_did — difference-in-differences cell table
+# ---------------------------------------------------------------------------
+# The causal-readout shape: treatment (odd user_id — the stand-in for
+# an assignment column) × period (days after the observed midpoint),
+# purchase-cents-per-event means per cell, and the DiD estimate. All
+# four cells are exact (sum cents, n); the midpoint is a data-derived
+# 1-row broadcast (div 2 on epoch days — engine-neutral); DiD is ONE
+# fixed-sequence double expression over 8 exact integers.
+
+DID_ORACLE = """
+WITH days AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS di,
+         user_id % 2 = 1 AS treated,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), mid AS (
+  SELECT (MIN(di) + MAX(di)) // 2 AS m FROM days
+), cells AS (
+  SELECT treated, di > m AS post,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM days, mid GROUP BY 1, 2
+)
+SELECT treated, post, sum_cents, n,
+       CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       (SELECT (CAST(tp.sum_cents AS DOUBLE) / tp.n - CAST(tr.sum_cents AS DOUBLE) / tr.n)
+             - (CAST(cp.sum_cents AS DOUBLE) / cp.n - CAST(cr.sum_cents AS DOUBLE) / cr.n)
+        FROM cells tp, cells tr, cells cp, cells cr
+        WHERE tp.treated AND tp.post AND tr.treated AND NOT tr.post
+          AND NOT cp.treated AND cp.post AND NOT cr.treated AND NOT cr.post)
+         AS did_cents
+FROM cells
+ORDER BY treated, post
+"""
+
+
+@register("ts_intervention_did", DID_ORACLE)
+def ts_intervention_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.where(F.col("event_type") == "purchase").select(
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").cast("bigint").alias("di"),
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    mid = days.agg(F.expr("(min(di) + max(di)) div 2").alias("m"))
+    cells = (
+        days.crossJoin(F.broadcast(mid))
+        .groupBy("treated", (F.col("di") > F.col("m")).alias("post"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pick = lambda t, p: F.max(  # noqa: E731 — cell extractor over the 4-row frame
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("sum_cents").cast("double") / F.col("n").cast("double"),
+        )
+    ).over(wall)
+    return (
+        cells.select(
+            "treated", "post", "sum_cents", "n",
+            (F.col("sum_cents").cast("double") / F.col("n").cast("double")).alias("mean_cents"),
+            (
+                (pick(True, True) - pick(True, False))
+                - (pick(False, True) - pick(False, False))
+            ).alias("did_cents"),
+        )
+        .orderBy("treated", "post")
+    )

@@ -1367,3 +1367,33 @@ def test_theil_sen_even_pair_count(spark, tmp_path):
     want = [tuple(r) for r in con.execute(ORACLES["ts_theil_sen_slope"]).fetchall()]
     con.close()
     assert got == want and got[0][1] == 6
+
+
+def test_brightness_histogram_equals_local_replay(spark):
+    """mm_brightness_histogram over the sf0.001 fixtures must equal a
+    pure-Python decode-everything replay exactly (bincount over every
+    pixel's 16-band luma bucket)."""
+    import numpy as np
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.multimodal import _ppm_fixture, decode_ppm
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r.luma_bucket: r.n_pixels
+           for r in QUERIES["mm_brightness_histogram"](spark, sf_dir).collect()}
+
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet'").fetchall()]
+    want = np.zeros(16, dtype=np.int64)
+    for i in ids:
+        _w, _h, rgb = decode_ppm(_ppm_fixture(int(i)))
+        gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        want += np.bincount(
+            np.minimum((gray // 16).astype(np.int64), 15).ravel(), minlength=16
+        )
+    assert {b: int(n) for b, n in enumerate(want) if n} == {
+        b: n for b, n in got.items() if n
+    }
+    assert sum(got.values()) == int(want.sum()) > 0
