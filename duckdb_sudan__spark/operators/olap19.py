@@ -1435,3 +1435,135 @@ def ts_intervention_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("treated", "post")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_norm_histogram — embedding L2-norm distribution (quality screen)
+# ---------------------------------------------------------------------------
+# The first screen run on a new embedding drop: degenerate all-zero
+# vectors, un-normalized batches, and fp-overflow spikes all jump out
+# of the norm histogram. Determinism: each component quantizes to
+# round(x·1e6) (int — the emb_quantize idiom), the squared norm is an
+# EXACT integer sum (components ≤ 64, values |x| ≤ ~1 → Σ ≤ ~6e13),
+# and buckets are its bit-length (log2 bands, log-free). Map-only
+# until the ≤64-row histogram rollup.
+
+NORM_HIST_ORACLE = """
+WITH norms AS (
+  -- CAST to DOUBLE[] before the multiply (the KNN-oracle idiom):
+  -- float32 * 1e6 rounds differently than double * 1e6
+  SELECT CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(round(x * 1000000) AS BIGINT) * CAST(round(x * 1000000) AS BIGINT)))
+         AS BIGINT) AS norm2_scaled
+  FROM embeddings
+)
+SELECT CASE WHEN norm2_scaled = 0 THEN 0
+            ELSE CAST(length(printf('%b', norm2_scaled)) AS BIGINT) END AS norm2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(norm2_scaled) AS BIGINT) AS min_norm2,
+       CAST(MAX(norm2_scaled) AS BIGINT) AS max_norm2
+FROM norms GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("emb_norm_histogram", NORM_HIST_ORACLE)
+def emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = "cast(round(cast(x as double) * 1000000) as bigint)"
+    norm2 = F.expr(
+        f"aggregate(embedding, cast(0 as bigint), (acc, x) -> acc + {q} * {q})"
+    )
+    bucket = F.when(F.col("norm2_scaled") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("norm2_scaled").cast("string"), 10, 2)).cast("bigint")
+    )
+    return (
+        emb.select(norm2.alias("norm2_scaled"))
+        .select(bucket.alias("norm2_bucket"), "norm2_scaled")
+        .groupBy("norm2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("norm2_scaled").cast("bigint").alias("min_norm2"),
+            F.max("norm2_scaled").cast("bigint").alias("max_norm2"),
+        )
+        .orderBy("norm2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rank_stability_spearman — rank correlation between two periods
+# ---------------------------------------------------------------------------
+# "Did the brand leaderboard actually change, or just wobble?" —
+# Spearman's ρ between brand revenue ranks in the first and second
+# half of the order window. Ranks are integers (deterministic
+# (cents DESC, brand) tie-break); ρ = 1 − 6·Σd²/(n(n²−1)) is an exact
+# rational, shipped in exact ppm via DECIMAL products (Σd² ≤ n³).
+# Every window runs over the bounded (period × brand) aggregate.
+
+SPEARMAN_ORACLE = """
+WITH mid AS (
+  SELECT CAST((MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             + MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')) // 2 AS BIGINT) AS m
+  FROM orders
+), rev AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) > m AS later,
+         p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN part ON l_partkey = p_partkey, mid
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT later, p_brand,
+         CAST(row_number() OVER (PARTITION BY later ORDER BY cents DESC, p_brand) AS BIGINT) AS rnk
+  FROM rev
+), joined AS (
+  SELECT a.p_brand, a.rnk AS r1, b.rnk AS r2
+  FROM ranked a JOIN ranked b ON a.p_brand = b.p_brand AND NOT a.later AND b.later
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+       CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+       CAST(1000000 - 6000000 * CAST(SUM((r1 - r2) * (r1 - r2)) AS HUGEINT)
+            // (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT)
+         AS spearman_ppm
+FROM joined
+"""
+
+
+@register("q_rank_stability_spearman", SPEARMAN_ORACLE)
+def q_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    di = F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("bigint")
+    mid = o.agg(
+        F.expr(
+            "cast((min(datediff(cast(o_orderdate as date), date'1970-01-01'))"
+            " + max(datediff(cast(o_orderdate as date), date'1970-01-01'))) div 2 as bigint)"
+        ).alias("m")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = (
+        o.crossJoin(F.broadcast(mid))
+        .select("o_orderkey", (di > F.col("m")).alias("later"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("later", "p_brand")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wr = Window.partitionBy("later").orderBy(F.desc("cents"), "p_brand")
+    ranked = rev.select("later", "p_brand", F.row_number().over(wr).cast("bigint").alias("rnk"))
+    a = ranked.where(~F.col("later")).select("p_brand", F.col("rnk").alias("r1"))
+    b = ranked.where(F.col("later")).select(F.col("p_brand").alias("pb2"), F.col("rnk").alias("r2"))
+    joined = a.join(b, F.col("p_brand") == F.col("pb2")).select("r1", "r2")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    ).selectExpr(
+        "n_brands", "sum_d2",
+        "cast(1000000 - 6000000 * cast(sum_d2 as decimal(19,0))"
+        " div (cast(n_brands as decimal(19,0)) * (n_brands * n_brands - 1)) as bigint)"
+        " AS spearman_ppm",
+    )
