@@ -2309,3 +2309,48 @@ def test_intersect_area_single_stage_no_shuffle_before_sort(spark):
     nodes = plan_nodes(df)
     assert not any("Join" in n for n in nodes), nodes
     assert shuffle_count(nodes) <= 1, nodes
+
+
+@pytest.mark.parametrize("key", [
+    "ml_best_f1_threshold", "q_topn_with_other", "q_rank_stability_spearman",
+    "ts_intervention_did",
+])
+def test_r11_late_wave_windows_above_first_aggregate(spark, key):
+    """Wave 6-9 entries with rank/cell windows: every Window sits
+    downstream of the first HashAggregate (bounded relations only —
+    bin grids, (nation × brand) aggregates, 4-row DiD cells), and no
+    plan contains a cartesian product."""
+    df = QUERIES[key](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    wins = [i for i, n in enumerate(nodes) if n == "Window"]
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert wins and aggs and min(wins) > min(aggs), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+@pytest.mark.parametrize("key", [
+    "ml_kfold_balance", "ev_dose_response_conversion", "emb_norm_histogram",
+    "ml_calibration_ece",
+])
+def test_r11_map_side_rollups_no_window_no_join(spark, key):
+    """Pure map-assign + bounded-rollup entries: no Window, no join of
+    any kind — the whole plan is scan → project → partial/final
+    HashAggregate pairs."""
+    df = QUERIES[key](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+def test_xcorr_joins_only_after_daily_aggregate(spark):
+    """Cross-correlation joins the day grid to itself and to the
+    broadcast lag table ONLY after the daily aggregate — the raw fact
+    table is scanned once and never joined."""
+    df = QUERIES["ts_cross_correlation_lags"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    joins = [i for i, n in enumerate(nodes) if "Join" in n]
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert joins and aggs and min(joins) > min(aggs), nodes
+    plan = plan_of(df)
+    assert plan.count("events.parquet") <= 2, plan[:1500]
