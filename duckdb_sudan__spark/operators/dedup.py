@@ -1642,3 +1642,55 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — pair/doc counts as the Jaccard cutoff rises
+# ---------------------------------------------------------------------------
+# The governance question behind every dedup config review: "how much
+# do we actually drop at τ?" — swept over the oracled ≥0.8 exact-
+# Jaccard pair set (dedup_ngram_jaccard): per τ ∈ {0.80, 0.85, 0.90,
+# 0.95, 1.00}, surviving candidate pairs and distinct docs touched.
+# Both sides filter the SAME jac values the pair entry already
+# hash-matches, so the double comparisons are consistent; the τ table
+# is a 5-row broadcast and every aggregate runs over the pair
+# relation (dup-sized, never the corpus).
+
+_SWEEP_TAUS = ["0.80", "0.85", "0.90", "0.95", "1.00"]
+_SWEEP_VALUES = ", ".join(f"({t})" for t in _SWEEP_TAUS)
+
+THRESHOLD_SWEEP_ORACLE = f"""
+WITH pairs AS ({NGRAM_JACCARD_ORACLE}),
+taus AS (SELECT CAST(tau AS DOUBLE) AS tau FROM (VALUES {_SWEEP_VALUES}) t(tau))
+SELECT tau,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs_affected
+FROM (
+  SELECT taus.tau, p.id_a AS id FROM taus JOIN pairs p ON p.jac >= taus.tau
+  UNION ALL
+  SELECT taus.tau, p.id_b FROM taus JOIN pairs p ON p.jac >= taus.tau
+)
+GROUP BY tau ORDER BY tau
+"""
+
+
+@register("dedup_threshold_sweep", THRESHOLD_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOTE on n_pairs: the UNION ALL doubles every pair (one row per
+    endpoint), so n_pairs here counts ENDPOINT rows = 2× pairs —
+    matched exactly on both sides (the doc-count needs the union
+    anyway; consumers halve n_pairs for the pair count)."""
+    taus = spark.createDataFrame([(float(t),) for t in _SWEEP_TAUS], "tau double")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    matched = pairs.join(F.broadcast(taus), F.col("jac") >= F.col("tau"))
+    endpoints = matched.selectExpr("tau", "id_a AS id").unionAll(
+        matched.selectExpr("tau", "id_b AS id")
+    )
+    return (
+        endpoints.groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id").cast("bigint").alias("n_docs_affected"),
+        )
+        .orderBy("tau")
+    )

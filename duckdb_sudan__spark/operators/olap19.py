@@ -1567,3 +1567,128 @@ def q_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (cast(n_brands as decimal(19,0)) * (n_brands * n_brands - 1)) as bigint)"
         " AS spearman_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_local_peaks — local-maxima detection on the day grid
+# ---------------------------------------------------------------------------
+# The alert-shaping readout: how spiky is each series? A day is a
+# STRICT local peak when its cents beat both neighbors (lag/lead over
+# the bounded day grid; edges have no neighbor and never qualify).
+# Exact integers end to end.
+
+LOCAL_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), flagged AS (
+  SELECT event_type, cents,
+         cents > lag(cents)  OVER (PARTITION BY event_type ORDER BY d)
+     AND cents > lead(cents) OVER (PARTITION BY event_type ORDER BY d) AS is_peak
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) FILTER (is_peak) AS BIGINT) AS n_peaks,
+       CAST(MAX(CASE WHEN is_peak THEN cents END) AS BIGINT) AS max_peak_cents
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("ts_local_peaks", LOCAL_PEAKS_ORACLE)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    flagged = daily.select(
+        "event_type", "cents",
+        (
+            (F.col("cents") > F.lag("cents").over(w))
+            & (F.col("cents") > F.lead("cents").over(w))
+        ).alias("is_peak"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.count_if(F.col("is_peak")).cast("bigint").alias("n_peaks"),
+            F.max(F.when(F.col("is_peak"), F.col("cents"))).cast("bigint").alias("max_peak_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_attribution_position — U-shaped (position-based) credit
+# ---------------------------------------------------------------------------
+# Completes the attribution family (linear olap13, time-decay
+# olap17): 40/20/40 position-based credit — first and last touch get
+# 400000 ppm each, the middles split 200000 ppm by floor division
+# (n=1 → 1e6, n=2 → 500000/500000). Same user-equi-join touch
+# relation as the linear entry; position ranks ride ONE window pair
+# on purchase_id over the touch relation (bounded per purchase by the
+# 24 h window).
+
+POSITION_ATTRIB_ORACLE = """
+WITH views AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT p.purchase_id, v.view_id, v.v_ts
+  FROM purch p JOIN views v USING (user_id)
+  WHERE v.v_ts < p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 24 HOURS
+), ranked AS (
+  SELECT purchase_id, view_id,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY v_ts, view_id) AS pos,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM touch
+)
+SELECT purchase_id, view_id, CAST(n AS BIGINT) AS n_touches,
+       CAST(CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 OR pos = n THEN 400000
+                 ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+FROM ranked
+ORDER BY purchase_id, view_id
+"""
+
+
+@register("ev_attribution_position", POSITION_ATTRIB_ORACLE)
+def ev_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    touch = purch.join(views, "user_id").where(
+        (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    wp = Window.partitionBy("purchase_id").orderBy("v_ts", "view_id")
+    wn = Window.partitionBy("purchase_id")
+    ranked = touch.select(
+        "purchase_id", "view_id",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400000))
+        .otherwise(F.expr("200000 div (n - 2)"))
+    )
+    return (
+        ranked.select(
+            "purchase_id", "view_id",
+            F.col("n").cast("bigint").alias("n_touches"),
+            credit.cast("bigint").alias("credit_ppm"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )
