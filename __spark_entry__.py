@@ -203,7 +203,7 @@ _WINDOW_PRIORITY = [
     "ev_funnel_windowed", "ev_rfm_scores",
 ]
 
-# r12 window priority, computed at r11: FIRST the 23 oracled entries
+# r12 window priority, computed at r11: FIRST the 34 oracled entries
 # added in r11 (each dual-SF dual-mode verified on registration, never
 # driver-checked) —
 #   sudan_state_intersect_area, ml_lift_gain_curve, ml_calibration_ece,
@@ -215,9 +215,13 @@ _WINDOW_PRIORITY = [
 #   q_customer_reorder_gaps, graph_degree_histogram,
 #   graph_common_neighbors, sample_soft_dedup_weights,
 #   pipeline_data_card, files_dynamic_partition_overwrite,
-#   ts_cross_correlation_lags, ev_dose_response_conversion
-# — THEN the 27 alphabetically-first of the 33 r6-checked rows left
-# over from the r11 window (the remaining 6 + rotation debt to r13) —
+#   ts_cross_correlation_lags, ev_dose_response_conversion,
+#   dedup_source_priority, ml_best_f1_threshold, q_topn_with_other,
+#   ml_kfold_balance, ev_type_affinity_pmi, ts_intervention_did,
+#   emb_norm_histogram, q_rank_stability_spearman, ts_local_peaks,
+#   ev_attribution_position, dedup_threshold_sweep
+# — THEN the 16 alphabetically-first of the 33 r6-checked rows left
+# over from the r11 window (the remaining 17 + rotation debt to r13) —
 #   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
 #   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
 #   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,
