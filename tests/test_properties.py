@@ -614,3 +614,76 @@ def test_md5_prefix_slice_rank_equals_single_window_rank(doc_ids, prefix_len):
     for s, members in slices.items():
         for local_rank, r in enumerate(sorted(members), start=1):
             assert offsets[s] + local_rank == global_rank[r], (s, r)
+
+
+# ---------------------------------------------------------------------------
+# r11 geometry kernels: the two independently-coded exact clippers
+# ---------------------------------------------------------------------------
+
+@given(
+    # random axis-aligned rectangles as the subject polygon (exact
+    # containment algebra is checkable), random clip boxes
+    x0=st.integers(-20, 20), y0=st.integers(-20, 20),
+    w=st.integers(1, 25), h=st.integers(1, 25),
+    bx0=st.integers(-15, 15), by0=st.integers(-15, 15),
+    bw=st.integers(1, 20), bh=st.integers(1, 20),
+)
+@settings(max_examples=200, deadline=None)
+def test_clippers_agree_and_match_rect_algebra(x0, y0, w, h, bx0, by0, bw, bh):
+    """For rectangle ∩ box the exact intersection area is computable
+    by interval algebra — BOTH Sutherland–Hodgman implementations
+    (query-side determinant form, oracle-side trapezoid form) must
+    return exactly 2·that, for every random configuration including
+    touching edges and zero-overlap cases."""
+    from duckdb_sudan__spark.geo.spatial import _clip_2area, _oracle_clip_2area
+
+    M = 1_000_000
+    rect = {"type": "Polygon", "coordinates": [[
+        (x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0),
+    ]]}
+    box = (bx0 * M, (bx0 + bw) * M, by0 * M, (by0 + bh) * M)
+    ix = max(0, min(x0 + w, bx0 + bw) - max(x0, bx0))
+    iy = max(0, min(y0 + h, by0 + bh) - max(y0, by0))
+    want = 2 * (ix * M) * (iy * M)
+    got_q = _clip_2area(rect, box)
+    got_o = _oracle_clip_2area(rect, box)
+    assert got_q == got_o == want
+
+
+@given(
+    # random simple rectilinear "staircase" polygons: x-monotone, so
+    # vertices built from sorted xs with random heights are simple
+    xs=st.lists(st.integers(-12, 12), min_size=3, max_size=6, unique=True),
+    hs=st.lists(st.integers(1, 15), min_size=2, max_size=5),
+    bx0=st.integers(-10, 10), by0=st.integers(-5, 10),
+    bw=st.integers(1, 15), bh=st.integers(1, 15),
+)
+@settings(max_examples=150, deadline=None)
+def test_clippers_agree_on_staircase_polygons(xs, hs, bx0, by0, bw, bh):
+    """Non-convex subjects: both independently coded clippers must
+    agree exactly on x-monotone staircase polygons against random
+    boxes, and the clipped area can never exceed the unclipped area
+    or the box area."""
+    from duckdb_sudan__spark.geo.spatial import (
+        _clip_2area,
+        _geom_2area_and_parts,
+        _oracle_clip_2area,
+    )
+
+    xs = sorted(xs)
+    n = len(xs) - 1
+    heights = [hs[i % len(hs)] for i in range(n)]
+    top = []
+    for i in range(n):
+        top.append((xs[i], heights[i]))
+        top.append((xs[i + 1], heights[i]))
+    ring = [(xs[0], -2)] + top + [(xs[-1], -2), (xs[0], -2)]
+    poly = {"type": "Polygon", "coordinates": [ring]}
+    M = 1_000_000
+    box = (bx0 * M, (bx0 + bw) * M, by0 * M, (by0 + bh) * M)
+    got_q = _clip_2area(poly, box)
+    got_o = _oracle_clip_2area(poly, box)
+    assert got_q == got_o >= 0
+    full, _, _ = _geom_2area_and_parts(poly)
+    assert got_q <= full
+    assert got_q <= 2 * (bw * M) * (bh * M)
