@@ -203,7 +203,7 @@ _WINDOW_PRIORITY = [
     "ev_funnel_windowed", "ev_rfm_scores",
 ]
 
-# r12 window priority, computed at r11: FIRST the 34 oracled entries
+# r12 window priority, computed at r11: FIRST the 36 oracled entries
 # added in r11 (each dual-SF dual-mode verified on registration, never
 # driver-checked) —
 #   sudan_state_intersect_area, ml_lift_gain_curve, ml_calibration_ece,
@@ -219,9 +219,10 @@ _WINDOW_PRIORITY = [
 #   dedup_source_priority, ml_best_f1_threshold, q_topn_with_other,
 #   ml_kfold_balance, ev_type_affinity_pmi, ts_intervention_did,
 #   emb_norm_histogram, q_rank_stability_spearman, ts_local_peaks,
-#   ev_attribution_position, dedup_threshold_sweep
-# — THEN the 16 alphabetically-first of the 33 r6-checked rows left
-# over from the r11 window (the remaining 17 + rotation debt to r13) —
+#   ev_attribution_position, dedup_threshold_sweep,
+#   text_charclass_profile, emb_dim_stats
+# — THEN the 14 alphabetically-first of the 33 r6-checked rows left
+# over from the r11 window (the remaining 19 + rotation debt to r13) —
 #   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
 #   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
 #   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,

@@ -1692,3 +1692,56 @@ def ev_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_dim_stats — per-dimension moment profile (dead-dim detection)
+# ---------------------------------------------------------------------------
+# The other embedding-QA screen next to emb_norm_histogram: a
+# dimension whose variance collapses is dead weight (or a projection
+# bug). Components quantize to exact micro-ints through DOUBLE (rule
+# 25), per-dim Σx and Σx² are exact integer/DECIMAL sums keyed by the
+# dimension INDEX (posexplode ≡ UNNEST WITH ORDINALITY), and variance
+# is one fixed-sequence double expression — 64 output rows.
+
+DIM_STATS_ORACLE = """
+WITH comps AS (
+  -- this DuckDB build has no UNNEST WITH ORDINALITY; the indexed
+  -- two-arg list_transform lambda (x, i) carries the 1-based position
+  SELECT u.dim, u.q
+  FROM embeddings,
+       UNNEST(list_transform(CAST(embedding AS DOUBLE[]),
+              (x, i) -> struct_pack(dim := i - 1,
+                                    q := CAST(round(x * 1000000) AS BIGINT)))) AS t(u)
+), m AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         SUM(CAST(q AS HUGEINT) * q) AS s2
+  FROM comps GROUP BY dim
+)
+SELECT dim, n, s1,
+       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_micro2
+FROM m
+ORDER BY dim
+"""
+
+
+@register("emb_dim_stats", DIM_STATS_ORACLE)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).select(
+        "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q")
+    )
+    m = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q")).cast("decimal(38,0)").alias("s2"),
+    )
+    n_d, s1_d, s2_d = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"), "n", "s1",
+        ((n_d * s2_d - s1_d * s1_d) / (n_d * n_d)).alias("var_micro2"),
+    ).orderBy("dim")

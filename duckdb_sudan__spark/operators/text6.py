@@ -705,3 +705,62 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_charclass_profile — character-class composition per language
+# ---------------------------------------------------------------------------
+# The encoding/noise screen a web-corpus intake runs per shard: what
+# share of characters are letters / digits / spaces / punctuation?
+# Explicit character classes only (never \\s / \\w — Java and RE2
+# class membership differs at the edges, the r10 tokenizer rule);
+# exact integer counts through the shuffle, shares in exact ppm.
+
+CHARCLASS_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[ ]')) AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(1000000 * SUM(n_alpha) // NULLIF(SUM(n_chars), 0) AS BIGINT) AS alpha_ppm,
+       CAST(1000000 * SUM(n_digit) // NULLIF(SUM(n_chars), 0) AS BIGINT) AS digit_ppm,
+       CAST(1000000 * SUM(n_space) // NULLIF(SUM(n_chars), 0) AS BIGINT) AS space_ppm,
+       CAST(1000000 * (SUM(n_chars) - SUM(n_alpha) - SUM(n_digit) - SUM(n_space))
+            // NULLIF(SUM(n_chars), 0) AS BIGINT) AS other_ppm
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("text_charclass_profile", CHARCLASS_ORACLE)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.regexp_count("text", F.lit("[A-Za-z]")).cast("bigint").alias("n_alpha"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("bigint").alias("n_digit"),
+        F.regexp_count("text", F.lit("[ ]")).cast("bigint").alias("n_space"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_alpha").cast("bigint").alias("sa"),
+            F.sum("n_digit").cast("bigint").alias("sd"),
+            F.sum("n_space").cast("bigint").alias("ss"),
+        )
+        .selectExpr(
+            "lang", "total_chars",
+            "cast(1000000 * sa div nullif(total_chars, 0) as bigint) AS alpha_ppm",
+            "cast(1000000 * sd div nullif(total_chars, 0) as bigint) AS digit_ppm",
+            "cast(1000000 * ss div nullif(total_chars, 0) as bigint) AS space_ppm",
+            "cast(1000000 * (total_chars - sa - sd - ss)"
+            " div nullif(total_chars, 0) as bigint) AS other_ppm",
+        )
+        .orderBy("lang")
+    )
