@@ -51,6 +51,7 @@ def load_all() -> None:
         olap17,
         olap18,
         olap19,
+        olap20,
         relational,
         similarity,
         sketches,
