@@ -105,7 +105,10 @@ def ml_mcc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) kept ×18 so it stays integer.
 # The pair join is quadratic in the CALENDAR (≈2.4k days → ~3M pairs at
 # any SF), never in rows; the grid is broadcast. sign() via CASE — no
-# engine signum (Spark's returns DOUBLE).
+# engine signum (Spark's returns DOUBLE). The grid is .cache()d: four
+# consumers (both pair sides, ties, n) would otherwise each rescan the
+# fact table — AQE does NOT reuse exchanges across independent
+# consumers (the materialized-CTE convention, cte_reused_aggregate).
 
 MANN_KENDALL_ORACLE = """
 WITH grid AS (
@@ -134,6 +137,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+        .cache()  # calendar-bounded (~2.4k rows); 4 consumers, 1 fact scan
     )
     a = grid.alias("a")
     b = grid.alias("b")

@@ -2354,3 +2354,70 @@ def test_xcorr_joins_only_after_daily_aggregate(spark):
     assert joins and aggs and min(joins) > min(aggs), nodes
     plan = plan_of(df)
     assert plan.count("events.parquet") <= 2, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 12 pins
+# ---------------------------------------------------------------------------
+
+def test_mcc_map_side_cells(spark):
+    """MCC collapses the fact table to ONE 4-cell row map-side: no
+    window, no join, partial+final HashAggregate pair."""
+    df = QUERIES["ml_mcc_binary"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+def test_mann_kendall_cached_grid_broadcast_pairs(spark):
+    """The day grid is cached (four consumers, ONE fact scan — AQE
+    doesn't reuse exchanges across independent consumers) and the
+    non-equi pair join broadcasts, never a CartesianProduct."""
+    df = QUERIES["ts_mann_kendall"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "InMemoryTableScan" in n) >= 3, nodes
+    assert any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_time_to_nth_window_exchange_reused_by_groupby(spark):
+    """The rn<=3 window and the per-user conditional-MIN groupBy share
+    the user_id partitioning — one hash exchange total (plus the final
+    single-partition rollup), no join."""
+    df = QUERIES["ev_time_to_nth_event"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+    assert shuffle_count(nodes) <= 2, nodes
+
+
+def test_ntile_window_then_bounded_rollup(spark):
+    """NTILE runs over customers per segment; the quartile rollup and
+    final sort touch only the 20-cell aggregate. No join anywhere."""
+    df = QUERIES["win_ntile_parity"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+
+
+def test_simpson_vocab_grain_no_join(spark):
+    """Simpson's lambda aggregates at vocabulary grain then language
+    grain — two HashAggregate pairs, no window, no join: the token
+    stream never leaves the map side un-combined past (lang, token)."""
+    df = QUERIES["text_simpson_diversity"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 3, nodes
+
+
+def test_ndcg_takeordered_and_broadcast_scalars(spark):
+    """Top-k is TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows — scale-safe); the discount table and the scalar
+    joins broadcast; no CartesianProduct."""
+    df = QUERIES["ml_ndcg_at_k"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("TakeOrderedAndProject" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("Broadcast" in n for n in nodes), nodes
