@@ -672,3 +672,132 @@ def _register_centroid_bbox() -> None:
 
 
 _register_centroid_bbox()
+
+
+# ---------------------------------------------------------------------------
+# sudan_states_shared_borders — adjacency matrix from exact shared edges
+# ---------------------------------------------------------------------------
+# The ST_Touches workflow (the reference's geojson feeds DuckDB
+# spatial's predicates, docs/functions.md:170): which admin areas
+# border each other, and how long is the shared border. The served
+# offline geometry is a gap-free Voronoi partition, so adjacent states
+# share boundary segments VERTEX-FOR-VERTEX — adjacency is an exact
+# equi-join on canonical (sorted-endpoint) edge keys on the integer
+# microdeg grid, no tolerance radius, no float. Border "length" is the
+# exact L1 (|dx|+|dy|) sum over shared edges — additive and integer,
+# where Euclidean length would drag an irrational sqrt per segment
+# into the hash.
+#
+# Spark-first shape: per-state canonical-edge SETS extracted in one
+# Arrow map over the 18-row boundary relation, exploded to edge rows,
+# self-joined on the edge key (iso_a < iso_b), aggregated per pair.
+# At 100 TB (country-scale parcel/cadastre data) the same plan
+# shuffles on the edge key — adjacency without any pairwise geometry
+# test. Oracle: an independently coded formulation (edge→state-set
+# dict accumulation, pair counting — no join) baked as VALUES;
+# data-independent offline geometry => SF-invariant.
+
+
+def _state_edge_set(doc: dict) -> list[tuple]:
+    """Canonical undirected edges of every ring on the microdeg grid:
+    ((x0,y0),(x1,y1)) with endpoints sorted; deduped per state."""
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    edges = set()
+    for poly in polys:
+        for ring in poly:
+            grid = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+            if len(grid) > 1 and grid[0] == grid[-1]:
+                grid = grid[:-1]
+            for a, b in zip(grid, grid[1:] + grid[:1]):
+                if a == b:
+                    continue
+                edges.add((a, b) if a <= b else (b, a))
+    return sorted(edges)
+
+
+def _shared_borders_oracle() -> str:
+    """Independent formulation: accumulate edge → {states} in a dict
+    (re-walking raw rings with its own canonicalization), then count
+    pairs — no join, no per-state set structure."""
+    from duckdb_sudan__spark.oracle import values_sql
+
+    seen: dict[tuple, set] = {}
+    for i, (iso, _name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = json.loads(geo_states.state_boundary_geojson(i))
+        polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+        for poly in polys:
+            for ring in poly:
+                pts = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+                if pts[0] == pts[-1]:
+                    pts = pts[:-1]
+                n = len(pts)
+                for j in range(n):
+                    a, b = pts[j], pts[(j + 1) % n]
+                    if a == b:
+                        continue
+                    key = (min(a, b), max(a, b))
+                    seen.setdefault(key, set()).add(iso)
+    pairs: dict[tuple, list] = {}
+    for (a, b), isos in seen.items():
+        if len(isos) < 2:
+            continue
+        l1 = abs(a[0] - b[0]) + abs(a[1] - b[1])
+        ordered = sorted(isos)
+        for x in range(len(ordered)):
+            for y in range(x + 1, len(ordered)):
+                acc = pairs.setdefault((ordered[x], ordered[y]), [0, 0])
+                acc[0] += 1
+                acc[1] += l1
+    rows = [(a, b, n_e, l1) for (a, b), (n_e, l1) in sorted(pairs.items())]
+    return (
+        values_sql(
+            rows,
+            ["iso_a", "iso_b", "n_shared_edges", "border_l1_microdeg"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+        )
+        + " ORDER BY iso_a, iso_b"
+    )
+
+
+def _register_shared_borders() -> None:
+    @register("sudan_states_shared_borders", _shared_borders_oracle())
+    def sudan_states_shared_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bounds = geo_states.sudan_boundaries(spark, "state")
+
+        @F.pandas_udf("array<struct<ek:string,l1:bigint>>")
+        def edges_of(geojson: pd.Series) -> pd.Series:
+            out = []
+            for g in geojson:
+                es = _state_edge_set(json.loads(g))
+                out.append(
+                    [
+                        {
+                            "ek": f"{a[0]}:{a[1]}:{b[0]}:{b[1]}",
+                            "l1": abs(a[0] - b[0]) + abs(a[1] - b[1]),
+                        }
+                        for a, b in es
+                    ]
+                )
+            return pd.Series(out)
+
+        edges = (
+            bounds.select("iso_code", F.explode(edges_of(F.col("geojson"))).alias("e"))
+            .select("iso_code", F.col("e.ek").alias("ek"), F.col("e.l1").alias("l1"))
+        )
+        a = edges.alias("a")
+        b = edges.alias("b")
+        return (
+            a.join(b, (F.col("a.ek") == F.col("b.ek")) & (F.col("a.iso_code") < F.col("b.iso_code")))
+            .groupBy(
+                F.col("a.iso_code").alias("iso_a"),
+                F.col("b.iso_code").alias("iso_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shared_edges"),
+                F.sum("a.l1").cast("bigint").alias("border_l1_microdeg"),
+            )
+            .orderBy("iso_a", "iso_b")
+        )
+
+
+_register_shared_borders()

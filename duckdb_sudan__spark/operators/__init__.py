@@ -52,6 +52,7 @@ def load_all() -> None:
         olap18,
         olap19,
         olap20,
+        olap21,
         relational,
         similarity,
         sketches,

@@ -2421,3 +2421,49 @@ def test_ndcg_takeordered_and_broadcast_scalars(spark):
     assert any("TakeOrderedAndProject" in n for n in nodes), nodes
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert any("Broadcast" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 13 pins
+# ---------------------------------------------------------------------------
+
+def test_kappa_map_side_cells(spark):
+    """Kappa is the same one-scan 4-cell map-side aggregate as MCC."""
+    df = QUERIES["ml_cohens_kappa"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+def test_bollinger_window_on_day_grid_only(spark):
+    """The 7-row band frame runs over the calendar-bounded (type, day)
+    grid — every Window sits above the first HashAggregate; no join."""
+    df = QUERIES["ts_bollinger_breaches"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    wins = [i for i, n in enumerate(nodes) if n == "Window"]
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert wins and aggs and min(wins) > min(aggs), nodes
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_signup_purchase_user_grain_join(spark):
+    """Signups collapse to one row per user BEFORE the purchase join
+    (the first HashAggregate precedes the join), and the equi-join
+    never degenerates to a cartesian."""
+    df = QUERIES["ev_signup_to_first_purchase"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    joins = [i for i, n in enumerate(nodes) if "Join" in n]
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert joins and aggs and min(aggs) < min(joins), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_shared_borders_edge_equi_join(spark):
+    """Adjacency is an EQUI-join on the canonical edge key — never a
+    pairwise polygon-x-polygon test (no nested-loop, no cartesian)."""
+    df = QUERIES["sudan_states_shared_borders"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any(n.endswith("HashJoin") or "SortMergeJoin" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
