@@ -203,7 +203,7 @@ _WINDOW_PRIORITY = [
     "ev_funnel_windowed", "ev_rfm_scores",
 ]
 
-# r12 window priority, computed at r11: FIRST the 46 oracled entries
+# r12 window priority, computed at r11: FIRST the 49 oracled entries
 # added in r11 (each dual-SF dual-mode verified on registration, never
 # driver-checked) —
 #   sudan_state_intersect_area, ml_lift_gain_curve, ml_calibration_ece,
@@ -224,9 +224,10 @@ _WINDOW_PRIORITY = [
 #   ts_mann_kendall, ev_time_to_nth_event, win_ntile_parity,
 #   text_simpson_diversity, ml_ndcg_at_k, ml_cohens_kappa,
 #   ts_bollinger_breaches, ev_signup_to_first_purchase,
-#   sudan_states_shared_borders
-# — THEN the 4 alphabetically-first of the 33 r6-checked rows left
-# over from the r11 window (the remaining 29 + rotation debt to r13) —
+#   sudan_states_shared_borders, ml_mrr_per_user,
+#   ev_session_type_cooccurrence, ts_iso_week_revenue
+# — THEN the 1 alphabetically-first of the 33 r6-checked rows left
+# over from the r11 window (the remaining 32 + rotation debt to r13) —
 #   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
 #   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
 #   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,

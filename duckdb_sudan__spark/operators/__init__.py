@@ -53,6 +53,7 @@ def load_all() -> None:
         olap19,
         olap20,
         olap21,
+        olap22,
         relational,
         similarity,
         sketches,

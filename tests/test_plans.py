@@ -2467,3 +2467,40 @@ def test_shared_borders_edge_equi_join(spark):
     assert any(n.endswith("HashJoin") or "SortMergeJoin" in n for n in nodes), nodes
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 14 pins
+# ---------------------------------------------------------------------------
+
+def test_mrr_user_grain_window_then_rollup(spark):
+    """MRR's window runs per user and the groupBy reuses the user_id
+    partitioning — no join, one Window, at most the final rollup
+    exchange on top of the user hash exchange."""
+    df = QUERIES["ml_mrr_per_user"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+    assert shuffle_count(nodes) <= 2, nodes
+
+
+def test_session_cooc_cached_distinct_and_broadcast_dims(spark):
+    """The distinct (user, session, type) relation is cached (three
+    consumers, one stream scan) and the per-type/totals sides join by
+    broadcast; no cartesian (the 1-row totals crossJoin plans as
+    BroadcastNestedLoopJoin)."""
+    df = QUERIES["ev_session_type_cooccurrence"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "InMemoryTableScan" in n) >= 3, nodes
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_iso_week_map_assign_rollup(spark):
+    """ISO week assignment is a pure projection: scan -> project ->
+    partial/final HashAggregate, no window, no join."""
+    df = QUERIES["ts_iso_week_revenue"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
