@@ -54,6 +54,8 @@ def load_all() -> None:
         olap20,
         olap21,
         olap22,
+        olap23,
+        olap24,
         relational,
         similarity,
         sketches,
