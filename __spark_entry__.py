@@ -203,9 +203,10 @@ _WINDOW_PRIORITY = [
     "ev_funnel_windowed", "ev_rfm_scores",
 ]
 
-# r12 window priority, computed at r11: FIRST the 49 oracled entries
+# r12 window priority, computed at r11: FIRST the oracled entries
 # added in r11 (each dual-SF dual-mode verified on registration, never
-# driver-checked) —
+# driver-checked; if they exceed 50, the overflow — newest last —
+# rolls to the FRONT of r13's window) —
 #   sudan_state_intersect_area, ml_lift_gain_curve, ml_calibration_ece,
 #   ml_roc_curve_binned, ml_psi_drift_bits, agg_hhi_concentration,
 #   struct_funcs_parity, ev_hazard_curve, ts_theil_sen_slope,
@@ -225,9 +226,13 @@ _WINDOW_PRIORITY = [
 #   text_simpson_diversity, ml_ndcg_at_k, ml_cohens_kappa,
 #   ts_bollinger_breaches, ev_signup_to_first_purchase,
 #   sudan_states_shared_borders, ml_mrr_per_user,
-#   ev_session_type_cooccurrence, ts_iso_week_revenue
-# — THEN the 1 alphabetically-first of the 33 r6-checked rows left
-# over from the r11 window (the remaining 32 + rotation debt to r13) —
+#   ev_session_type_cooccurrence, ts_iso_week_revenue,
+#   ev_survival_km_censored, ml_regression_metrics, agg_benford_digits,
+#   stats_welch_ttest, q_price_index_laspeyres, ev_growth_accounting,
+#   q_duplicate_order_suspects
+# — THEN (window space permitting) the alphabetically-first of the 33
+# r6-checked rows left over from the r11 window (the rest + rotation
+# debt to r13) —
 #   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
 #   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
 #   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,

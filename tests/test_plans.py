@@ -2504,3 +2504,93 @@ def test_iso_week_map_assign_rollup(spark):
     assert not any(n == "Window" for n in nodes), nodes
     assert not any("Join" in n for n in nodes), nodes
     assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 15 pins
+# ---------------------------------------------------------------------------
+
+def test_survival_user_grain_then_bounded_grid(spark):
+    """The stream reduces at USER grain in one partial agg; the horizon
+    scalar broadcasts; both cumulative windows run on the bounded
+    days-since-first grid (no window touches the raw stream: exactly
+    one pre-window aggregate exchange on user_id)."""
+    df = QUERIES["ev_survival_km_censored"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("BroadcastNestedLoopJoin" in n or "BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 2, nodes
+
+
+def test_regression_metrics_broadcast_predictors(spark):
+    """The 5-row segment predictor and the 1-row global baseline join
+    back as broadcasts; the only wide exchanges are the orders⋈customer
+    hash join and the bounded rollups. No window, no cartesian blowup
+    (the 1-row baseline crossJoin is a broadcast nested loop)."""
+    df = QUERIES["ml_regression_metrics"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if "BroadcastHashJoin" in n) >= 1, nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_benford_map_side_digit_histogram(spark):
+    """Digit extraction is a map-side project pushed onto the scan; the
+    ≤9-group histogram hash-aggregates with partial combine; the Benford
+    table and total join as broadcasts. Filter is pushed to parquet."""
+    df = QUERIES["agg_benford_digits"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan, plan
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_welch_two_group_map_side_moments(spark):
+    """Both groups reduce to (n, S, Q) map-side in ONE scan (the IN
+    filter is pushed); the pivot + final math is a 1-row select — no
+    join, no window, two HashAggregate pairs."""
+    df = QUERIES["stats_welch_ttest"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "In(event_type" in plan, plan
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 4, nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 16 pins
+# ---------------------------------------------------------------------------
+
+def test_price_index_part_year_grain_single_base_join(spark):
+    """Lineitem reduces at (part, year) grain once (cached for base
+    slice + year slices); the base-year basket joins part-to-part —
+    no year×year pair stage, no cartesian; the MIN(y) scalar
+    broadcasts."""
+    df = QUERIES["q_price_index_laspeyres"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("InMemoryTableScan" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_growth_accounting_one_user_window_then_week_grid(spark):
+    """Exactly two windows: the user-grain lag over the distinct
+    (user, week) relation and the week-grid churn lag; no join; the
+    distinct collapses map-side before the window exchange."""
+    df = QUERIES["ev_growth_accounting"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 2, nodes
+
+
+def test_duplicate_suspects_blocked_equi_join(spark):
+    """The pair stage is a hash equi-join on (custkey, bucket) — the
+    date window and canonical order are post-join filters inside tiny
+    groups; never a cartesian or broadcast of the full fact."""
+    df = QUERIES["q_duplicate_order_suspects"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n or "BroadcastHashJoin" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
