@@ -229,7 +229,8 @@ _WINDOW_PRIORITY = [
 #   ev_session_type_cooccurrence, ts_iso_week_revenue,
 #   ev_survival_km_censored, ml_regression_metrics, agg_benford_digits,
 #   stats_welch_ttest, q_price_index_laspeyres, ev_growth_accounting,
-#   q_duplicate_order_suspects
+#   q_duplicate_order_suspects, dt_tz_localize_ny,
+#   graph_two_hop_neighborhood
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

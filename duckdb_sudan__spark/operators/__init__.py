@@ -56,6 +56,7 @@ def load_all() -> None:
         olap22,
         olap23,
         olap24,
+        olap25,
         relational,
         similarity,
         sketches,

@@ -210,6 +210,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = event_gaps_stream(events), "append"
         elif which == "new_vs_returning":  # per-user first-seen classifier
             out, mode = new_vs_returning_stream(events), "append"
+        elif which == "growth_accounting":  # per-user weekly growth classifier
+            out, mode = growth_accounting_stream(events), "append"
         elif which == "lifetime":  # per-user lifetime tracker (update mode)
             out, mode = lifetime_stream(events), "update"
         elif which == "attribution":  # stream-stream interval self-join
@@ -1090,6 +1092,99 @@ def lifetime_stream(events: DataFrame) -> DataFrame:
             LIFETIME_OUT_SCHEMA,
             LIFETIME_STATE_SCHEMA,
             "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: weekly growth accounting (new / retained /
+# resurrected) via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+GROWTH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("week", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+# (prev_week_us,): the user's last classified active week (Monday 00:00
+# in epoch µs); presence = state.exists (the _gaps_fn sentinel rule)
+GROWTH_STATE_SCHEMA = T.StructType([T.StructField("prev_week_us", T.LongType())])
+
+_WEEK_US = 7 * _DAY_US
+
+
+def _monday_floor_us(us: int) -> int:
+    """Monday-00:00 floor in epoch µs (1970-01-01 is a Thursday —
+    Monday-index 3 — so day − ((day+3) mod 7) is the week's Monday;
+    Python floor division keeps pre-epoch stamps on the right week,
+    matching date_trunc('week') on both engines)."""
+    day = us // _DAY_US
+    return (day - ((day + 3) % 7)) * _DAY_US
+
+
+def _growth_fn(key, pdf_iter, state):
+    """Per-user weekly growth classifier: first-ever active week emits
+    'new', a week exactly 7 days after the previous active week emits
+    'retained', a later gap emits 'resurrected'. O(1) state per user
+    (one week scalar). Same cross-batch ordering contract as
+    _new_ret_fn: weeks dedup+sort within the batch; across batches a
+    week at-or-before the emitted high-water mark is DROPPED (append
+    mode can't retract a classification)."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    has = state.exists
+    (prev_us,) = state.get if has else (0,)
+    chunks = [c for c in pdf_iter if len(c)]
+    if not chunks:
+        if has:
+            state.update((int(prev_us),))
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    us = (
+        pdf["ts"].astype("int64") // 1000
+        if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+        else pdf["ts"].astype("int64")
+    )
+    weeks = sorted({_monday_floor_us(int(u)) for u in us})
+    out = []
+    for w in weeks:
+        if has and w <= prev_us:
+            continue  # duplicate or late cross-batch week: drop
+        if not has:
+            status, has = "new", True
+        elif w == prev_us + _WEEK_US:
+            status = "retained"
+        else:
+            status = "resurrected"
+        out.append({"user_id": key[0], "week": pd.Timestamp(w, unit="us"), "status": status})
+        prev_us = w
+    state.update((int(prev_us),))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def growth_accounting_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ev_growth_accounting's streaming twin: the per-(user, week)
+    new/retained/resurrected feed as it happens (the live growth
+    dashboard). Drained rows aggregate EXACTLY to the batch entry's
+    weekly state counts — churned and the quick ratio are sink-side
+    presentation over those counts, identical expressions in both
+    (asserted in tests/test_sources_streaming.py). Batch-equivalence
+    assumes per-user non-decreasing week arrival across micro-batches;
+    late weeks are dropped, never re-classified — see _growth_fn."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _growth_fn,
+            GROWTH_OUT_SCHEMA,
+            GROWTH_STATE_SCHEMA,
+            "append",
             GroupStateTimeout.NoTimeout,
         )
     )

@@ -364,3 +364,14 @@ def stream_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_inter_event_gaps relation; asserted in
     tests/test_sources_streaming.py."""
     return run_stream_to_memory(spark, sf_dir, "event_gaps")
+
+
+@register("stream_growth_accounting")  # rows-only: ≡ batch ev_growth_accounting (tested)
+def stream_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting as a stream: each distinct (user, week)
+    appearance emits new/retained/resurrected as it happens (O(1)
+    state per user — one week scalar). Drained rows aggregate EXACTLY
+    to the batch ev_growth_accounting state counts; churned and the
+    quick ratio are the same sink-side window presentation; asserted
+    in tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "growth_accounting")

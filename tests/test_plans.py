@@ -2594,3 +2594,27 @@ def test_duplicate_suspects_blocked_equi_join(spark):
     assert any("SortMergeJoin" in n or "ShuffledHashJoin" in n or "BroadcastHashJoin" in n for n in nodes), nodes
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 17 pins
+# ---------------------------------------------------------------------------
+
+def test_tz_localize_map_only_rollup(spark):
+    """from_utc_timestamp folds into the scan projection — no join, no
+    window, one bounded (year, hour) hash aggregate."""
+    df = QUERIES["dt_tz_localize_ny"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+def test_two_hop_degree_capped_joins(spark):
+    """The hop join and the direct-edge anti-join run over the cached
+    k-NN edge list (degree ≤ k, so fan-out is bounded); no cartesian
+    product anywhere."""
+    df = QUERIES["graph_two_hop_neighborhood"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("InMemoryTableScan" in n for n in nodes), nodes

@@ -1116,3 +1116,49 @@ def test_stream_hazard_lifetimes_equals_batch(spark):
     got = [tuple(r) for r in QUERIES["stream_hazard_lifetimes"](spark, SF_DIR).collect()]
     want = [tuple(r) for r in QUERIES["ev_hazard_curve"](spark, SF_DIR).collect()]
     assert got == want and len(got) > 0
+
+
+def test_stream_growth_accounting_matches_batch(spark):
+    """The per-user weekly growth classification stream must aggregate
+    EXACTLY to the batch ev_growth_accounting weekly rows (including
+    the sink-side churned/quick-ratio presentation), emit exactly ONE
+    'new' row per user, and never emit duplicate (user, week) rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    drained = QUERIES["stream_growth_accounting"](spark, SF_DIR)
+    states = drained.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active"),
+        F.count_if(F.col("status") == "new").cast("bigint").alias("new_users"),
+        F.count_if(F.col("status") == "retained").cast("bigint").alias("retained"),
+        F.count_if(F.col("status") == "resurrected").cast("bigint").alias("resurrected"),
+    )
+    wgrid = Window.orderBy("week")
+    sagg = {
+        tuple(r)
+        for r in states.select(
+            "week", "active", "new_users", "retained", "resurrected",
+            (F.coalesce(F.lag("active").over(wgrid), F.lit(0)) - F.col("retained"))
+            .cast("bigint")
+            .alias("churned"),
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN churned > 0"
+            " THEN CAST(1000000 * (new_users + resurrected) div churned AS BIGINT)"
+            " END AS quick_ratio_ppm",
+        )
+        .collect()
+    }
+    bagg = {tuple(r) for r in QUERIES["ev_growth_accounting"](spark, SF_DIR).collect()}
+    assert sagg == bagg
+    assert len(sagg) > 0
+    per_user = drained.groupBy("user_id").agg(
+        F.count_if(F.col("status") == "new").alias("n_new_rows")
+    )
+    assert per_user.where(F.col("n_new_rows") != 1).count() == 0
+    assert drained.groupBy("user_id", "week").count().where(F.col("count") > 1).count() == 0
