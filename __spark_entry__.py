@@ -230,7 +230,8 @@ _WINDOW_PRIORITY = [
 #   ev_survival_km_censored, ml_regression_metrics, agg_benford_digits,
 #   stats_welch_ttest, q_price_index_laspeyres, ev_growth_accounting,
 #   q_duplicate_order_suspects, dt_tz_localize_ny,
-#   graph_two_hop_neighborhood
+#   graph_two_hop_neighborhood, ml_concordance_index,
+#   q_demand_variability_xyz, ml_stratified_ate
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

@@ -57,6 +57,7 @@ def load_all() -> None:
         olap23,
         olap24,
         olap25,
+        olap26,
         relational,
         similarity,
         sketches,

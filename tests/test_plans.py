@@ -2618,3 +2618,40 @@ def test_two_hop_degree_capped_joins(spark):
     nodes = plan_nodes(df)
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert any("InMemoryTableScan" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 18 pins
+# ---------------------------------------------------------------------------
+
+def test_concordance_pairs_on_cached_grid_only(spark):
+    """The pair stage joins the cached (t, ev, score) grid to itself —
+    user-grain rows never reach a join; the horizon scalar broadcasts;
+    the range condition rides a broadcast nested-loop over the bounded
+    grid, never over users."""
+    df = QUERIES["ml_concordance_index"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("InMemoryTableScan" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_xyz_part_grain_integer_classification(spark):
+    """Two aggregate rungs (part-year, then part) plus the broadcast
+    period-count scalar; classification is a map-side integer compare —
+    no window, no sort before the 3-row rollup's own."""
+    df = QUERIES["q_demand_variability_xyz"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 4, nodes
+
+
+def test_ate_ntile_on_reduced_user_relation(spark):
+    """The NTILE window runs on the user-grain REDUCED relation (one
+    pre-window aggregate), and the stratum rollup is bounded — no join
+    anywhere in the plan."""
+    df = QUERIES["ml_stratified_ate"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 2, nodes
