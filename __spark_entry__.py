@@ -231,7 +231,9 @@ _WINDOW_PRIORITY = [
 #   stats_welch_ttest, q_price_index_laspeyres, ev_growth_accounting,
 #   q_duplicate_order_suspects, dt_tz_localize_ny,
 #   graph_two_hop_neighborhood, ml_concordance_index,
-#   q_demand_variability_xyz, ml_stratified_ate
+#   q_demand_variability_xyz, ml_stratified_ate,
+#   files_parquet_footer_stats, num_intdiv_negative_parity,
+#   corpus_doc_length_gini
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

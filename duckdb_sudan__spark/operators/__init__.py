@@ -58,6 +58,7 @@ def load_all() -> None:
         olap24,
         olap25,
         olap26,
+        olap27,
         relational,
         similarity,
         sketches,

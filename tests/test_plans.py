@@ -2655,3 +2655,28 @@ def test_ate_ntile_on_reduced_user_relation(spark):
     nodes = plan_nodes(df)
     assert not any("Join" in n for n in nodes), nodes
     assert sum(1 for n in nodes if n == "Window") == 2, nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 19 pins
+# ---------------------------------------------------------------------------
+
+def test_footer_stats_map_in_pandas_over_file_list(spark):
+    """The footer audit is a MapInPandas over the parallelized file
+    list — no parquet data-page scan of any test table appears in the
+    plan (footers only), no join, no window."""
+    df = QUERIES["files_parquet_footer_stats"](spark, SF_DIR)
+    plan = plan_of(df)
+    nodes = plan_nodes(df)
+    assert any("MapInPandas" in n for n in nodes), nodes
+    assert "FileScan parquet" not in plan, plan
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_gini_single_global_rank_then_two_accumulators(spark):
+    """One global rank window over documents, then a 1-row aggregate —
+    no join; the post-window reduce is map-combined."""
+    df = QUERIES["corpus_doc_length_gini"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
