@@ -59,6 +59,7 @@ def load_all() -> None:
         olap25,
         olap26,
         olap27,
+        olap28,
         relational,
         similarity,
         sketches,

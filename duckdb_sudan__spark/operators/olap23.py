@@ -139,9 +139,12 @@ def ev_survival_km_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_regression_metrics — RMSE / MAE / R² of the segment-mean predictor
 # ---------------------------------------------------------------------------
 # Target: order total in integer cents. Model: the customer market
-# segment's floor-mean cents. Baseline: the global floor-mean. SSE and
-# SST accumulate squared BIGINT residuals in DECIMAL(38,0); the three
-# doubles are derived from those exact integers by identical op trees.
+# segment's floor-mean cents. Baseline: the global floor-mean.
+# Residuals are floored to whole DOLLARS before squaring (cents-grain
+# SSE tops 2^63 at sf0.1 — with dollar residuals SSE stays int64-exact
+# through sf100); SSE/SST accumulate in DECIMAL(38,0) and route to
+# DOUBLE through BIGINT (rule 30), so the three doubles come from
+# exact integers by identical op trees.
 
 REG_METRICS_ORACLE = """
 WITH oc AS (
@@ -154,8 +157,8 @@ WITH oc AS (
 ), gbase AS (
   SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS gpred FROM oc
 ), resid AS (
-  SELECT oc.cents - segm.pred_cents AS r,
-         oc.cents - gbase.gpred AS rg
+  SELECT (oc.cents - segm.pred_cents) // 100 AS r,
+         (oc.cents - gbase.gpred) // 100 AS rg
   FROM oc JOIN segm USING (seg), gbase
 ), moments AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -166,9 +169,9 @@ WITH oc AS (
 )
 SELECT n,
        sae,
-       SQRT(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse_cents,
-       CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae_cents,
-       1 - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE) AS r2
+       SQRT(CAST(CAST(sse AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse_usd,
+       CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae_usd,
+       1 - CAST(CAST(sse AS BIGINT) AS DOUBLE) / CAST(CAST(sst AS BIGINT) AS DOUBLE) AS r2
 FROM moments
 """
 
@@ -189,9 +192,9 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = (
         oc.join(F.broadcast(segm), "seg")
         .crossJoin(F.broadcast(glob))
-        .select(
-            (F.col("cents") - F.col("pred_cents")).alias("r"),
-            (F.col("cents") - F.col("gpred")).alias("rg"),
+        .selectExpr(
+            "(cents - pred_cents) div 100 AS r",
+            "(cents - gpred) div 100 AS rg",
         )
     )
     moments = resid.agg(
@@ -203,9 +206,9 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = moments.selectExpr(
         "n",
         "sae",
-        "SQRT(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse_cents",
-        "CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae_cents",
-        "1 - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE) AS r2",
+        "SQRT(CAST(CAST(sse AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse_usd",
+        "CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae_usd",
+        "1 - CAST(CAST(sse AS BIGINT) AS DOUBLE) / CAST(CAST(sst AS BIGINT) AS DOUBLE) AS r2",
     )
     return out
 
@@ -280,15 +283,18 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Each group reduces to (n, S=Σcents, Q=Σcents²-in-DECIMAL) map-side.
 # Sample variance via the exact-integer form (n·Q − S²)/(n·(n−1)) with
-# the cancellation in DECIMAL(38,0) (rule 7), then t and the
-# Welch–Satterthwaite df as one shared IEEE expression tree. x² is
-# spelled x*x — POWER() is a transcendental on some engines (rule 1).
+# the cancellation in DECIMAL(38,0) (rule 7) routed to DOUBLE through
+# BIGINT (rule 30; n·Q−S² ≈ n²σ² ≤ ~8e18 at sf1 with cents ≤ 49k —
+# inside int64, but past 2^53, where the hugeint→double path
+# misrounds), then t and the Welch–Satterthwaite df as one shared IEEE
+# expression tree. x² is spelled x*x — POWER() is a transcendental on
+# some engines (rule 1).
 
 # var_g and se_g spelled ONCE; every downstream expression reuses the
 # exact same text so the Spark selectExpr and the oracle SELECT are the
 # same IEEE tree by construction.
-_V1 = "CAST(num1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)"
-_V2 = "CAST(num2 AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE)"
+_V1 = "CAST(CAST(num1 AS BIGINT) AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)"
+_V2 = "CAST(CAST(num2 AS BIGINT) AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE)"
 _SE1 = f"{_V1} / CAST(n1 AS DOUBLE)"
 _SE2 = f"{_V2} / CAST(n2 AS DOUBLE)"
 

@@ -4,13 +4,15 @@ duplicate-order audit pairs.
 - q_price_index_laspeyres is the economics workhorse the TPC-H family
   lacks: Laspeyres (base-year basket), Paasche (current basket) and
   Fisher price indices per ship year vs the base (first) year, on
-  per-(part, year) unit prices. Unit prices are floor-quantized to
-  integer micro-cents ONCE (1e8·cents // qty — BIGINT // BIGINT, the
-  exact floor both engines share), so the Σ price·weight accumulators
-  are exact DECIMAL(38,0); the ppm indices come out of the DOUBLE form
-  of the floor rule (DETERMINISM #169(b): cast → multiply → divide →
-  floor, identical tree) because DECIMAL // BIGINT is the
-  round-then-floor hazard the regression-metrics build measured.
+  per-(part, year) unit prices. Unit prices are floor-quantized ONCE
+  to 1e-4-cent units (1e4·cents // qty — BIGINT // BIGINT, the exact
+  floor both engines share; 1e4 not 1e8 so the Σ price·weight
+  accumulators stay under 2^63 through sf1 and under 2^53 through
+  sf0.1 — rule 30's hugeint→double misround made the finer grid a
+  1-ulp hazard), so the sums are exact DECIMAL(38,0) routed to DOUBLE
+  THROUGH BIGINT (the correctly-rounded conversion on both engines);
+  the ppm indices come out of the DOUBLE floor idiom because
+  DECIMAL // BIGINT is the round-then-floor hazard (rule 29).
 - ev_growth_accounting is the standard startup-metrics decomposition:
   each ISO week's actives split into new / retained / resurrected, and
   churned = last week's actives − this week's retained, with the quick
@@ -22,7 +24,7 @@ duplicate-order audit pairs.
   (custkey, bucket) so the pair stage only ever compares within tiny
   hash groups, never a date-range blowup.
 
-Determinism: cents via round(x·100); micro-cent unit prices and all
+Determinism: cents via round(x·100); 1e-4-cent unit prices and all
 shares as floor divisions of non-negative BIGINTs (// ≡ div); index
 ppm via the double floor idiom; weeks emitted as TIMESTAMP (rule 4).
 
@@ -56,7 +58,7 @@ PRICE_INDEX_ORACLE = """
 WITH py AS (
   SELECT l_partkey AS pk,
          CAST(year(l_shipdate) AS BIGINT) AS y,
-         CAST(100000000 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+         CAST(10000 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
               // SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS up_micro,
          CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem GROUP BY 1, 2
@@ -76,10 +78,10 @@ WITH py AS (
   FROM joined GROUP BY y
 )
 SELECT y, n_parts,
-       CAST(FLOOR(1000000 * CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)) AS BIGINT) AS laspeyres_ppm,
-       CAST(FLOOR(1000000 * CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)) AS BIGINT) AS paasche_ppm,
-       CAST(FLOOR(SQRT((1000000 * CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
-                       * (1000000 * CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))) AS BIGINT) AS fisher_ppm
+       CAST(FLOOR(1000000 * CAST(CAST(l_num AS BIGINT) AS DOUBLE) / CAST(CAST(l_den AS BIGINT) AS DOUBLE)) AS BIGINT) AS laspeyres_ppm,
+       CAST(FLOOR(1000000 * CAST(CAST(p_num AS BIGINT) AS DOUBLE) / CAST(CAST(p_den AS BIGINT) AS DOUBLE)) AS BIGINT) AS paasche_ppm,
+       CAST(FLOOR(SQRT((1000000 * CAST(CAST(l_num AS BIGINT) AS DOUBLE) / CAST(CAST(l_den AS BIGINT) AS DOUBLE))
+                       * (1000000 * CAST(CAST(p_num AS BIGINT) AS DOUBLE) / CAST(CAST(p_den AS BIGINT) AS DOUBLE)))) AS BIGINT) AS fisher_ppm
 FROM sums
 ORDER BY y
 """
@@ -93,7 +95,7 @@ def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("l_shipdate").cast("bigint").alias("y"),
     ).agg(
         F.expr(
-            "CAST(100000000 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            "CAST(10000 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
             " div SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
         ).alias("up_micro"),
         F.expr("CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").alias("qty"),
@@ -118,10 +120,10 @@ def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.selectExpr(
         "y",
         "n_parts",
-        "CAST(FLOOR(1000000 * CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)) AS BIGINT) AS laspeyres_ppm",
-        "CAST(FLOOR(1000000 * CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)) AS BIGINT) AS paasche_ppm",
-        "CAST(FLOOR(SQRT((1000000 * CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))"
-        " * (1000000 * CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))) AS BIGINT) AS fisher_ppm",
+        "CAST(FLOOR(1000000 * CAST(CAST(l_num AS BIGINT) AS DOUBLE) / CAST(CAST(l_den AS BIGINT) AS DOUBLE)) AS BIGINT) AS laspeyres_ppm",
+        "CAST(FLOOR(1000000 * CAST(CAST(p_num AS BIGINT) AS DOUBLE) / CAST(CAST(p_den AS BIGINT) AS DOUBLE)) AS BIGINT) AS paasche_ppm",
+        "CAST(FLOOR(SQRT((1000000 * CAST(CAST(l_num AS BIGINT) AS DOUBLE) / CAST(CAST(l_den AS BIGINT) AS DOUBLE))"
+        " * (1000000 * CAST(CAST(p_num AS BIGINT) AS DOUBLE) / CAST(CAST(p_den AS BIGINT) AS DOUBLE)))) AS BIGINT) AS fisher_ppm",
     ).orderBy("y")
 
 

@@ -28,8 +28,9 @@ negative-operand parity, and the corpus length Gini coefficient.
   distributions (is 80% of the training data in 20% of the docs?):
   the wealth-Gini G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over lengths ranked
   ascending with deterministic (n_chars, doc_id) tie-break —
-  Σ i·x in DECIMAL(38,0) (rank×length squares past int64 at corpus
-  scale), G as one identical double tree. Distinct from
+  Σ i·x in DECIMAL(38,0) routed to DOUBLE through BIGINT (rule 30;
+  rank×length reaches ~2.5e16 at sf100 — past 2^53, where the
+  hugeint→double path misrounds), G as one identical double tree. Distinct from
   agg_gini_diversity, which is the CLASSIFICATION impurity.
 
 Determinism: footer numbers are physical file facts (exact BIGINTs);
@@ -190,7 +191,7 @@ WITH ranked AS (
   FROM ranked
 )
 SELECT n, sx,
-       (2 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
+       (2 * CAST(CAST(six AS BIGINT) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
          - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
 FROM moments
 """
@@ -211,6 +212,6 @@ def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moments.selectExpr(
         "n",
         "sx",
-        "(2 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))"
+        "(2 * CAST(CAST(six AS BIGINT) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))"
         " - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini",
     )

@@ -2680,3 +2680,37 @@ def test_gini_single_global_rank_then_two_accumulators(spark):
     nodes = plan_nodes(df)
     assert sum(1 for n in nodes if n == "Window") == 1, nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 20 pins
+# ---------------------------------------------------------------------------
+
+def test_url_parse_map_only_grid(spark):
+    """parse_url is a pure projection over the constant grid — no
+    join, no window, no aggregate."""
+    df = QUERIES["str_url_parse_parity"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n in ("Window", "HashAggregate") for n in nodes), nodes
+
+
+def test_revenue_bridge_consecutive_year_self_join(spark):
+    """The bridge self-joins the cached (part, year) aggregate on
+    partkey with the year+1 equi-condition — a hash join, never a
+    cartesian year×year stage."""
+    df = QUERIES["q_revenue_bridge_pvm"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("InMemoryTableScan" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoopJoin" in n for n in nodes), nodes
+
+
+def test_jackknife_nation_grain_broadcast_total(spark):
+    """One fact join (orders⋈customer), one nation-grain rollup, the
+    global-moments scalar broadcast back — no window over the fact."""
+    df = QUERIES["ml_jackknife_ci"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    assert any("Broadcast" in n for n in nodes), nodes

@@ -88,6 +88,17 @@ OPS = [
     # growth should track the daily-aggregate scan), the hazard curve
     # (user-grain shuffle), and the gains curve (bounded bin grid)
     "ts_theil_sen_slope", "ev_hazard_curve", "ml_lift_gain_curve",
+    # r11 wave 15-19 additions worth a 16x row: censored survival and
+    # growth accounting (user-grain reduce, windows on bounded grids —
+    # growth should track the user shuffle), the concordance index
+    # (pair stage on the bounded joint histogram — cell count is
+    # SF-invariant, so growth should track the user reduce), the 2-hop
+    # frontier over the 16x k-NN graph (edge join fan-out capped at k,
+    # but 16x edges on both sides), and the corpus Gini (one global
+    # sort — the distributed-sort cost is the measurement)
+    "ev_survival_km_censored", "ev_growth_accounting",
+    "ml_concordance_index", "graph_two_hop_neighborhood",
+    "corpus_doc_length_gini",
 ]
 
 # ANN recall at scale (r9 verdict item 7): the recall pins in
