@@ -60,6 +60,7 @@ def load_all() -> None:
         olap26,
         olap27,
         olap28,
+        olap29,
         relational,
         similarity,
         sketches,

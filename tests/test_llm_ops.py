@@ -1397,3 +1397,37 @@ def test_brightness_histogram_equals_local_replay(spark):
         b: n for b, n in got.items() if n
     }
     assert sum(got.values()) == int(want.sum()) > 0
+
+
+def test_compression_ratio_deterministic_and_monotone(spark, tmp_path):
+    """The zlib quality proxy must (a) be identical across two runs in
+    the same environment, (b) rank a highly repetitive doc strictly
+    below a high-entropy doc, and (c) conserve the doc count."""
+    import duckdb
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.olap29 import _compress_ratio
+    import pandas as pd
+
+    operators.load_all()
+    r1 = sorted(tuple(r) for r in QUERIES["text_compression_ratio"](spark, SF_DIR).collect())
+    r2 = sorted(tuple(r) for r in QUERIES["text_compression_ratio"](spark, SF_DIR).collect())
+    assert r1 == r2 and len(r1) > 0
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " WHERE length(text) > 0"
+    ).fetchone()[0]
+    assert sum(r[2] for r in r1) == n_docs
+    # kernel-level monotonicity: repetitive compresses far below random-ish
+    import hashlib
+
+    high_entropy = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    probe = pd.DataFrame(
+        {"lang": ["xx", "xx"], "text": ["spam " * 400, high_entropy]}
+    )
+    cells = pd.concat(list(_compress_ratio(iter([probe]))), ignore_index=True)
+    ratios = sorted(cells["sum_ratio_ppm"] // cells["n_docs"])
+    assert ratios[0] < 100_000 and ratios[-1] > 500_000

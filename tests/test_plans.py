@@ -2714,3 +2714,37 @@ def test_jackknife_nation_grain_broadcast_total(spark):
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert not any(n == "Window" for n in nodes), nodes
     assert any("Broadcast" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 21 pins
+# ---------------------------------------------------------------------------
+
+def test_cost_curve_windows_on_bin_grid(spark):
+    """Cost and argmin windows run on the ≤1000-bin aggregate only —
+    one pre-window HashAggregate pair, no join."""
+    df = QUERIES["ml_threshold_cost_curve"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    # leaf-first listing: the bin aggregate must come before any window
+    assert win_idx and agg_idx and max(agg_idx) < min(win_idx), nodes
+
+
+def test_srm_distinct_then_ten_cells(spark):
+    """Exposure dedups map-side, then a 5×2-cell aggregate — no window,
+    no join."""
+    df = QUERIES["ev_ab_srm_check"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_compression_partials_in_kernel(spark):
+    """The deflate kernel emits (lang, decile) PARTIAL cells, so the
+    shuffle after MapInPandas carries cell rows, not doc rows."""
+    df = QUERIES["text_compression_ratio"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("MapInPandas" in n for n in nodes), nodes
+    assert not any("Join" in n for n in nodes), nodes
