@@ -61,6 +61,7 @@ def load_all() -> None:
         olap27,
         olap28,
         olap29,
+        olap30,
         relational,
         similarity,
         sketches,

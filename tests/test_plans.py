@@ -2748,3 +2748,39 @@ def test_compression_partials_in_kernel(spark):
     nodes = plan_nodes(df)
     assert any("MapInPandas" in n for n in nodes), nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 22 pins
+# ---------------------------------------------------------------------------
+
+def test_ztest_user_day_grain_then_four_cells(spark):
+    """One (user, day) reduce, then the 2×2 cell aggregate and a 1-row
+    select — no join, no window."""
+    df = QUERIES["ml_two_proportion_ztest"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_neyman_windows_only_on_strata_relation(spark):
+    """The fact join reduces to 5 strata cells; every window (total
+    weight, rank, top-up) runs on that bounded relation — aggregates
+    strictly before windows in the leaf-first plan."""
+    df = QUERIES["sample_stratified_neyman"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert win_idx and agg_idx and max(agg_idx) < min(win_idx), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_interval_union_single_user_partitioning(spark):
+    """The sweep's two windows and the island reduce all share the
+    user_id partitioning — the raw stream is exchanged once for the
+    window, and no join appears."""
+    df = QUERIES["ev_interval_union_coverage"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 2, nodes
+    assert shuffle_count(nodes) <= 3, nodes
