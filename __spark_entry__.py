@@ -236,7 +236,8 @@ _WINDOW_PRIORITY = [
 #   corpus_doc_length_gini, str_url_parse_parity, q_revenue_bridge_pvm,
 #   ml_jackknife_ci, ml_threshold_cost_curve, ev_ab_srm_check,
 #   ml_two_proportion_ztest, sample_stratified_neyman,
-#   ev_interval_union_coverage
+#   ev_interval_union_coverage, ev_cuped_adjustment, ml_auc_by_group,
+#   dt_fiscal_calendar_rollup
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

@@ -62,6 +62,7 @@ def load_all() -> None:
         olap28,
         olap29,
         olap30,
+        olap31,
         relational,
         similarity,
         sketches,

@@ -2784,3 +2784,38 @@ def test_interval_union_single_user_partitioning(spark):
     assert not any("Join" in n for n in nodes), nodes
     assert sum(1 for n in nodes if n == "Window") == 2, nodes
     assert shuffle_count(nodes) <= 3, nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 23 pins
+# ---------------------------------------------------------------------------
+
+def test_cuped_one_conditional_pass(spark):
+    """Pre/experiment split is ONE conditional aggregation over the
+    stream (broadcast cutoff scalar), then a 1-row cell select — no
+    second scan-side join, no window."""
+    df = QUERIES["ev_cuped_adjustment"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any(n == "Window" for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if "Scan parquet" in n) <= 2, nodes
+
+
+def test_auc_by_group_rank_within_quartile(spark):
+    """Quartiles come from the user-grain reduce; the rank window
+    partitions by quartile (4 partitions after the broadcast-able
+    user→quartile join); each group collapses to 3 integers."""
+    df = QUERIES["ml_auc_by_group"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert sum(1 for n in nodes if n == "Window") == 3, nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_fiscal_rollup_map_assign_only(spark):
+    """FY/FQ are pure integer projections on the scan — one bounded
+    hash aggregate, no join, no window."""
+    df = QUERIES["dt_fiscal_calendar_rollup"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
