@@ -801,3 +801,155 @@ def _register_shared_borders() -> None:
 
 
 _register_shared_borders()
+
+
+# ---------------------------------------------------------------------------
+# sudan_state_convex_hull — hull + convexity through the hash gate
+# ---------------------------------------------------------------------------
+# The next generic-geometry rung after area/centroid/intersection:
+# ST_ConvexHull + the convexity ratio (state area / hull area) —
+# the standard shape-compactness screen a geospatial user runs to
+# find fragmented or concave admin areas. Same determinism contract
+# as the other rungs: ALL-INTEGER microdegree arithmetic; the Spark
+# side runs Andrew's monotone chain in one Arrow map stage over the
+# 18-row boundary relation; the oracle is an INDEPENDENTLY-CODED
+# Jarvis gift-wrapping hull baked as VALUES. Both drop collinear
+# hull points (strict turns), so vertex counts — not just areas —
+# must agree exactly. Convexity is floor ppm of exact integers.
+
+
+def _hull_monotone_chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew's monotone chain on integer points, strict turns (<= 0
+    pops collinear points off the hull)."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def _hull_gift_wrap(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Jarvis march (the INDEPENDENT formulation for the oracle):
+    wrap counter-clockwise, always choosing the strictly most-CCW
+    point and, among collinear candidates, the farthest — collinear
+    intermediates never enter the hull."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+    start = min(pts)  # lexicographically smallest is on the hull
+    hull = [start]
+    cur = start
+    while True:
+        cand = pts[0] if pts[0] != cur else pts[1]
+        for p in pts:
+            if p == cur:
+                continue
+            cx = (cand[0] - cur[0]) * (p[1] - cur[1]) - (cand[1] - cur[1]) * (p[0] - cur[0])
+            if cx < 0:  # p is clockwise of cand: cand stays
+                continue
+            if cx > 0:  # p is counter-clockwise of cand: p wins
+                cand = p
+            else:  # collinear: farthest wins
+                d_c = (cand[0] - cur[0]) ** 2 + (cand[1] - cur[1]) ** 2
+                d_p = (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2
+                if d_p > d_c:
+                    cand = p
+        cur = cand
+        if cur == start:
+            break
+        hull.append(cur)
+    return hull
+
+
+def _hull_2area(hull: list[tuple[int, int]]) -> int:
+    s = 0
+    for (x0, y0), (x1, y1) in zip(hull, hull[1:] + hull[:1]):
+        s += x0 * y1 - x1 * y0
+    return abs(s)
+
+
+def _geom_micropoints(doc: dict) -> list[tuple[int, int]]:
+    """All OUTER-ring vertices of every part on the 1e-6-degree grid
+    (holes cannot touch the convex hull of their polygon)."""
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    pts = []
+    for poly in polys:
+        for x, y in poly[0]:
+            pts.append((round(x * 1_000_000), round(y * 1_000_000)))
+    return pts
+
+
+def _convex_hull_oracle() -> str:
+    from duckdb_sudan__spark.oracle import values_sql
+
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = json.loads(geo_states.state_boundary_geojson(i))
+        pts = _geom_micropoints(doc)
+        hull = _hull_gift_wrap(pts)
+        hull_a2 = _hull_2area(hull)
+        state_a2, _, _ = _geom_2area_and_parts(doc)
+        rows.append(
+            (iso, name, len(hull), hull_a2, 1_000_000 * state_a2 // hull_a2)
+        )
+    return (
+        values_sql(
+            sorted(rows),
+            ["iso_code", "state_name", "hull_vertices", "hull_area2_microdeg2", "convexity_ppm"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+        )
+        + " ORDER BY iso_code"
+    )
+
+
+def _register_convex_hull() -> None:
+    @register("sudan_state_convex_hull", _convex_hull_oracle())
+    def sudan_state_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Convex hull + convexity ratio per state: Spark side runs
+        Andrew's monotone chain (strict turns) in one Arrow map stage
+        over the 18-row boundary relation; the oracle is a separately
+        coded Jarvis march baked as VALUES. Exact integer microdegree
+        arithmetic end-to-end — vertex counts, hull areas, and the
+        floor-ppm convexity must all match bit-for-bit."""
+        bounds = geo_states.sudan_boundaries(spark, "state")
+
+        @F.pandas_udf("struct<nv:bigint,ha2:bigint,conv:bigint>")
+        def hull_of(geojson: pd.Series) -> pd.DataFrame:
+            out = []
+            for g in geojson:
+                doc = json.loads(g)
+                hull = _hull_monotone_chain(_geom_micropoints(doc))
+                ha2 = _hull_2area(hull)
+                sa2, _, _ = _geom_2area_and_parts(doc)
+                out.append(
+                    {"nv": len(hull), "ha2": ha2, "conv": 1_000_000 * sa2 // ha2}
+                )
+            return pd.DataFrame(out)
+
+        return (
+            bounds.select("iso_code", "state_name", hull_of(F.col("geojson")).alias("h"))
+            .select(
+                "iso_code",
+                "state_name",
+                F.col("h.nv").alias("hull_vertices"),
+                F.col("h.ha2").alias("hull_area2_microdeg2"),
+                F.col("h.conv").alias("convexity_ppm"),
+            )
+            .orderBy("iso_code")
+        )
+
+
+_register_convex_hull()

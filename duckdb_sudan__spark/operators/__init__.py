@@ -63,6 +63,7 @@ def load_all() -> None:
         olap29,
         olap30,
         olap31,
+        olap32,
         relational,
         similarity,
         sketches,

