@@ -64,6 +64,7 @@ def load_all() -> None:
         olap30,
         olap31,
         olap32,
+        olap33,
         relational,
         similarity,
         sketches,

@@ -2842,3 +2842,27 @@ def test_convex_hull_single_arrow_stage(spark):
     assert not any("Join" in n for n in nodes), nodes
     assert not any(n == "Window" for n in nodes), nodes
     assert any("ArrowEvalPython" in n or "Project" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 25 pins
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_windows_on_price_cells(spark):
+    """Lineitem pre-aggregates to (flag, price) cells map-side; the
+    running-weight windows and the selection rank run on that reduced
+    relation — aggregates strictly before windows, no join."""
+    df = QUERIES["agg_weighted_median"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert win_idx and agg_idx and max(agg_idx) < min(win_idx), nodes
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_semantics_grids_constant_relations(spark):
+    """The month-arithmetic and NULL-semantics grids never scan
+    parquet."""
+    for key in ("dt_month_arith_edges", "agg_empty_null_semantics"):
+        plan = plan_of(QUERIES[key](spark, SF_DIR))
+        assert "FileScan parquet" not in plan, (key, plan)
