@@ -65,6 +65,7 @@ def load_all() -> None:
         olap31,
         olap32,
         olap33,
+        olap34,
         relational,
         similarity,
         sketches,

@@ -212,6 +212,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = new_vs_returning_stream(events), "append"
         elif which == "growth_accounting":  # per-user weekly growth classifier
             out, mode = growth_accounting_stream(events), "append"
+        elif which == "interval_union":  # per-user merge-intervals sweep
+            out, mode = interval_union_stream(events), "append"
         elif which == "lifetime":  # per-user lifetime tracker (update mode)
             out, mode = lifetime_stream(events), "update"
         elif which == "attribution":  # stream-stream interval self-join
@@ -1184,6 +1186,100 @@ def growth_accounting_stream(events: DataFrame, watermark: str = "1 hour") -> Da
             _growth_fn,
             GROWTH_OUT_SCHEMA,
             GROWTH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: interval-union sweep (merged activity
+# islands) via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+IVU_WINDOW_US = 10 * 60 * 1_000_000  # must equal olap30.COVER_WINDOW_US (tested)
+
+IVU_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("island_start", T.TimestampType()),
+        T.StructField("island_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+# (start_us, end_us, n): the OPEN island; presence = state.exists
+IVU_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _interval_union_fn(key, pdf_iter, state):
+    """Per-user merge-intervals sweep: each event opens [ts, ts+W);
+    an event beyond the open island's end CLOSES it (emitted) and
+    opens a new one; an overlapping event extends it. Only CLOSED
+    islands are emitted (append mode can't retract) — each user's
+    final island stays in state at drain end, which the equivalence
+    test accounts for. Cross-batch contract: within a batch events
+    sort locally; a cross-batch event at-or-before the open island's
+    START is late and dropped (an overlap-extension from a later
+    batch is still correct because it only moves end_us forward)."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    has = state.exists
+    start_us, end_us, n = state.get if has else (0, 0, 0)
+    chunks = [c for c in pdf_iter if len(c)]
+    if not chunks:
+        if has:
+            state.update((int(start_us), int(end_us), int(n)))
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    us_col = (
+        pdf["ts"].astype("int64") // 1000
+        if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+        else pdf["ts"].astype("int64")
+    )
+    out = []
+    for u in sorted(int(x) for x in us_col):
+        s, e = u, u + IVU_WINDOW_US
+        if not has:
+            start_us, end_us, n, has = s, e, 1, True
+        elif s > end_us:
+            out.append(
+                {"user_id": key[0],
+                 "island_start": pd.Timestamp(start_us, unit="us"),
+                 "island_end": pd.Timestamp(end_us, unit="us"),
+                 "n_events": n}
+            )
+            start_us, end_us, n = s, e, 1
+        elif s <= start_us and u != start_us:
+            continue  # late cross-batch arrival before the open island
+        else:
+            end_us = max(end_us, e)
+            n += 1
+    state.update((int(start_us), int(end_us), int(n)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def interval_union_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ev_interval_union_coverage's streaming twin: merged activity
+    islands close and emit AS the stream advances (the live uptime /
+    billed-time feed). O(1) state per user (one open island). Drained
+    closed islands equal the batch islands minus each user's final
+    (still-open) island; asserted in tests/test_sources_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _interval_union_fn,
+            IVU_OUT_SCHEMA,
+            IVU_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )

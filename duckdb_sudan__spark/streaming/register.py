@@ -375,3 +375,14 @@ def stream_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     quick ratio are the same sink-side window presentation; asserted
     in tests/test_sources_streaming.py."""
     return run_stream_to_memory(spark, sf_dir, "growth_accounting")
+
+
+@register("stream_interval_union")  # rows-only: ≡ batch closed islands (tested)
+def stream_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged activity islands as a stream (the live billed-time /
+    uptime feed): events extend or close per-user 10-minute activity
+    islands; closed islands emit immediately, the open one stays in
+    O(1) state. Drained rows equal the batch sweep's islands minus
+    each user's final open island; asserted in
+    tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "interval_union")

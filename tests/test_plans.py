@@ -2866,3 +2866,20 @@ def test_semantics_grids_constant_relations(spark):
     for key in ("dt_month_arith_edges", "agg_empty_null_semantics"):
         plan = plan_of(QUERIES[key](spark, SF_DIR))
         assert "FileScan parquet" not in plan, (key, plan)
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 26 pins
+# ---------------------------------------------------------------------------
+
+def test_tier_migration_ntile_on_customer_year_cells(spark):
+    """Orders reduce to (customer, year) cells before the per-year
+    NTILE; the adjacent-year pairing joins the cached tier relation on
+    custkey — no cartesian, aggregates before windows."""
+    df = QUERIES["q_tier_migration_matrix"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert win_idx and agg_idx and min(agg_idx) < min(win_idx), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("InMemoryTableScan" in n for n in nodes), nodes

@@ -1162,3 +1162,63 @@ def test_stream_growth_accounting_matches_batch(spark):
     )
     assert per_user.where(F.col("n_new_rows") != 1).count() == 0
     assert drained.groupBy("user_id", "week").count().where(F.col("count") > 1).count() == 0
+
+
+def test_stream_interval_union_matches_batch_closed_islands(spark):
+    """Drained CLOSED islands must equal the batch merge-intervals
+    sweep minus each user's final (still-open-at-drain) island, with
+    exact starts/ends/event counts; the window constant must match
+    the batch entry's."""
+    import duckdb
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.olap30 import COVER_WINDOW_US
+    from duckdb_sudan__spark.streaming.events import IVU_WINDOW_US
+
+    assert IVU_WINDOW_US == COVER_WINDOW_US
+    operators.load_all()
+    drained = QUERIES["stream_interval_union"](spark, SF_DIR)
+    got = {
+        (r["user_id"], r["island_start"], r["island_end"], r["n_events"])
+        for r in drained.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    batch = con.execute(f"""
+    WITH iv AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT) + {COVER_WINDOW_US} AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island_id, MIN(s) AS start_us, MAX(e) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(island_id) OVER (PARTITION BY user_id) AS last_island
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id, start_us, end_us, n_events
+    FROM merged WHERE island_id < last_island
+    """).fetchall()
+    import datetime
+
+    def us_ts(us):
+        return datetime.datetime.utcfromtimestamp(us / 1_000_000).replace(
+            microsecond=int(us % 1_000_000)
+        )
+
+    want = {(u, us_ts(s), us_ts(e), n) for u, s, e, n in batch}
+    assert got == want
+    assert len(got) > 0
