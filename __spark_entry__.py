@@ -240,7 +240,8 @@ _WINDOW_PRIORITY = [
 #   dt_fiscal_calendar_rollup, sudan_state_convex_hull,
 #   num_round_even_parity, win_nulls_ordering_parity,
 #   agg_weighted_median, dt_month_arith_edges, agg_empty_null_semantics,
-#   q_tier_migration_matrix
+#   q_tier_migration_matrix, ts_pettitt_changepoint,
+#   ml_average_precision_binned
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

@@ -66,6 +66,7 @@ def load_all() -> None:
         olap32,
         olap33,
         olap34,
+        olap35,
         relational,
         similarity,
         sketches,

@@ -2883,3 +2883,28 @@ def test_tier_migration_ntile_on_customer_year_cells(spark):
     assert win_idx and agg_idx and min(agg_idx) < min(win_idx), nodes
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert any("InMemoryTableScan" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 27 pins
+# ---------------------------------------------------------------------------
+
+def test_pettitt_pairs_on_cached_day_grid(spark):
+    """The sign-pair join runs over the cached calendar-bounded daily
+    aggregate (quadratic in days, never rows); U_t and the argmax are
+    windows on that grid."""
+    df = QUERIES["ts_pettitt_changepoint"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert any("InMemoryTableScan" in n for n in nodes), nodes
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+
+
+def test_ap_windows_on_bin_grid(spark):
+    """AP shares the binned family's shape: one bin aggregate, then
+    windows and the final 1-row reduce on the grid only."""
+    df = QUERIES["ml_average_precision_binned"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert win_idx and agg_idx and min(agg_idx) < min(win_idx), nodes
