@@ -241,7 +241,8 @@ _WINDOW_PRIORITY = [
 #   num_round_even_parity, win_nulls_ordering_parity,
 #   agg_weighted_median, dt_month_arith_edges, agg_empty_null_semantics,
 #   q_tier_migration_matrix, ts_pettitt_changepoint,
-#   ml_average_precision_binned
+#   ml_average_precision_binned, ev_purchase_streaks,
+#   q_part_adoption_curve
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

@@ -67,6 +67,7 @@ def load_all() -> None:
         olap33,
         olap34,
         olap35,
+        olap36,
         relational,
         similarity,
         sketches,

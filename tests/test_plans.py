@@ -2908,3 +2908,28 @@ def test_ap_windows_on_bin_grid(spark):
     agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
     win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
     assert win_idx and agg_idx and min(agg_idx) < min(win_idx), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 28 pins
+# ---------------------------------------------------------------------------
+
+def test_streaks_single_user_exchange(spark):
+    """Distinct (user, purchase-day) collapses map-side; the island
+    window and both per-user reduces share the user partitioning —
+    no join."""
+    df = QUERIES["ev_purchase_streaks"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "Window") == 1, nodes
+
+
+def test_adoption_windows_on_quarter_grid(spark):
+    """First-ship reduces at part grain; cumulative windows ride the
+    bounded quarter grid only (aggregates strictly before windows)."""
+    df = QUERIES["q_part_adoption_curve"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
+    assert win_idx and agg_idx and max(agg_idx) < min(win_idx), nodes
+    assert not any("Join" in n for n in nodes), nodes
