@@ -92,7 +92,9 @@ WITH per_user AS (
 )
 SELECT CAST(CAST(num2 AS DOUBLE) / 2 AS DOUBLE) AS concordant_weight,
        CAST(den AS DOUBLE) AS comparable_pairs,
-       CAST(FLOOR(1000000 * CAST(num2 AS DOUBLE) / (2 * CAST(den AS DOUBLE))) AS BIGINT) AS c_index_ppm
+       CASE WHEN den > 0 THEN
+         CAST(FLOOR(1000000 * CAST(num2 AS DOUBLE) / (2 * CAST(den AS DOUBLE))) AS BIGINT)
+       END AS c_index_ppm
 FROM pairs
 """
 
@@ -138,7 +140,9 @@ def ml_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.selectExpr(
         "CAST(CAST(num2 AS DOUBLE) / 2 AS DOUBLE) AS concordant_weight",
         "CAST(den AS DOUBLE) AS comparable_pairs",
-        "CAST(FLOOR(1000000 * CAST(num2 AS DOUBLE) / (2 * CAST(den AS DOUBLE))) AS BIGINT) AS c_index_ppm",
+        "CASE WHEN den > 0 THEN"
+        " CAST(FLOOR(1000000 * CAST(num2 AS DOUBLE) / (2 * CAST(den AS DOUBLE))) AS BIGINT)"
+        " END AS c_index_ppm",
     )
 
 

@@ -164,8 +164,10 @@ WITH per_user AS (
   FROM scored GROUP BY quartile
 ), per_group AS (
   SELECT quartile, p, neg,
-         CAST(FLOOR(1000000 * CAST(CAST(2 * (rank_sum - p * (p + 1) // 2) AS BIGINT) AS DOUBLE)
-                    / (2 * CAST(p AS DOUBLE) * CAST(neg AS DOUBLE))) AS BIGINT) AS auc_ppm
+         CASE WHEN p > 0 AND neg > 0 THEN
+           CAST(FLOOR(1000000 * CAST(CAST(2 * (rank_sum - p * (p + 1) // 2) AS BIGINT) AS DOUBLE)
+                      / (2 * CAST(p AS DOUBLE) * CAST(neg AS DOUBLE))) AS BIGINT)
+         END AS auc_ppm
   FROM cells
 )
 SELECT quartile, p, neg, auc_ppm,
@@ -199,8 +201,10 @@ def ml_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_group = cells.selectExpr(
         "quartile", "p", "neg",
-        "CAST(FLOOR(1000000 * CAST(CAST(2 * (rank_sum - p * (p + 1) div 2) AS BIGINT) AS DOUBLE)"
-        " / (2 * CAST(p AS DOUBLE) * CAST(neg AS DOUBLE))) AS BIGINT) AS auc_ppm",
+        "CASE WHEN p > 0 AND neg > 0 THEN"
+        " CAST(FLOOR(1000000 * CAST(CAST(2 * (rank_sum - p * (p + 1) div 2) AS BIGINT) AS DOUBLE)"
+        " / (2 * CAST(p AS DOUBLE) * CAST(neg AS DOUBLE))) AS BIGINT)"
+        " END AS auc_ppm",
     )
     return per_group.selectExpr(
         "quartile", "p", "neg", "auc_ppm",
