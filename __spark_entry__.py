@@ -242,7 +242,8 @@ _WINDOW_PRIORITY = [
 #   agg_weighted_median, dt_month_arith_edges, agg_empty_null_semantics,
 #   q_tier_migration_matrix, ts_pettitt_changepoint,
 #   ml_average_precision_binned, ev_purchase_streaks,
-#   q_part_adoption_curve
+#   q_part_adoption_curve, ml_calibration_slope, text_readability_fk,
+#   q_abc_xyz_cross
 # — THEN (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r13) —

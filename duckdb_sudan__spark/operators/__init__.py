@@ -68,6 +68,7 @@ def load_all() -> None:
         olap34,
         olap35,
         olap36,
+        olap37,
         relational,
         similarity,
         sketches,

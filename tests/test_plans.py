@@ -2933,3 +2933,36 @@ def test_adoption_windows_on_quarter_grid(spark):
     win_idx = [i for i, n in enumerate(nodes) if n == "Window"]
     assert win_idx and agg_idx and max(agg_idx) < min(win_idx), nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 29 pins
+# ---------------------------------------------------------------------------
+
+def test_calibration_slope_one_row_moments(spark):
+    """Row-grain OLS moments reduce map-side to one row — no window,
+    no join."""
+    df = QUERIES["ml_calibration_slope"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+
+
+def test_readability_map_only_rollup(spark):
+    """The three regex counters are scan-side projections into a
+    ≤|langs| rollup — no window, no join."""
+    df = QUERIES["text_readability_fk"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert not any(n == "Window" for n in nodes), nodes
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2, nodes
+
+
+def test_abc_xyz_part_grain_join(spark):
+    """Both class relations reduce at part grain from the cached scan;
+    the cross joins part-to-part (hash join, no cartesian) before the
+    9-cell rollup."""
+    df = QUERIES["q_abc_xyz_cross"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("InMemoryTableScan" in n for n in nodes), nodes

@@ -99,6 +99,17 @@ OPS = [
     "ev_survival_km_censored", "ev_growth_accounting",
     "ml_concordance_index", "graph_two_hop_neighborhood",
     "corpus_doc_length_gini",
+    # r11 wave 20-28 additions on the 16x corpus: the interval-union
+    # sweep (user-grain window over 16x events), its STREAMING twin
+    # (the same sweep as engine-managed state), CUPED (one conditional
+    # aggregation pass), Pettitt (pairs quadratic in CALENDAR days —
+    # SF-invariant grid, growth should track the day reduce), binned
+    # AP (the shared ≤1000-bin shuffle), purchase streaks (user-grain
+    # islands), and the zlib proxy (embarrassingly parallel deflate)
+    "ev_interval_union_coverage", "stream_interval_union",
+    "ev_cuped_adjustment", "ts_pettitt_changepoint",
+    "ml_average_precision_binned", "ev_purchase_streaks",
+    "text_compression_ratio",
 ]
 
 # ANN recall at scale (r9 verdict item 7): the recall pins in
