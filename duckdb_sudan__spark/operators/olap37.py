@@ -28,9 +28,11 @@ integers; ABC thresholds compare floor-ppm integers.
 
 Scale notes (100 TB): the calibration moments are one map-combined
 1-row aggregate; readability is a map-only regex projection into a
-≤|langs|-cell rollup; ABC×XYZ reduces lineitem at part grain ONCE
-(cached), runs the cumulative-share window over the part aggregate,
-and joins the two class columns part-to-part before a 9-cell rollup.
+≤|langs|-cell rollup; ABC×XYZ reduces lineitem at part grain, runs
+the cumulative-share window over the part aggregate,
+and joins the two class columns part-to-part before a 9-cell rollup
+(the raw fact is re-scanned per reduction, never cached — a fact-table
+cache is wrong at 100 TB and pollutes unrelated plans in-session).
 """
 
 from __future__ import annotations
@@ -183,7 +185,10 @@ ORDER BY abc.abc_class, xyz.xyz_class
 @register("q_abc_xyz_cross", ABC_XYZ_ORACLE)
 def q_abc_xyz_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    li = li.cache()  # part-revenue and part-year-demand reductions share the scan
+    # NOTE: the two reductions deliberately re-scan parquet rather than
+    # cache the raw fact — caching a 100 TB fact is wrong at scale, and
+    # a bare-table cache pollutes every later plan that scans lineitem
+    # (measured: the q6 pushed-filters plan pin went red in-suite)
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.expr("CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").alias("cents")
     )
