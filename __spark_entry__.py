@@ -167,68 +167,39 @@ def _sudan_oracles() -> dict[str, str]:
 #   unpivot_nation_counts, w1_window_rank, w2_window_running,
 #   w4_value_windows
 _WINDOW_PRIORITY = [
-    # ================= r11 window (the committed r10-close plan, with
-    # the r10 verdict's one amendment applied) ===========================
-    # -- 1: agg_array_agg_sorted, the sole ERR row of CORRECTNESS_r10
-    #       (driver's pandas canonicalizer can't hash ARRAY cells). The
-    #       entry now serializes both arrays to comma-joined strings on
-    #       both sides (olap17.py, the agg_histogram convention); the
-    #       verdict puts it at slot 1 ahead of the committed list so the
-    #       fix lands a green driver row this round ----------------------
-    "agg_array_agg_sorted",
-    # -- 2-22: the 21 oracled entries added in r10 (each dual-SF
-    #          dual-mode verified on registration, never driver-checked) -
-    "q1_pricing_decimal", "sample_tablesample", "ml_confusion_matrix",
-    "ml_calibration_bins", "ml_ks_binned", "ev_new_vs_returning",
-    "ts_autocorr_daily", "text_lang_confusion", "agg_bitmap_distinct",
-    "text_ttr_lexical_diversity", "ev_markov_prediction_accuracy",
-    "ml_drift_chi2_weekly", "ml_feature_importance_mi",
-    "text_collocation_lift", "q_weekday_seasonality_index",
-    "ml_pr_curve_binned", "ml_brier_score", "files_snapshot_time_travel",
-    "q_order_size_distribution", "q_discount_qty_elasticity",
-    "ev_peak_hour_by_type",
-    # -- 23-33: the 11 r5-checked rows left over from the r10 window ----
-    "str_funcs", "sudan_ds_worldbank", "text_fingerprint", "text_langid",
-    "text_normalize", "text_quality", "text_repetition", "text_tokens",
-    "text_vocab_topk", "ts_gapfill_days", "w3_window_frames",
-    # -- 34-50: the oldest remaining class — the 50 rows whose latest
-    #           driver check is r6 (computed from CORRECTNESS_r01..r10 at
-    #           r11 open); the 17 alphabetically-first fill the window,
-    #           the remaining 33 roll to r12 ----------------------------
-    "agg_filter_clause", "agg_gini_diversity", "agg_histogram",
-    "agg_mode_quantile", "agg_quantile_multi", "agg_regression",
-    "agg_width_bucket_hist", "bm25_rank", "dataset_shard_assign",
-    "decontaminate_substring", "dedup_doc_prefix", "emb_knn_graph",
-    "emb_quantize_int8", "ev_asof_forward", "ev_asof_nearest",
-    "ev_funnel_windowed", "ev_rfm_scores",
+    # ================= r12 window (the committed r11-close plan,
+    # executed verbatim: the 50 newest-first of the 89 oracled entries
+    # added in r11 — each dual-SF dual-mode verified on registration,
+    # never driver-checked before this round) ==========================
+    "sudan_state_intersect_area", "ml_lift_gain_curve",
+    "ml_calibration_ece", "ml_roc_curve_binned", "ml_psi_drift_bits",
+    "agg_hhi_concentration", "struct_funcs_parity", "ev_hazard_curve",
+    "ts_theil_sen_slope", "files_orc_roundtrip",
+    "sudan_state_centroid_bbox", "win_groups_frame_emulated",
+    "ts_forecast_backtest_mae", "ml_auc_by_sample_fraction",
+    "ts_anomaly_rolling_mad", "q_customer_reorder_gaps",
+    "graph_degree_histogram", "graph_common_neighbors",
+    "sample_soft_dedup_weights", "pipeline_data_card",
+    "files_dynamic_partition_overwrite", "ts_cross_correlation_lags",
+    "ev_dose_response_conversion", "dedup_source_priority",
+    "ml_best_f1_threshold", "q_topn_with_other", "ml_kfold_balance",
+    "ev_type_affinity_pmi", "ts_intervention_did", "emb_norm_histogram",
+    "q_rank_stability_spearman", "ts_local_peaks",
+    "ev_attribution_position", "dedup_threshold_sweep",
+    "text_charclass_profile", "emb_dim_stats", "ml_mcc_binary",
+    "ts_mann_kendall", "ev_time_to_nth_event", "win_ntile_parity",
+    "text_simpson_diversity", "ml_ndcg_at_k", "ml_cohens_kappa",
+    "ts_bollinger_breaches", "ev_signup_to_first_purchase",
+    "sudan_states_shared_borders", "ml_mrr_per_user",
+    "ev_session_type_cooccurrence", "ts_iso_week_revenue",
+    "ev_survival_km_censored",
 ]
 
-# r12 window priority, computed at r11: FIRST the oracled entries
-# added in r11 (each dual-SF dual-mode verified on registration, never
-# driver-checked; if they exceed 50, the overflow — newest last —
-# rolls to the FRONT of r13's window) —
-#   sudan_state_intersect_area, ml_lift_gain_curve, ml_calibration_ece,
-#   ml_roc_curve_binned, ml_psi_drift_bits, agg_hhi_concentration,
-#   struct_funcs_parity, ev_hazard_curve, ts_theil_sen_slope,
-#   files_orc_roundtrip, sudan_state_centroid_bbox,
-#   win_groups_frame_emulated, ts_forecast_backtest_mae,
-#   ml_auc_by_sample_fraction, ts_anomaly_rolling_mad,
-#   q_customer_reorder_gaps, graph_degree_histogram,
-#   graph_common_neighbors, sample_soft_dedup_weights,
-#   pipeline_data_card, files_dynamic_partition_overwrite,
-#   ts_cross_correlation_lags, ev_dose_response_conversion,
-#   dedup_source_priority, ml_best_f1_threshold, q_topn_with_other,
-#   ml_kfold_balance, ev_type_affinity_pmi, ts_intervention_did,
-#   emb_norm_histogram, q_rank_stability_spearman, ts_local_peaks,
-#   ev_attribution_position, dedup_threshold_sweep,
-#   text_charclass_profile, emb_dim_stats, ml_mcc_binary,
-#   ts_mann_kendall, ev_time_to_nth_event, win_ntile_parity,
-#   text_simpson_diversity, ml_ndcg_at_k, ml_cohens_kappa,
-#   ts_bollinger_breaches, ev_signup_to_first_purchase,
-#   sudan_states_shared_borders, ml_mrr_per_user,
-#   ev_session_type_cooccurrence, ts_iso_week_revenue,
-#   ev_survival_km_censored, ml_regression_metrics, agg_benford_digits,
-#   stats_welch_ttest, q_price_index_laspeyres, ev_growth_accounting,
+# r13 window priority, computed at r12: FIRST the 39 r11-added oracled
+# entries that overflowed the r12 window (newest last, per the
+# committed r11 plan) —
+#   ml_regression_metrics, agg_benford_digits, stats_welch_ttest,
+#   q_price_index_laspeyres, ev_growth_accounting,
 #   q_duplicate_order_suspects, dt_tz_localize_ny,
 #   graph_two_hop_neighborhood, ml_concordance_index,
 #   q_demand_variability_xyz, ml_stratified_ate,
@@ -244,9 +215,13 @@ _WINDOW_PRIORITY = [
 #   ml_average_precision_binned, ev_purchase_streaks,
 #   q_part_adoption_curve, ml_calibration_slope, text_readability_fk,
 #   q_abc_xyz_cross
-# — THEN (window space permitting) the alphabetically-first of the 33
+# — THEN any oracled entries ADDED in r12 (the r12 wave is capped at
+# ~10 so this window drains the never-driver-checked backlog to ZERO;
+# see VERDICT r11 item 2) —
+#   (appended by the r12 build waves below)
+# — then (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
-# debt to r13) —
+# debt to r14) —
 #   ev_scd2_intervals, ev_transition_matrix, files_csv_roundtrip,
 #   files_jsonl_roundtrip, grouping_id_sets, hybrid_search_rrf,
 #   join_lateral_topn, join_positional, join_semi_anti, lm_oov_rate,
