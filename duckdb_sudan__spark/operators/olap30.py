@@ -15,9 +15,15 @@ interval-union coverage.
   moments ($100 quantization keeps n²σ² inside int64 through sf1 —
   the welch bound, rule 30); the weights are floor-quantized to
   BIGINT BEFORE the cross-strata sum (a Σ of doubles would be
-  partial-agg-order nondeterministic, rule 3), and the floored
-  allocations are topped up to the exact budget by largest-remainder
-  with a deterministic (remainder DESC, segment) rank.
+  partial-agg-order nondeterministic, rule 3), the div/% allocation
+  runs on KILO-quantized weights (w_q div 1000 — budget·w_k stays
+  ~1000× inside int64: ~3e15 at sf1, wrapping only past ~sf1000;
+  r11 ADVICE flagged the raw-ppm product at ~3e18 with 3× headroom —
+  and integer // truncates identically on both engines, rule 29,
+  where a DECIMAL(38,0) ride would hit the DECIMAL-// round-then-
+  floor divergence), and the floored allocations are topped up to
+  the exact budget by largest-remainder with a deterministic
+  (remainder DESC, segment) rank.
 - ev_interval_union_coverage is the sweep-line classic (billed-time /
   sensor-uptime union): each event opens a 10-minute activity
   interval; overlapping intervals per user merge into islands via the
@@ -116,8 +122,8 @@ WITH oc AS (
   FROM cells
 ), alloc AS (
   SELECT seg, n_h, w_q,
-         CAST({NEYMAN_BUDGET} * w_q // SUM(w_q) OVER () AS BIGINT) AS base_n,
-         CAST({NEYMAN_BUDGET} * w_q % SUM(w_q) OVER () AS BIGINT) AS rem
+         CAST({NEYMAN_BUDGET} * (w_q // 1000) // SUM(w_q // 1000) OVER () AS BIGINT) AS base_n,
+         CAST({NEYMAN_BUDGET} * (w_q // 1000) % SUM(w_q // 1000) OVER () AS BIGINT) AS rem
   FROM weighted
 ), topped AS (
   SELECT seg, n_h, w_q, base_n,
@@ -154,8 +160,11 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     alloc = weighted.select(
         "seg", "n_h", "w_q",
-        F.expr(f"CAST({NEYMAN_BUDGET} * w_q AS BIGINT)").alias("scaled"),
-        F.sum("w_q").over(wall).alias("tot_w"),
+        F.expr(f"CAST({NEYMAN_BUDGET} * (w_q div 1000) AS BIGINT)").alias("scaled"),
+        F.expr("w_q div 1000").alias("w_k"),
+    ).select(
+        "seg", "n_h", "w_q", "scaled",
+        F.sum("w_k").over(wall).alias("tot_w"),
     ).selectExpr(
         "seg", "n_h", "w_q",
         "CAST(scaled div tot_w AS BIGINT) AS base_n",

@@ -7,8 +7,13 @@
   W_t = Σ_{j≠t} sgn(x_j − x_t) — ONE n² sign-pair aggregate on the
   CALENDAR-bounded grid (the Mann-Kendall rule: quadratic in days,
   never rows), a cumulative window, and an argmax. The significance
-  exponent 6K²/(n³+n²) is emitted as floor-micro (the consumer
-  applies exp — rule 1 keeps transcendentals out of the hash).
+  exponent 6K²/(n³+n²) is emitted as floor-micro via the DOUBLE floor
+  idiom — K and n are BIGINT (correctly-rounded →DOUBLE on both
+  engines, rule 30) and the shared IEEE ratio tree is floored
+  identically, so the emission is span-unbounded (r11 ADVICE: the old
+  pure-int64 6K² wrapped once the daily grid passed ~1,500 days; the
+  consumer applies exp — rule 1 keeps transcendentals out of the
+  hash).
 - ml_average_precision_binned completes the binned ranking family
   (PR curve, lift/gain, cost curve): AP = Σ_bins ΔTP·TP/(P·PP) with
   each bin's contribution floor-quantized to ppm BEFORE the sum (the
@@ -63,7 +68,9 @@ WITH daily AS (
 SELECT n AS n_days,
        CAST(ABS(u_t) AS BIGINT) AS k_stat,
        day AS change_day,
-       CAST(1000000 * (6 * ABS(u_t) * ABS(u_t)) // (n * n * n + n * n) AS BIGINT) AS exponent_micro
+       CAST(FLOOR((6000000.0 * CAST(ABS(u_t) AS DOUBLE) * CAST(ABS(u_t) AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS exponent_micro
 FROM peak WHERE pk = 1
 """
 
@@ -103,7 +110,9 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n AS n_days",
         "CAST(ABS(u_t) AS BIGINT) AS k_stat",
         "day AS change_day",
-        "CAST(1000000 * (6 * ABS(u_t) * ABS(u_t)) div (n * n * n + n * n) AS BIGINT) AS exponent_micro",
+        "CAST(FLOOR((6000000.0 * CAST(ABS(u_t) AS DOUBLE) * CAST(ABS(u_t) AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "    + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS exponent_micro",
     )
 
 

@@ -6,8 +6,12 @@ readability, and the ABC×XYZ inventory matrix.
   view): OLS of the outcome on the predicted probability at ROW
   grain — with per-mille quantization of both axes every moment is an
   exact integer (x ≤ 1000 ⇒ n·Σx² − (Σx)² ≈ n²·var stays inside
-  int64 through sf1 — the welch bound), the cancellation rides
-  DECIMAL(38,0), and slope/intercept are shared IEEE trees. Perfect
+  int64 through sf1 — the welch bound), BOTH cross-moment
+  accumulators (Σx², Σxy) ride DECIMAL(38,0) so neither wraps at any
+  SF (r11 ADVICE: a BIGINT Σxy reaches ~1e18·SF and wraps silently in
+  non-ANSI Spark past ~sf5 while DuckDB errors), the cancellation
+  rides DECIMAL(38,0) and routes through BIGINT (rule 30), and
+  slope/intercept are shared IEEE trees. Perfect
   calibration ⇒ slope 1, intercept 0.
 - text_readability_fk is the Flesch–Kincaid grade per language — the
   readability filter LLM pipelines run next to quality scores: words
@@ -66,7 +70,7 @@ WITH xy AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
          CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
          SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
   FROM xy
 )
@@ -84,7 +88,7 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.expr("CAST(SUM(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
         F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
     )
     return m.selectExpr(*_CAL_FINAL)
