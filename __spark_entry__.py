@@ -218,7 +218,7 @@ _WINDOW_PRIORITY = [
 # — THEN any oracled entries ADDED in r12 (the r12 wave is capped at
 # ~10 so this window drains the never-driver-checked backlog to ZERO;
 # see VERDICT r11 item 2) —
-#   (appended by the r12 build waves below)
+#   sudan_geom_clip_geojson
 # — then (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r14) —

@@ -953,3 +953,290 @@ def _register_convex_hull() -> None:
 
 
 _register_convex_hull()
+
+
+# ---------------------------------------------------------------------------
+# sudan_geom_clip_geojson — ARBITRARY user GeoJSON polygon vs states
+# ---------------------------------------------------------------------------
+# The GENERIC entry point behind sudan_state_intersect_area's fixed AOI
+# box (r11 VERDICT item 4): ST_GeomFromGeoJSON-composition parity with
+# the reference docs' spatial workflow (docs/functions.md:170 drives a
+# user geometry into ST_Intersection / ST_Area / ST_Contains). A user
+# hands ANY convex GeoJSON Polygon; we clip every served state to it
+# (exact-Fraction Sutherland-Hodgman against the polygon's half-plane
+# set instead of the box's four axis-aligned ones), shoelace the
+# clipped rings, and classify the relation (within / intersects /
+# disjoint). Convexity is VALIDATED, not assumed — S-H is only exact
+# for convex clip regions, so a concave region raises ValueError
+# instead of silently returning union-of-halfplane garbage.
+#
+# Spark-first shape is unchanged from the box entry: the states are a
+# dim-sized relation so the clip is ONE Arrow map with the query
+# polygon as a closure literal; at 100 TB of query polygons you flip
+# the sides — broadcast the 18 states and map over the polygons.
+#
+# Determinism contract: identical to the box entry — all crossings are
+# exact Fractions on the integer microdeg grid, ONE terminal round per
+# cell; the oracle is an INDEPENDENTLY CODED clipper (two-line
+# determinant crossings, reversed edge order, trapezoid shoelace,
+# while-loop) baked as VALUES (offline geometry => SF-invariant).
+
+
+def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
+    """Parse + validate a user GeoJSON Polygon as a convex clip region
+    on the integer microdegree grid. Returns the CCW vertex ring.
+
+    Raises ValueError on: non-Polygon type, holes, < 3 distinct
+    vertices, zero area, or a reflex (non-convex) vertex. Collinear
+    vertices are tolerated (they add redundant half-planes, which is
+    exact-harmless)."""
+    if doc.get("type") != "Polygon":
+        raise ValueError("query geometry must be a GeoJSON Polygon")
+    rings = doc.get("coordinates") or []
+    if len(rings) != 1:
+        raise ValueError("query polygon must have exactly one ring (no holes)")
+    ring = rings[0]
+    pts = [(round(float(x) * 1_000_000), round(float(y) * 1_000_000)) for x, y in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    dedup: list[tuple[int, int]] = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) >= 2 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    if len(dedup) < 3:
+        raise ValueError("query polygon needs >= 3 distinct vertices")
+    s2 = 0
+    for (x0, y0), (x1, y1) in zip(dedup, dedup[1:] + dedup[:1]):
+        s2 += x0 * y1 - x1 * y0
+    if s2 == 0:
+        raise ValueError("query polygon is degenerate (zero area)")
+    if s2 < 0:
+        dedup.reverse()  # normalize to CCW
+    n = len(dedup)
+    for i in range(n):
+        o, a, b = dedup[i], dedup[(i + 1) % n], dedup[(i + 2) % n]
+        turn = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        if turn < 0:
+            raise ValueError("query polygon is not convex (reflex vertex)")
+    return dedup
+
+
+def _clip_ring_to_convex(ring, qpts):
+    """Clip one subject ring (microdeg int pairs) to the CCW convex
+    polygon qpts; exact-Fraction S-H over qpts' half-planes."""
+    from fractions import Fraction
+
+    pts = [(Fraction(int(x)), Fraction(int(y))) for x, y in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def halfplane(px, py, ex, ey):
+        def f(pt):
+            return ex * (pt[1] - py) - ey * (pt[0] - px)
+
+        def keep(pt):
+            return f(pt) >= 0
+
+        def ix(a, b):  # fa >= 0 > fb or fb >= 0 > fa => fa != fb exactly
+            fa, fb = f(a), f(b)
+            t = fa / (fa - fb)
+            return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+
+        return keep, ix
+
+    m = len(qpts)
+    for i in range(m):
+        (px, py), (qx, qy) = qpts[i], qpts[(i + 1) % m]
+        keep, ix = halfplane(Fraction(px), Fraction(py), Fraction(qx - px), Fraction(qy - py))
+        if len(pts) < 3:
+            return []
+        pts = _sh_clip_halfplane(pts, keep, ix)
+    return pts if len(pts) >= 3 else []
+
+
+def _clip_2area_convex(doc: dict, qpts) -> int:
+    """round(2 * area(geom ∩ convex qpts)) in microdeg², even-odd:
+    clipped outer area minus clipped hole areas, determinant shoelace
+    over exact Fractions, ONE terminal round (the _clip_2area contract
+    generalized from the AOI box to any convex polygon)."""
+    from fractions import Fraction
+
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    total = Fraction(0)
+    for poly in polys:
+        for ri, ring in enumerate(poly):
+            grid = [(round(x * 1_000_000), round(y * 1_000_000)) for x, y in ring]
+            pts = _clip_ring_to_convex(grid, qpts)
+            if not pts:
+                continue
+            s = Fraction(0)
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+                s += x0 * y1 - x1 * y0
+            total += abs(s) if ri == 0 else -abs(s)
+    return round(total)
+
+
+# --- independently coded oracle clipper: two-line determinant
+# --- crossings, REVERSED edge order, trapezoid shoelace, while-loop ---------
+
+
+def _oracle_clip_2area_convex(doc: dict, qpts) -> int:
+    from fractions import Fraction
+
+    def line_cross(p, q):
+        # segment a->b crossed with the infinite line through p,q via
+        # the homogeneous two-line determinant (different algebra from
+        # the main clipper's parametric t = fa/(fa-fb))
+        px, py, qx, qy = Fraction(p[0]), Fraction(p[1]), Fraction(q[0]), Fraction(q[1])
+
+        def f(a, b):
+            ax, ay, bx, by = a[0], a[1], b[0], b[1]
+            d = (px - qx) * (ay - by) - (py - qy) * (ax - bx)
+            x = ((px * qy - py * qx) * (ax - bx) - (px - qx) * (ax * by - ay * bx)) / d
+            y = ((px * qy - py * qx) * (ay - by) - (py - qy) * (ax * by - ay * bx)) / d
+            return (x, y)
+
+        return f
+
+    def inside_of(p, q):
+        px, py, qx, qy = Fraction(p[0]), Fraction(p[1]), Fraction(q[0]), Fraction(q[1])
+
+        def f(pt):
+            return (qx - px) * (pt[1] - py) - (qy - py) * (pt[0] - px) >= 0
+
+        return f
+
+    m = len(qpts)
+    planes = []
+    for i in range(m - 1, -1, -1):  # reversed edge order
+        p, q = qpts[i], qpts[(i + 1) % m]
+        planes.append((inside_of(p, q), line_cross(p, q)))
+
+    polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
+    total = Fraction(0)
+    for poly in polys:
+        for ri, ring in enumerate(poly):
+            pts = [
+                (Fraction(round(x * 1_000_000)), Fraction(round(y * 1_000_000)))
+                for x, y in (ring[:-1] if ring[0] == ring[-1] else ring)
+            ]
+            for inside, cross in planes:
+                if len(pts) < 3:
+                    pts = []
+                    break
+                pts = _oracle_halfplane(pts, inside, cross)
+            if len(pts) < 3:
+                continue
+            acc = Fraction(0)  # trapezoid form
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
+                acc += (x0 + x1) * (y1 - y0)
+            total += abs(acc) if ri == 0 else -abs(acc)
+    return round(total)
+
+
+# The registered entry exercises the generic path with a NON-axis-
+# aligned convex AOI (a regular hexagon over central-east Sudan,
+# rotated 15° so no edge is horizontal or vertical — every half-plane
+# takes the generic branch the box entry never hits). Vertices are
+# exact microdegree integers; the GeoJSON doc is built from them so
+# parse -> round(x*1e6) round-trips bit-exactly.
+_HEX_AOI_MICRODEG = [
+    (36_363_703, 16_035_276),
+    (33_535_276, 18_863_703),
+    (29_671_573, 17_828_427),
+    (28_636_297, 13_964_724),
+    (31_464_724, 11_136_297),
+    (35_328_427, 12_171_573),
+]
+
+
+def _hex_aoi_doc() -> dict:
+    ring = [[x / 1_000_000, y / 1_000_000] for x, y in _HEX_AOI_MICRODEG]
+    ring.append(ring[0])
+    return {"type": "Polygon", "coordinates": [ring]}
+
+
+def clip_states_to_geojson(spark: SparkSession, geojson) -> DataFrame:
+    """Clip every served state to an ARBITRARY convex GeoJSON Polygon.
+
+    ``geojson`` is a GeoJSON Polygon as a dict or JSON string. Returns
+    (iso_code, state_name, clip_area2_microdeg2, area2_microdeg2,
+    pct_in_poly_ppm, relation) with relation in
+    {'within', 'intersects', 'disjoint'} — the ST_GeomFromGeoJSON →
+    ST_Intersection/ST_Area/ST_Contains composition of the reference's
+    spatial docs as one DataFrame call. Raises ValueError on a
+    non-convex or degenerate query polygon (Sutherland-Hodgman is only
+    exact on convex clip regions)."""
+    doc = json.loads(geojson) if isinstance(geojson, str) else geojson
+    qpts = _convex_ring_microdeg(doc)
+    bounds = geo_states.sudan_boundaries(spark, "state")
+
+    @F.pandas_udf("struct<clip2:bigint,area2:bigint>")
+    def clip_of(gj: pd.Series) -> pd.DataFrame:
+        out = []
+        for g in gj:
+            d = json.loads(g)
+            a2, _p, _h = _geom_2area_and_parts(d)
+            out.append({"clip2": _clip_2area_convex(d, qpts), "area2": a2})
+        return pd.DataFrame(out)
+
+    return (
+        bounds.select("iso_code", "state_name", clip_of(F.col("geojson")).alias("c"))
+        .select(
+            "iso_code",
+            "state_name",
+            F.col("c.clip2").alias("clip_area2_microdeg2"),
+            F.col("c.area2").alias("area2_microdeg2"),
+            # same DECIMAL-exact integral-quotient emission as the box
+            # entry: 1e6 * clip2 can pass int64, so multiply in DECIMAL
+            F.expr(
+                "cast(1000000 * cast(c.clip2 as decimal(19,0))"
+                " div cast(c.area2 as decimal(19,0)) as bigint)"
+            ).alias("pct_in_poly_ppm"),
+            F.expr(
+                "CASE WHEN c.clip2 = c.area2 THEN 'within'"
+                " WHEN c.clip2 > 0 THEN 'intersects'"
+                " ELSE 'disjoint' END"
+            ).alias("relation"),
+        )
+        .orderBy("iso_code")
+    )
+
+
+def _geom_clip_geojson_oracle() -> str:
+    import json as _json
+
+    from duckdb_sudan__spark.oracle import values_sql
+
+    qpts = _convex_ring_microdeg(_hex_aoi_doc())
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = _json.loads(geo_states.state_boundary_geojson(i))
+        a2, _parts, _holes = _geom_2area_and_parts(doc)
+        c2 = _oracle_clip_2area_convex(doc, qpts)
+        rel = "within" if c2 == a2 else ("intersects" if c2 > 0 else "disjoint")
+        rows.append((iso, name, c2, a2, 1_000_000 * c2 // a2, rel))
+    return (
+        values_sql(
+            sorted(rows),
+            ["iso_code", "state_name", "clip_area2_microdeg2",
+             "area2_microdeg2", "pct_in_poly_ppm", "relation"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT", "VARCHAR"],
+        )
+        + " ORDER BY iso_code"
+    )
+
+
+def _register_geom_clip_geojson() -> None:
+    @register("sudan_geom_clip_geojson", _geom_clip_geojson_oracle())
+    def sudan_geom_clip_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The generic-polygon workflow pinned on a rotated hexagon AOI
+        (every clip half-plane oblique — the branch the box entry never
+        exercises). The public API is clip_states_to_geojson(spark,
+        any_convex_polygon); this entry is its driver-hashed witness."""
+        return clip_states_to_geojson(spark, _hex_aoi_doc())
+
+
+_register_geom_clip_geojson()

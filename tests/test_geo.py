@@ -531,3 +531,144 @@ def test_hull_convexity_bounds_on_served_states():
         hull_a2 = _hull_2area(_hull_monotone_chain(_geom_micropoints(doc)))
         state_a2, _, _ = _geom_2area_and_parts(doc)
         assert 0 < state_a2 <= hull_a2
+
+
+# ---------------------------------------------------------------------------
+# generic convex-polygon clip (sudan_geom_clip_geojson)
+# ---------------------------------------------------------------------------
+
+
+def test_convex_ring_validation():
+    from duckdb_sudan__spark.geo.spatial import _convex_ring_microdeg
+
+    with pytest.raises(ValueError):  # not a Polygon
+        _convex_ring_microdeg({"type": "Point", "coordinates": [30.0, 15.0]})
+    with pytest.raises(ValueError):  # hole
+        _convex_ring_microdeg(
+            {"type": "Polygon", "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ]}
+        )
+    with pytest.raises(ValueError):  # degenerate
+        _convex_ring_microdeg({"type": "Polygon", "coordinates": [[[0, 0], [1, 1], [2, 2], [0, 0]]]})
+    with pytest.raises(ValueError):  # reflex vertex (arrowhead)
+        _convex_ring_microdeg(
+            {"type": "Polygon", "coordinates": [[[0, 0], [10, 0], [3, 3], [0, 10], [0, 0]]]}
+        )
+    # CW input normalizes to CCW; collinear mid-edge vertex tolerated
+    ccw = _convex_ring_microdeg(
+        {"type": "Polygon", "coordinates": [[[0, 0], [0, 10], [5, 10], [10, 10], [10, 0], [0, 0]]]}
+    )
+    s2 = 0
+    for (x0, y0), (x1, y1) in zip(ccw, ccw[1:] + ccw[:1]):
+        s2 += x0 * y1 - x1 * y0
+    assert s2 > 0
+
+
+def test_generic_clip_box_parity_with_aoi_entry():
+    """The generic clipper on a rectangle must reproduce the fixed AOI
+    box entry's numbers exactly for every state (the box is the
+    degenerate convex polygon — axis-aligned half-planes)."""
+    import json as _json
+
+    from duckdb_sudan__spark.geo.spatial import (
+        _AOI_BOX,
+        _clip_2area,
+        _clip_2area_convex,
+        _convex_ring_microdeg,
+        _oracle_clip_2area_convex,
+    )
+
+    w, e, s, n = _AOI_BOX
+    box_doc = {
+        "type": "Polygon",
+        "coordinates": [[
+            [w / 1e6, s / 1e6], [e / 1e6, s / 1e6],
+            [e / 1e6, n / 1e6], [w / 1e6, n / 1e6], [w / 1e6, s / 1e6],
+        ]],
+    }
+    qpts = _convex_ring_microdeg(box_doc)
+    for i in range(len(geo_states.SUDAN_STATES)):
+        doc = _json.loads(geo_states.state_boundary_geojson(i))
+        want = _clip_2area(doc, _AOI_BOX)
+        assert _clip_2area_convex(doc, qpts) == want
+        assert _oracle_clip_2area_convex(doc, qpts) == want
+
+
+def test_generic_clip_hypothesis_random_convex_polygons():
+    """Hypothesis sweep (r11 VERDICT item 4): random convex polygons
+    (hulls of random microdeg point sets over the Sudan envelope) must
+    (a) agree bit-for-bit between the two independently-coded exact
+    clippers on every state, and (b) satisfy 0 <= clip2 <= area2."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_sudan__spark.geo.spatial import (
+        _clip_2area_convex,
+        _convex_ring_microdeg,
+        _geom_2area_and_parts,
+        _hull_monotone_chain,
+        _oracle_clip_2area_convex,
+    )
+
+    docs = [
+        _json.loads(geo_states.state_boundary_geojson(i))
+        for i in range(len(geo_states.SUDAN_STATES))
+    ]
+    areas = [_geom_2area_and_parts(d)[0] for d in docs]
+    pt = st.tuples(
+        st.integers(min_value=20_000_000, max_value=40_000_000),
+        st.integers(min_value=6_000_000, max_value=25_000_000),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(pt, min_size=3, max_size=10))
+    def sweep(pts):
+        hull = _hull_monotone_chain(list(set(pts)))
+        if len(hull) < 3:
+            return  # collinear sample — no polygon to test
+        ring = [[x / 1e6, y / 1e6] for x, y in hull]
+        ring.append(ring[0])
+        qpts = _convex_ring_microdeg({"type": "Polygon", "coordinates": [ring]})
+        for doc, a2 in zip(docs, areas):
+            c_main = _clip_2area_convex(doc, qpts)
+            c_oracle = _oracle_clip_2area_convex(doc, qpts)
+            assert c_main == c_oracle
+            assert 0 <= c_main <= a2
+
+    sweep()
+
+
+def test_clip_states_to_geojson_api(spark, duck):
+    """The public API classifies within/intersects/disjoint correctly:
+    a polygon covering the whole envelope contains every state; a
+    far-away triangle is disjoint from every state; and the registered
+    hexagon entry matches its independently-coded VALUES oracle."""
+    from duckdb_sudan__spark.geo.spatial import clip_states_to_geojson
+
+    cover = {
+        "type": "Polygon",
+        "coordinates": [[[15.0, 0.0], [45.0, 0.0], [45.0, 30.0], [15.0, 30.0], [15.0, 0.0]]],
+    }
+    rows = clip_states_to_geojson(spark, cover).collect()
+    assert len(rows) == 18
+    assert all(r.relation == "within" for r in rows)
+    assert all(r.pct_in_poly_ppm == 1_000_000 for r in rows)
+
+    far = {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [1.0, 0.0], [0.5, 1.0], [0.0, 0.0]]],
+    }
+    rows = clip_states_to_geojson(spark, far).collect()
+    assert all(r.relation == "disjoint" and r.clip_area2_microdeg2 == 0 for r in rows)
+
+    from duckdb_sudan__spark.operators import ORACLES, QUERIES
+
+    assert_matches_oracle(
+        QUERIES["sudan_geom_clip_geojson"](spark, "/root/testdata/sf0.001"),
+        duck,
+        ORACLES["sudan_geom_clip_geojson"],
+    )

@@ -2966,3 +2966,14 @@ def test_abc_xyz_part_grain_join(spark):
     nodes = plan_nodes(df)
     assert not any("CartesianProduct" in n for n in nodes), nodes
     assert any("InMemoryTableScan" in n for n in nodes), nodes
+
+
+def test_geom_clip_geojson_single_stage_no_shuffle_before_sort(spark):
+    """The generic convex-polygon clip keeps the box entry's shape: one
+    Arrow map over the 18-row boundary relation with the query polygon
+    as a closure literal — no Join, and no Exchange other than the
+    final orderBy's range partitioning."""
+    df = QUERIES["sudan_geom_clip_geojson"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert shuffle_count(nodes) <= 1, nodes
