@@ -20,15 +20,20 @@ readability, and the ABC×XYZ inventory matrix.
   all via explicit character classes (never \\w/\\s — the Java-vs-RE2
   class-divergence rule); the grade 0.39·w/s + 11.8·sy/w − 15.59 is
   one shared IEEE tree over corpus-level integer totals, floor-micro.
-- q_abc_xyz_cross crosses the revenue axis (ABC by cumulative share,
-  the win_pareto_abc thresholds in exact floor-ppm) with wave 18's
+- q_abc_xyz_cross crosses the revenue axis (ABC by cumulative share;
+  the win_pareto_abc thresholds as exact cross-multiplied rational
+  compares — 5·cum < 4·tot ⇔ share < 80% — after the r12 sf1 overflow
+  gate caught 1e6·cum passing int64 at sf1 on BOTH engines) with
+  wave 18's
   variability axis (XYZ by zero-filled yearly-demand CV, squared
   integer compares) into the 9-cell inventory-strategy matrix with
   per-cell part counts and exact revenue.
 
 Determinism: per-mille quantization through round() (rule 8); DECIMAL
 cancellations routed through BIGINT (rule 30); regex counts are
-integers; ABC thresholds compare floor-ppm integers.
+integers; ABC thresholds are exact BIGINT cross-multiplications
+(equivalent to the floor-ppm compare: floor(1e6·c/t) < k ⇔ 1e6·c <
+k·t, reduced to lowest terms — int64-safe through ~sf400,000).
 
 Scale notes (100 TB): the calibration moments are one map-combined
 1-row aggregate; readability is a map-only regex projection into a
@@ -156,10 +161,10 @@ WITH per_part AS (
   FROM lineitem GROUP BY 1
 ), abc AS (
   SELECT pk, cents,
-         CASE WHEN 1000000 * SUM(cents) OVER (ORDER BY cents DESC, pk
-                    ROWS UNBOUNDED PRECEDING) // SUM(cents) OVER () < 800000 THEN 'A'
-              WHEN 1000000 * SUM(cents) OVER (ORDER BY cents DESC, pk
-                    ROWS UNBOUNDED PRECEDING) // SUM(cents) OVER () < 950000 THEN 'B'
+         CASE WHEN 5 * SUM(cents) OVER (ORDER BY cents DESC, pk
+                    ROWS UNBOUNDED PRECEDING) < 4 * SUM(cents) OVER () THEN 'A'
+              WHEN 20 * SUM(cents) OVER (ORDER BY cents DESC, pk
+                    ROWS UNBOUNDED PRECEDING) < 19 * SUM(cents) OVER () THEN 'B'
               ELSE 'C' END AS abc_class
   FROM per_part
 ), pw AS (
@@ -201,12 +206,12 @@ def q_abc_xyz_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     abc = per_part.select(
         "pk", "cents",
         F.expr(
-            "CASE WHEN 1000000 * SUM(cents) OVER (ORDER BY cents DESC, pk"
+            "CASE WHEN 5 * SUM(cents) OVER (ORDER BY cents DESC, pk"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            " div SUM(cents) OVER () < 800000 THEN 'A'"
-            " WHEN 1000000 * SUM(cents) OVER (ORDER BY cents DESC, pk"
+            " < 4 * SUM(cents) OVER () THEN 'A'"
+            " WHEN 20 * SUM(cents) OVER (ORDER BY cents DESC, pk"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            " div SUM(cents) OVER () < 950000 THEN 'B'"
+            " < 19 * SUM(cents) OVER () THEN 'B'"
             " ELSE 'C' END"
         ).alias("abc_class"),
     )

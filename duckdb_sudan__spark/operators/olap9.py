@@ -34,8 +34,8 @@ WITH base AS (
          CAST(COUNT(*) OVER w AS DECIMAL(38,0)) AS n,
          CAST(SUM(x)  OVER w AS DECIMAL(38,0)) AS sx,
          CAST(SUM(yi) OVER w AS DECIMAL(38,0)) AS sy,
-         CAST(SUM(x * x)  OVER w AS DECIMAL(38,0)) AS sxx,
-         CAST(SUM(x * yi) OVER w AS DECIMAL(38,0)) AS sxy
+         SUM(CAST(x AS DECIMAL(38,0)) * x)  OVER w AS sxx,
+         SUM(CAST(x AS DECIMAL(38,0)) * yi) OVER w AS sxy
   FROM base
   WINDOW w AS (ORDER BY x ROWS BETWEEN {REG_WINDOW - 1} PRECEDING AND CURRENT ROW)
 )
@@ -79,12 +79,15 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wf).cast(dec).alias("n"),
         F.sum("x").over(wf).cast(dec).alias("sx"),
         F.sum("yi").over(wf).cast(dec).alias("sy"),
-        # Products are cast to DECIMAL(38,0) BEFORE the frame SUM: a
-        # plain bigint sum of x·yi wraps silently past ~sf5 where the
-        # oracle's SUM promotes to HUGEINT — the decimal accumulator
-        # matches the oracle at any SF (overflow would raise, not wrap).
-        F.sum((F.col("x") * F.col("x")).cast(dec)).over(wf).alias("sxx"),
-        F.sum((F.col("x") * F.col("yi")).cast(dec)).over(wf).alias("sxy"),
+        # The per-row PRODUCT rides DECIMAL(38,0), not just the frame
+        # sum: row_number() is int32 in Spark, so a bare x*x wraps the
+        # int multiply once x > 46341 (~sf1 purchase rows — the r12
+        # sf1 overflow gate caught ANSI raising exactly there), and a
+        # bigint x·yi would wrap silently past ~sf5 where the oracle's
+        # SUM promotes to HUGEINT. Cast-first is exact at any SF on
+        # both engines (overflow would raise, not wrap).
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(wf).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("yi")).over(wf).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

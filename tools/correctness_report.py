@@ -41,6 +41,60 @@ def value_hash(rows, cols) -> str:
     return m.hexdigest()
 
 
+# r11 verdict item 5: the ~30 oracled entries whose docstrings cite
+# int64-overflow headroom (DECIMAL(38,0) cross-moment accumulators,
+# HUGEINT products, quadratic integer statistics, squared-BIGINT-sum
+# cancellations) — the families where a silent Spark wrap vs a DuckDB
+# error would first diverge as SF grows. Selected as: every oracled
+# entry whose oracle SQL carries a DECIMAL(38,0) accumulator, plus the
+# modules citing the "inside int64 through sf1" welch-bound idiom,
+# plus the quadratic-S family the verdict names.
+SF1_OVERFLOW_KEYS = [
+    "agg_gini_diversity", "agg_regression", "corpus_doc_length_gini",
+    "corpus_zipf_fit", "ev_anomaly_zscore", "ev_cuped_adjustment",
+    "ml_brier_score", "ml_calibration_slope", "ml_concordance_index",
+    "ml_jackknife_ci", "ml_regression_metrics", "q_abc_xyz_cross",
+    "q_demand_variability_xyz", "q_price_index_laspeyres",
+    "q_revenue_bridge_pvm", "sample_stratified_neyman",
+    "sample_temperature_mix", "stats_welch_ttest", "ts_autocorr_daily",
+    "win_rolling_regression", "ev_interval_union_coverage",
+    "ml_two_proportion_ztest", "str_url_parse_parity",
+    "text_readability_fk", "text_simpson_diversity",
+    "ml_lift_gain_curve", "ts_bollinger_breaches",
+    "ts_pettitt_changepoint", "ts_mann_kendall", "ts_theil_sen_slope",
+]
+
+
+def _sf1_combined_con():
+    """Stage the combined sf1 corpus (symlinks into the two existing
+    sf1-scale corpora) and return (duckdb_con, dir)."""
+    import duckdb
+
+    import bench
+    from tools import scaling_report as sr
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tpch = bench.stage_sf1("/root/testdata/sf0.1")
+    if not sr.big_corpus_current():
+        sr.build_big_corpus()
+    dst = os.path.join(root, "tmp", "sf1_check")
+    os.makedirs(dst, exist_ok=True)
+    links = {t: os.path.join(tpch, f"{t}.parquet")
+             for t in ("region", "nation", "customer", "supplier",
+                       "part", "orders", "lineitem")}
+    links.update({t: os.path.join(sr.BIG, f"{t}.parquet")
+                  for t in ("events", "documents", "embeddings")})
+    for t, src in links.items():
+        link = os.path.join(dst, f"{t}.parquet")
+        if os.path.islink(link) or os.path.exists(link):
+            os.remove(link)
+        os.symlink(src, link)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet')")
+    return con, dst
+
+
 def compare_one(spark, con, key: str, fn, oracle: str, sf_dir: str) -> tuple:
     """The driver's comparison for ONE entry: run Spark + oracle, hash
     both fetch modes. The single source of truth — the per-SF loop and
@@ -111,6 +165,21 @@ def main() -> None:
     ]
     sections.append((f"{sfc.BIG} (sf1 rows)", results))
     con.close()
+
+    # sf1 overflow gate (r11 verdict item 5): the entries whose
+    # docstrings cite int64-overflow headroom — DECIMAL(38,0)/HUGEINT
+    # product accumulators, quadratic integer statistics (Mann-Kendall
+    # S, Pettitt K, Theil-Sen pairs), and squared-BIGINT-sum moments —
+    # re-verified at sf1 row counts, where the headroom claims actually
+    # bite. TPC-H tables come from bench.stage_sf1 (10 shifted sf0.1
+    # copies = sf1); events/documents/embeddings from the 16x scaling
+    # corpus (sf1.6 — strictly harder). Same comparison, same report.
+    results = [
+        compare_one(spark, con2, key, queries[key], oracles[key], sf1_dir)
+        for con2, sf1_dir in [_sf1_combined_con()]
+        for key in SF1_OVERFLOW_KEYS
+    ]
+    sections.append(("tmp/sf1_check (sf1 overflow gate)", results))
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "CORRECTNESS_LOCAL.md"), "w") as f:
