@@ -218,7 +218,9 @@ _WINDOW_PRIORITY = [
 # — THEN any oracled entries ADDED in r12 (the r12 wave is capped at
 # ~10 so this window drains the never-driver-checked backlog to ZERO;
 # see VERDICT r11 item 2) —
-#   sudan_geom_clip_geojson
+#   sudan_geom_clip_geojson, q_cohort_retention_triangle,
+#   q_market_basket_pairs, ml_auc_exact_rank, text_bigram_cond_entropy,
+#   files_bucketed_colocated_join
 # — then (window space permitting) the alphabetically-first of the 33
 # r6-checked rows left over from the r11 window (the rest + rotation
 # debt to r14) —

@@ -69,6 +69,7 @@ def load_all() -> None:
         olap35,
         olap36,
         olap37,
+        olap38,
         relational,
         similarity,
         sketches,

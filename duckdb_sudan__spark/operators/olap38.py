@@ -1,0 +1,321 @@
+"""r12 wave 1: cohort retention triangle, market-basket pair lift,
+exact rank-based AUC, and bigram conditional entropy.
+
+- q_cohort_retention_triangle is the subscription-analytics classic
+  the growth-accounting / DAU entries don't cover: customers cohorted
+  by FIRST-order month, activity counted per (cohort, months-since)
+  cell, retention as floor-ppm of the cohort size. Month arithmetic
+  runs on the integer month index y·12+m (never months_between — its
+  fractional day semantics diverge across engines), and the index is
+  decomposed back to (year, month) with nonneg BIGINT div/% (rule 29:
+  integer // truncates identically on both engines).
+- q_market_basket_pairs is the co-occurrence/affinity operator at
+  ORDER grain (text_collocation_lift's twin over baskets instead of
+  token windows): distinct (order, brand) pairs within an order,
+  support counts, and lift = P(ab)/(P(a)P(b)) emitted as floor-ppm
+  via the BIGINT-routed double-floor idiom (all four counts are
+  < 2^53 at any plausible SF; a pure-int64 1e6·n_ab·N product would
+  wrap past ~sf100 — the r12 sf1-overflow-gate lesson applied at
+  design time).
+- ml_auc_exact_rank is the EXACT Mann-Whitney AUC (the binned ROC
+  entry's exact complement): per-mille score grid, U-statistic in
+  2x units (2·pos·neg_below + pos·neg ties term — all integer), AUC
+  floor-ppm from the shared IEEE double tree. Tie handling is the
+  standard 1/2 credit, exact in the 2x integer form.
+- text_bigram_cond_entropy is the next-token-predictability measure
+  (the conditional complement of agg_entropy_bits' unigram mix
+  entropy): H(w2|w1) in the same log-free bitlen surrogate —
+  Σ_x c(x)·bitlen(c(x)) − Σ_xy c(xy)·bitlen(c(xy)), all BIGINT
+  (surprisal log2(c(x)/c(xy)) ≈ bitlen diff within 1 bit/term);
+  c(x) is derived FROM the bigram table so Σ_y c(xy) = c(x) holds
+  exactly.
+
+Determinism: month indices, basket counts, U-statistics and bitlen
+sums are exact integers; the two ppm emissions are BIGINT-routed
+shared IEEE trees (rule 30) with one terminal FLOOR; retention ppm is
+nonneg BIGINT // BIGINT (rule 29).
+
+Scale notes (100 TB): the cohort triangle is two key-grain reduces
+(first-order per customer, then per-cell distinct) with the month×age
+result bounded by calendar²; baskets pre-reduce to DISTINCT
+(order, brand) before the within-order pair join (co-partitioned on
+orderkey, fan-out bounded by brands-per-order ≤ |brands|), and every
+later op runs on the ≤|brands|² pair relation; the AUC grid reduces
+the corpus map-side into ≤2001 per-mille cells and windows only the
+grid; the entropy scan is one bigram explode → (w1,w2) partial-agg
+shuffle, with the context rollup re-aggregating the count table, not
+the corpus.
+
+Reference parity: the reference ships min/max/avg-style SQL over its
+provider tables (duckdb-sudan- src/sudan_extension.cpp:141-210);
+these are the OLAP layer a consumer runs on top, re-expressed
+Spark-first per SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_sudan__spark.operators import register
+from duckdb_sudan__spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# q_cohort_retention_triangle — cohort-month × age retention matrix
+# ---------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH fo AS (
+  SELECT o_custkey AS ck,
+         CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS cm
+  FROM orders GROUP BY 1
+), act AS (
+  SELECT fo.cm,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - fo.cm AS BIGINT) AS age,
+         o.o_custkey AS ck
+  FROM orders o JOIN fo ON o.o_custkey = fo.ck
+  GROUP BY 1, 2, 3
+), tri AS (
+  SELECT cm, age, CAST(COUNT(*) AS BIGINT) AS active_customers
+  FROM act GROUP BY 1, 2
+), cs AS (
+  SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fo GROUP BY 1
+)
+SELECT CAST((tri.cm - 1) // 12 AS BIGINT) AS cohort_year,
+       CAST((tri.cm - 1) % 12 + 1 AS BIGINT) AS cohort_month,
+       tri.age AS age_months,
+       tri.active_customers,
+       cs.cohort_size,
+       CAST(1000000 * tri.active_customers // cs.cohort_size AS BIGINT) AS retention_ppm
+FROM tri JOIN cs ON tri.cm = cs.cm
+ORDER BY cohort_year, cohort_month, age_months
+"""
+
+
+@register("q_cohort_retention_triangle", COHORT_ORACLE)
+def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fo = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("cm")
+    )
+    act = (
+        o.join(fo, o.o_custkey == fo.ck)
+        .select(
+            "cm",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - F.col("cm"))
+            .cast("bigint")
+            .alias("age"),
+            "o_custkey",
+        )
+        .distinct()
+    )
+    tri = act.groupBy("cm", "age").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_customers")
+    )
+    cs = fo.groupBy("cm").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    # the cohort-size side is calendar-bounded (months) — broadcast it
+    return (
+        tri.join(F.broadcast(cs), "cm")
+        .selectExpr(
+            "CAST((cm - 1) div 12 AS BIGINT) AS cohort_year",
+            "CAST((cm - 1) % 12 + 1 AS BIGINT) AS cohort_month",
+            "age AS age_months",
+            "active_customers",
+            "cohort_size",
+            "CAST(1000000 * active_customers div cohort_size AS BIGINT) AS retention_ppm",
+        )
+        .orderBy("cohort_year", "cohort_month", "age_months")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_market_basket_pairs — within-order brand co-occurrence and lift
+# ---------------------------------------------------------------------------
+
+BASKET_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob
+), bn AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY b
+), pairs AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+  GROUP BY 1, 2
+)
+SELECT pairs.brand_a, pairs.brand_b, pairs.n_ab,
+       na.nb AS n_a, nc.nb AS n_b, tot.n_orders,
+       CAST(FLOOR((1000000.0 * CAST(pairs.n_ab AS DOUBLE) * CAST(tot.n_orders AS DOUBLE))
+            / (CAST(na.nb AS DOUBLE) * CAST(nc.nb AS DOUBLE))) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN bn na ON pairs.brand_a = na.b
+JOIN bn nc ON pairs.brand_b = nc.b
+CROSS JOIN tot
+ORDER BY brand_a, brand_b
+"""
+
+
+@register("q_market_basket_pairs", BASKET_ORACLE)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    bn = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    x = ob.select(F.col("ok"), F.col("b").alias("brand_a"))
+    y = ob.select(F.col("ok"), F.col("b").alias("brand_b"))
+    pairs = (
+        x.join(y, ["ok"])
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    # bn and tot are |brands|-bounded — broadcast both into the pair side
+    na = bn.select(F.col("b").alias("brand_a"), F.col("nb").alias("n_a"))
+    nc = bn.select(F.col("b").alias("brand_b"), F.col("nb").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nc), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b", "n_orders",
+            "CAST(FLOOR((1000000.0 * CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT) AS lift_ppm",
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_exact_rank — exact Mann-Whitney AUC on the per-mille grid
+# ---------------------------------------------------------------------------
+
+AUC_EXACT_ORACLE = """
+WITH g AS (
+  SELECT CAST(round(value * 1000) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT s, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS neg_lt
+  FROM g
+), agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(2 * pos * neg_lt + pos * neg) AS BIGINT) AS u2
+  FROM cum
+)
+SELECT n_pos, n_neg, u2,
+       CAST(FLOOR((1000000.0 * CAST(u2 AS DOUBLE))
+            / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
+@register("ml_auc_exact_rank", AUC_EXACT_ORACLE)
+def ml_auc_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 = Σ 2·pos·neg_below + pos·neg ≤ 2·n_pos·n_neg ≈ 2.7e13·SF² —
+    int64 through ~sf500, where the CAST raises (not wraps) on both
+    engines; the per-mille grid keeps the window ≤2001 rows."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(F.expr("CAST(round(value * 1000) AS BIGINT)").alias("s")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("pos"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("neg"),
+    )
+    wlt = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "s", "pos", "neg",
+        F.coalesce(F.sum("neg").over(wlt), F.lit(0)).alias("neg_lt"),
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.expr("CAST(SUM(2 * pos * neg_lt + pos * neg) AS BIGINT)").alias("u2"),
+    )
+    return agg.selectExpr(
+        "n_pos", "n_neg", "u2",
+        "CAST(FLOOR((1000000.0 * CAST(u2 AS DOUBLE))"
+        " / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS BIGINT) AS auc_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_cond_entropy — next-token predictability per language
+# ---------------------------------------------------------------------------
+
+COND_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT lang, toks[s] AS w1, toks[s + 1] AS w2
+  FROM (SELECT lang, toks, unnest(generate_series(1, length(toks) - 1)) AS s FROM tok)
+), c AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY 1, 2, 3
+), ctx AS (
+  SELECT lang, w1, CAST(SUM(cxy) AS BIGINT) AS cx,
+         CAST(SUM(cxy * length(printf('%b', cxy))) AS BIGINT) AS sum_cxy_bits
+  FROM c GROUP BY 1, 2
+), agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS vocab_ctx,
+         CAST(SUM(cx) AS BIGINT) AS n_bigrams,
+         CAST(SUM(cx * length(printf('%b', cx)) - sum_cxy_bits) AS BIGINT) AS cond_scaled_bits
+  FROM ctx GROUP BY 1
+)
+SELECT lang, vocab_ctx, n_bigrams, cond_scaled_bits,
+       ROUND(CAST(cond_scaled_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS mean_cond_bits
+FROM agg
+ORDER BY lang
+"""
+
+
+@register("text_bigram_cond_entropy", COND_ENTROPY_ORACLE)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def bitlen(col):
+        return F.length(F.conv(col.cast("string"), 10, 2)).cast("bigint")
+
+    toks = d.select("lang", F.split("text", " ").alias("toks"))
+    bg = toks.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("s"),
+        "toks",
+    ).select(
+        "lang",
+        F.element_at("toks", F.col("s")).alias("w1"),
+        F.element_at("toks", F.col("s") + 1).alias("w2"),
+    )
+    c = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    ctx = c.groupBy("lang", "w1").agg(
+        F.sum("cxy").cast("bigint").alias("cx"),
+        F.sum(F.col("cxy") * bitlen(F.col("cxy"))).cast("bigint").alias("sum_cxy_bits"),
+    )
+    agg = ctx.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_ctx"),
+        F.sum("cx").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("cx") * bitlen(F.col("cx")) - F.col("sum_cxy_bits"))
+        .cast("bigint")
+        .alias("cond_scaled_bits"),
+    )
+    return agg.select(
+        "lang", "vocab_ctx", "n_bigrams", "cond_scaled_bits",
+        F.round(
+            F.col("cond_scaled_bits").cast("double") / F.col("n_bigrams").cast("double"), 6
+        ).alias("mean_cond_bits"),
+    ).orderBy("lang")

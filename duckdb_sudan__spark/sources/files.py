@@ -1082,3 +1082,120 @@ def _register_dynover() -> None:
 
 
 _register_dynover()
+
+
+# ---------------------------------------------------------------------------
+# files_bucketed_colocated_join — shuffle-free join via bucketed tables
+# ---------------------------------------------------------------------------
+# The 100 TB co-location story made executable: orders and customer are
+# written ONCE as bucketed tables (bucketBy(8, custkey) + sortBy into
+# the session catalog — Spark's persistent hash-partitioned layout),
+# and the fact⋈dim join then runs WITHOUT a shuffle on either side:
+# bucket n of orders joins bucket n of customer directly (the plan pin
+# asserts zero Exchange upstream of the SortMergeJoin, broadcast
+# disabled so the co-location — not a broadcast — is what's proven).
+# At 100 TB this is THE technique for repeated big-big joins on a
+# stable key: pay the bucketed write once, skip the join shuffle on
+# every later query. The ORACLE computes the same per-segment rollup
+# from the raw parquet — bucketing must be physically invisible.
+
+_BUCKETS = 8
+
+BUCKETED_ORACLE = """
+SELECT c.c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+def _bucketed_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/customer as bucketed catalog tables (per-sf table
+    names, mtime-fingerprint cached) and return their names."""
+    import os
+
+    sf_base = sf_cache_key(sf_dir).replace(".", "_").replace("-", "_")
+    t_orders, t_customer = f"bkt_orders_{sf_base}", f"bkt_customer_{sf_base}"
+    src_o = os.path.join(sf_dir, "orders.parquet")
+    src_c = os.path.join(sf_dir, "customer.parquet")
+    fingerprint = f"v1:{_BUCKETS}:{os.path.getmtime(src_o)}:{os.path.getmtime(src_c)}"
+    marker_dir = os.path.join("/root/repo/tmp", "bucketed")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, f"{sf_base}_ok")
+    if (
+        os.path.exists(marker)
+        and spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_customer)
+    ):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return t_orders, t_customer
+
+    from duckdb_sudan__spark.session import load_table
+
+    # A fresh session starts with an empty in-memory catalog, but the
+    # managed-table LOCATION under spark-warehouse/ can survive from an
+    # earlier session — saveAsTable then fails LOCATION_ALREADY_EXISTS.
+    # Drop + remove the orphan location before (re)writing.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for t in (t_orders, t_customer):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .bucketBy(_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .format("parquet")
+        .saveAsTable(t_customer)
+    )
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return t_orders, t_customer
+
+
+def _register_bucketed_join() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.operators import register
+
+    @register("files_bucketed_colocated_join", BUCKETED_ORACLE)
+    def files_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t_orders, t_customer = _bucketed_stage(spark, sf_dir)
+        o = spark.table(t_orders)
+        c = spark.table(t_customer)
+        # Prove co-location, not broadcast: the MERGE hint rides INSIDE
+        # the plan (a session-conf toggle restored in a finally would be
+        # read only at action time, after restore — measured: the plan
+        # silently fell back to BroadcastHashJoin). On bucketed tables
+        # the sort-merge join's distribution requirement is already
+        # satisfied by the bucket layout, so NO Exchange appears on
+        # either side (plan-pinned).
+        joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        return (
+            joined.groupBy(F.col("c_mktsegment").alias("seg"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.expr(
+                    "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+                ).alias("revenue_cents"),
+            )
+            .orderBy("seg")
+        )
+
+
+_register_bucketed_join()

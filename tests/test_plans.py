@@ -2977,3 +2977,44 @@ def test_geom_clip_geojson_single_stage_no_shuffle_before_sort(spark):
     nodes = plan_nodes(df)
     assert not any("Join" in n for n in nodes), nodes
     assert shuffle_count(nodes) <= 1, nodes
+
+
+def test_r12_wave_plans(spark):
+    """r12 wave shapes: the cohort triangle broadcasts its calendar-
+    bounded cohort-size side; the basket pair stage joins co-partitioned
+    on orderkey with brand/total sides broadcast; the exact-AUC window
+    runs on the per-mille grid AFTER the first aggregate; the entropy
+    rollup re-aggregates the count table. No plan holds a cartesian
+    product or row-wise Python."""
+    for key in [
+        "q_cohort_retention_triangle", "q_market_basket_pairs",
+        "ml_auc_exact_rank", "text_bigram_cond_entropy",
+    ]:
+        nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+        assert not any("CartesianProduct" in n for n in nodes), (key, nodes)
+        assert not any("BatchEvalPython" in n for n in nodes), (key, nodes)
+    nodes = plan_nodes(QUERIES["ml_auc_exact_rank"](spark, SF_DIR))
+    aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    wins = [i for i, n in enumerate(nodes) if n == "Window"]
+    # leaf-first: the grid aggregate precedes the window (the final
+    # U-statistic aggregate legitimately sits above the window again)
+    assert wins and aggs and min(aggs) < min(wins), nodes
+
+
+def test_bucketed_join_has_no_exchange_before_smj(spark):
+    """files_bucketed_colocated_join's whole point: the fact⋈dim join
+    runs as SortMergeJoin directly over the two BUCKETED scans — zero
+    shuffle Exchange upstream of the join (the only Exchanges are the
+    post-join aggregate's hash partitioning and the final orderBy's
+    range partitioning), and no broadcast on the probed path."""
+    df = QUERIES["files_bucketed_colocated_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    smj = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
+    assert smj, plan
+    assert not any("BroadcastHashJoin" in l for l in lines), plan
+    # every Exchange sits ABOVE (before, in printed order) the join line
+    for i, l in enumerate(lines):
+        if "Exchange" in l and "reuse" not in l.lower():
+            assert i < smj[0], (i, l, plan)
+    assert sum(1 for l in lines if "Bucketed: true" in l) == 2, plan
