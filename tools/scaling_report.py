@@ -110,6 +110,12 @@ OPS = [
     "ev_cuped_adjustment", "ts_pettitt_changepoint",
     "ml_average_precision_binned", "ev_purchase_streaks",
     "text_compression_ratio",
+    # r12 additions on the 16x corpus: the conditional-entropy rollup
+    # (bigram explode grows 16x; the (lang,w1,w2) count table — and
+    # everything downstream — much slower) and the exact AUC (map into
+    # the ≤2001-cell per-mille grid; the window is SF-invariant, so
+    # growth should track the map scan)
+    "text_bigram_cond_entropy", "ml_auc_exact_rank",
 ]
 
 # ANN recall at scale (r9 verdict item 7): the recall pins in
