@@ -1020,6 +1020,17 @@ def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
         turn = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
         if turn < 0:
             raise ValueError("query polygon is not convex (reflex vertex)")
+    # The all-left-turns test alone accepts self-intersecting rings
+    # that wind more than once (a pentagram's turns are all left and
+    # its shoelace sum is positive — r12 review finding). A simple
+    # convex ring's shoelace 2-area equals its own convex hull's
+    # 2-area EXACTLY (integer vertices, both exact); any star/multi-
+    # wound ring covers interior regions more than once and exceeds
+    # it. Integer-exact, collinear-tolerant.
+    if abs(s2) != _hull_2area(_hull_monotone_chain(dedup)):
+        raise ValueError(
+            "query polygon is not convex (self-intersecting or multiply-wound ring)"
+        )
     return dedup
 
 

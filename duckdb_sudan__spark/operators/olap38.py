@@ -278,7 +278,8 @@ WITH tok AS (
   FROM ctx GROUP BY 1
 )
 SELECT lang, vocab_ctx, n_bigrams, cond_scaled_bits,
-       ROUND(CAST(cond_scaled_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS mean_cond_bits
+       CAST(FLOOR(1000000.0 * CAST(cond_scaled_bits AS DOUBLE)
+            / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS mean_cond_bits_micro
 FROM agg
 ORDER BY lang
 """
@@ -291,7 +292,13 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bitlen(col):
         return F.length(F.conv(col.cast("string"), 10, 2)).cast("bigint")
 
-    toks = d.select("lang", F.split("text", " ").alias("toks"))
+    # rule 18: sequence(1, size-1) fabricates [1, 0] on a single-token
+    # doc (Spark steps -1 when stop < start) where DuckDB's
+    # generate_series(1, 0) is empty — filter size >= 2 first (the
+    # text_collocation_lift guard)
+    toks = d.select("lang", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
     bg = toks.select(
         "lang",
         F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("s"),
@@ -313,9 +320,12 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cond_scaled_bits"),
     )
-    return agg.select(
+    return agg.selectExpr(
         "lang", "vocab_ctx", "n_bigrams", "cond_scaled_bits",
-        F.round(
-            F.col("cond_scaled_bits").cast("double") / F.col("n_bigrams").cast("double"), 6
-        ).alias("mean_cond_bits"),
+        # floor-micro, not ROUND(,6): a rounded ratio with a corpus-
+        # scale denominator can hit a representation-tie where the two
+        # engines' rounding paths diverge (rule 12); floor of the
+        # shared BIGINT-routed IEEE tree is tie-free (rule 17)
+        "CAST(FLOOR(1000000.0 * CAST(cond_scaled_bits AS DOUBLE)"
+        " / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS mean_cond_bits_micro",
     ).orderBy("lang")

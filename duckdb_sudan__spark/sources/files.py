@@ -1121,7 +1121,8 @@ def _bucketed_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     src_o = os.path.join(sf_dir, "orders.parquet")
     src_c = os.path.join(sf_dir, "customer.parquet")
     fingerprint = f"v1:{_BUCKETS}:{os.path.getmtime(src_o)}:{os.path.getmtime(src_c)}"
-    marker_dir = os.path.join("/root/repo/tmp", "bucketed")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    marker_dir = os.path.join(repo_root, "tmp", "bucketed")
     os.makedirs(marker_dir, exist_ok=True)
     marker = os.path.join(marker_dir, f"{sf_base}_ok")
     if (

@@ -672,3 +672,28 @@ def test_clip_states_to_geojson_api(spark, duck):
         duck,
         ORACLES["sudan_geom_clip_geojson"],
     )
+
+
+def test_convex_ring_rejects_star_and_multiwound():
+    """r12 review finding: all-left-turns alone accepts a pentagram
+    (every turn is left, shoelace positive) and a doubly-traversed
+    convex ring. The hull-area equality check must reject both while
+    still accepting the underlying simple pentagon."""
+    import math
+
+    from duckdb_sudan__spark.geo.spatial import _convex_ring_microdeg
+
+    pts = [
+        (round(10 + 5 * math.cos(math.radians(90 + 72 * k)), 4),
+         round(10 + 5 * math.sin(math.radians(90 + 72 * k)), 4))
+        for k in range(5)
+    ]
+    pentagon = [[list(pts[k]) for k in range(5)] + [list(pts[0])]]
+    star = [[list(pts[(2 * k) % 5]) for k in range(5)] + [list(pts[0])]]
+    double = [[list(pts[k % 5]) for k in range(10)] + [list(pts[0])]]
+
+    assert len(_convex_ring_microdeg({"type": "Polygon", "coordinates": pentagon})) == 5
+    with pytest.raises(ValueError):
+        _convex_ring_microdeg({"type": "Polygon", "coordinates": star})
+    with pytest.raises(ValueError):
+        _convex_ring_microdeg({"type": "Polygon", "coordinates": double})

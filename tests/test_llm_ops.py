@@ -1431,3 +1431,40 @@ def test_compression_ratio_deterministic_and_monotone(spark, tmp_path):
     cells = pd.concat(list(_compress_ratio(iter([probe]))), ignore_index=True)
     ratios = sorted(cells["sum_ratio_ppm"] // cells["n_docs"])
     assert ratios[0] < 100_000 and ratios[-1] > 500_000
+
+
+def test_bigram_cond_entropy_single_token_doc_guard(spark, duck):
+    """r12 review finding (rule 18): a single-token document must
+    contribute NO bigram on either engine — Spark's sequence(1, 0)
+    fabricates [1, 0] without the size >= 2 filter, while DuckDB's
+    generate_series(1, 0) is empty. Drive both sides over a fixture
+    containing 1-token and empty docs and compare with the driver's
+    hash (the static corpora happen to contain no such doc)."""
+    import duckdb as _duckdb
+
+    from duckdb_sudan__spark.operators import ORACLES
+    from duckdb_sudan__spark.operators.olap38 import text_bigram_cond_entropy
+    from tests.conftest import assert_matches_oracle
+
+    import os
+    import tempfile
+
+    rows = [
+        (1, "one", "en", "s", 3),
+        (2, "", "en", "s", 0),
+        (3, "a b b", "en", "s", 5),
+        (4, "solo", "fr", "s", 4),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        df = text_bigram_cond_entropy(spark, tmp)
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        assert_matches_oracle(df, con, ORACLES["text_bigram_cond_entropy"])
+        got = {r.lang: r for r in df.collect()}
+        assert "fr" not in got  # the 1-token fr doc yields no bigram row
+        assert got["en"].n_bigrams == 2  # only doc 3's (a,b) and (b,b)
