@@ -405,7 +405,15 @@ def _clip_2area(doc: dict, box) -> int:
     """round(2 * area(geom ∩ box)) in microdeg², even-odd semantics:
     per part, clipped outer ring area minus clipped hole areas.
     Determinant-form shoelace over exact Fractions; ONE terminal
-    round, so two exact implementations must agree bit-for-bit."""
+    round, so two exact implementations must agree bit-for-bit.
+
+    NOTE: the generic _clip_2area_convex subsumes this box special
+    case (test_generic_clip_box_parity_with_aoi_entry proves bit-equal
+    output on every state); the box path is kept verbatim because
+    sudan_state_intersect_area sits in the committed r12 driver window
+    and window entries are change-frozen mid-round. Any rounding/hole
+    semantics fix MUST be applied to both (the parity test enforces
+    agreement)."""
     from fractions import Fraction
 
     polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
