@@ -238,6 +238,41 @@ _WINDOW_PRIORITY = [
 # fills any remaining slots.
 
 
+# The committed r13 window as a MACHINE-CHECKED literal (r12 close):
+# the prose plan above is authoritative for rationale, this list is
+# authoritative for content — tests/test_entry.py pins every name to a
+# registered oracled entry, so a typo in the plan can never silently
+# waste r13 driver coverage. r13 opens by assigning
+# _WINDOW_PRIORITY = _R13_WINDOW_PLAN verbatim.
+# Composition: the 39 r11-overflow entries (newest last) + the 6 r12
+# additions + the 5 alphabetically-first r6-checked leftovers = 50.
+_R13_WINDOW_PLAN = [
+    "ml_regression_metrics", "agg_benford_digits", "stats_welch_ttest",
+    "q_price_index_laspeyres", "ev_growth_accounting",
+    "q_duplicate_order_suspects", "dt_tz_localize_ny",
+    "graph_two_hop_neighborhood", "ml_concordance_index",
+    "q_demand_variability_xyz", "ml_stratified_ate",
+    "files_parquet_footer_stats", "num_intdiv_negative_parity",
+    "corpus_doc_length_gini", "str_url_parse_parity",
+    "q_revenue_bridge_pvm", "ml_jackknife_ci", "ml_threshold_cost_curve",
+    "ev_ab_srm_check", "ml_two_proportion_ztest",
+    "sample_stratified_neyman", "ev_interval_union_coverage",
+    "ev_cuped_adjustment", "ml_auc_by_group", "dt_fiscal_calendar_rollup",
+    "sudan_state_convex_hull", "num_round_even_parity",
+    "win_nulls_ordering_parity", "agg_weighted_median",
+    "dt_month_arith_edges", "agg_empty_null_semantics",
+    "q_tier_migration_matrix", "ts_pettitt_changepoint",
+    "ml_average_precision_binned", "ev_purchase_streaks",
+    "q_part_adoption_curve", "ml_calibration_slope", "text_readability_fk",
+    "q_abc_xyz_cross", "sudan_geom_clip_geojson",
+    "q_cohort_retention_triangle", "q_market_basket_pairs",
+    "ml_auc_exact_rank", "text_bigram_cond_entropy",
+    "files_bucketed_colocated_join", "ev_scd2_intervals",
+    "ev_transition_matrix", "files_csv_roundtrip", "files_jsonl_roundtrip",
+    "grouping_id_sets",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     every.update(_sudan_queries())

@@ -44,3 +44,21 @@ def test_correctness_window_is_full_and_oracled():
     assert not missing, f"non-oracled entries inside the window: {missing}"
     # every oracle key must correspond to a registered query
     assert set(oracles) <= set(keys)
+
+
+def test_r13_window_plan_is_valid():
+    """The committed r13 window literal must be executable as-is at r13
+    open: 50 unique names, every one a registered ORACLED entry, led by
+    the 39 r11-overflow entries, with zero overlap against the live r12
+    window (it is a rotation, not a repeat)."""
+    import __spark_entry__ as E
+
+    plan = E._R13_WINDOW_PLAN
+    oracles = E.oracle_sql()
+    queries = E.queries()
+    assert len(plan) == 50 and len(set(plan)) == 50
+    missing_q = [k for k in plan if k not in queries]
+    missing_o = [k for k in plan if k not in oracles]
+    assert not missing_q, f"r13 plan names unregistered entries: {missing_q}"
+    assert not missing_o, f"r13 plan names rows-only entries: {missing_o}"
+    assert not set(plan) & set(E._WINDOW_PRIORITY), "r13 plan repeats the r12 window"
