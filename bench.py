@@ -68,6 +68,11 @@ HEADLINE = [
     # r9: the PQ/ADC compressed ANN tier — code-width scan + broadcast
     # rerank; keep the codebook-train + encode + scan wall visible
     "ann_pq_adc",
+    # r12: the two single-shuffle collect_set rewrites — keep the
+    # order-grain pair explode (3x A/B win over the self-join) and the
+    # customer-grain cohort cells visible per-round
+    "q_market_basket_pairs",
+    "q_cohort_retention_triangle",
 ]
 
 
