@@ -1284,3 +1284,66 @@ def interval_union_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental market-basket co-occurrence
+# ---------------------------------------------------------------------------
+# The streaming twin of q_market_basket_pairs: a live ingest keeps the
+# brand-affinity matrix fresh WITHOUT rescanning history. State is the
+# per-order brand SET; when a micro-batch adds new brands to an order,
+# exactly the NEW pairs (new x existing + new x new, i<j) are emitted —
+# so every distinct (order, pair) is emitted exactly once across the
+# whole stream and the summed deltas equal the batch n_ab. The total
+# emission is arrival-order-INSENSITIVE (the i<j pairs of the final
+# set do not depend on which batch contributed which brand), which is
+# what makes the drained≡batch equivalence exact.
+
+BASKET_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("brand_a", T.StringType()),
+        T.StructField("brand_b", T.StringType()),
+    ]
+)
+# the order's brand set, comma-joined (brand names are comma-free)
+BASKET_STATE_SCHEMA = T.StructType([T.StructField("brands", T.StringType())])
+
+
+def _basket_fn(key, pdf_iter, state):
+    """Per-order pair-delta emitter. No sort needed: the emitted TOTAL
+    is the i<j pair set of the final brand set, independent of arrival
+    order within or across chunks/batches."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    prev = state.get[0] if state.exists else ""
+    seen = set(prev.split(",")) if prev else set()
+    out = []
+    for pdf in pdf_iter:
+        for b in pdf["b"]:
+            if b in seen:
+                continue
+            for e in seen:
+                a, c = (b, e) if b < e else (e, b)
+                out.append({"brand_a": a, "brand_b": c})
+            seen.add(b)
+    state.update((",".join(sorted(seen)),))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def basket_pairs_stream(order_brands: DataFrame) -> DataFrame:
+    """order_brands: a streaming (ok, b) relation. State is one string
+    per OPEN order — bounded per key by |brands|, but unbounded in
+    keys under NoTimeout; a production deployment evicts on an
+    order-closed signal (processing-time timeout or a closure event).
+    The availableNow drain over a bounded corpus is the demonstration
+    regime the equivalence test pins."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return order_brands.groupBy("ok").applyInPandasWithState(
+        _basket_fn,
+        BASKET_OUT_SCHEMA,
+        BASKET_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

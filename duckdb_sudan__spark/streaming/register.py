@@ -386,3 +386,51 @@ def stream_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's final open island; asserted in
     tests/test_sources_streaming.py."""
     return run_stream_to_memory(spark, sf_dir, "interval_union")
+
+
+@register("stream_basket_pairs")  # rows-only: ≡ batch q_market_basket_pairs n_ab (tested)
+def stream_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental market-basket maintenance: lineitem arrives as a
+    FILE STREAM (maxFilesPerTrigger=1 over a 4-file split, so an
+    order's lines deliberately SPAN micro-batches), joins the static
+    part dim for the brand (stream-static broadcast join), and a
+    per-order brand-set state emits exactly the NEW i<j pairs each
+    batch. Summed drained deltas equal the batch q_market_basket_pairs
+    n_ab exactly (asserted in tests/test_sources_streaming.py and
+    surfaced in STREAM_EQUIV.md). Scale: state is one short string per
+    open order; production evicts on order closure — see
+    events.basket_pairs_stream."""
+    import os
+    import tempfile
+
+    from duckdb_sudan__spark.session import load_table
+    from duckdb_sudan__spark.streaming.events import basket_pairs_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        src = os.path.join(tmp, "li")
+        li.repartition(4).write.parquet(src)
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        stream = (
+            spark.readStream.schema("l_orderkey bigint, l_partkey bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        )
+        q = (
+            basket_pairs_stream(stream)
+            .writeStream.format("memory")
+            .queryName("stream_basket_pairs_result")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    return (
+        spark.table("stream_basket_pairs_result")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .orderBy("brand_a", "brand_b")
+    )

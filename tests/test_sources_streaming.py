@@ -1222,3 +1222,25 @@ def test_stream_interval_union_matches_batch_closed_islands(spark):
     want = {(u, us_ts(s), us_ts(e), n) for u, s, e, n in batch}
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_basket_pairs_matches_batch(spark):
+    """The incremental basket maintenance stream, drained over a
+    4-file split (orders deliberately span micro-batches), must sum to
+    the batch q_market_basket_pairs pair counts EXACTLY — every
+    distinct (order, pair) emitted once regardless of which batch
+    contributed which brand."""
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    got = {
+        (r.brand_a, r.brand_b): r.n_ab
+        for r in QUERIES["stream_basket_pairs"](spark, SF_DIR).collect()
+    }
+    want = {
+        (r.brand_a, r.brand_b): r.n_ab
+        for r in QUERIES["q_market_basket_pairs"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

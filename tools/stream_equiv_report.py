@@ -142,6 +142,19 @@ def _pairs(spark):
         }
         return len(s), len(b), s == b and len(b) > 0, "exact (closed versions only)"
 
+    def basket_pairs():
+        got = {
+            (r.brand_a, r.brand_b): r.n_ab
+            for r in QUERIES["stream_basket_pairs"](spark, SF_DIR).collect()
+        }
+        want = {
+            (r.brand_a, r.brand_b): r.n_ab
+            for r in QUERIES["q_market_basket_pairs"](spark, SF_DIR).collect()
+        }
+        return len(got), len(want), got == want and len(got) > 0, \
+            "exact (summed per-batch pair deltas ≡ batch counts)"
+
+    yield "stream_basket_pairs", "q_market_basket_pairs", basket_pairs
     yield "stream_tumbling", "ev_tumbling", tumbling
     yield "stream_time_bucket", "ts_time_bucket", time_bucket
     yield "stream_funnel_windowed", "ev_funnel_windowed", funnel_windowed
