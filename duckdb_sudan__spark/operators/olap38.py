@@ -109,9 +109,12 @@ def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("m"),
     )
     per_cust = months.groupBy("o_custkey").agg(F.collect_set("m").alias("ms"))
-    cells = per_cust.select(
-        F.expr("array_min(ms)").alias("cm"),
-        F.explode(F.expr("transform(ms, x -> x - array_min(ms))")).alias("age"),
+    # compute the O(m) array_min ONCE per customer and reference the
+    # outer column inside the lambda (r12 review: array_min inside the
+    # transform re-scans the array per element — O(m²) per customer)
+    cells = per_cust.select(F.expr("array_min(ms)").alias("cm"), "ms").select(
+        "cm",
+        F.explode(F.expr("transform(ms, x -> x - cm)")).alias("age"),
     )
     tri = cells.groupBy("cm", "age").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_customers")

@@ -1305,8 +1305,12 @@ BASKET_OUT_SCHEMA = T.StructType(
         T.StructField("brand_b", T.StringType()),
     ]
 )
-# the order's brand set, comma-joined (brand names are comma-free)
-BASKET_STATE_SCHEMA = T.StructType([T.StructField("brands", T.StringType())])
+# the order's brand set as a typed array — no delimiter assumption on
+# the key domain (r12 review: a comma-joined string silently splits a
+# key containing ',' into phantom brands on any non-TPC-H reuse)
+BASKET_STATE_SCHEMA = T.StructType(
+    [T.StructField("brands", T.ArrayType(T.StringType()))]
+)
 
 
 def _basket_fn(key, pdf_iter, state):
@@ -1315,8 +1319,7 @@ def _basket_fn(key, pdf_iter, state):
     order within or across chunks/batches."""
     import pandas as pd  # noqa: PLC0415 — runs on executors
 
-    prev = state.get[0] if state.exists else ""
-    seen = set(prev.split(",")) if prev else set()
+    seen = set(state.get[0] or []) if state.exists else set()
     out = []
     for pdf in pdf_iter:
         for b in pdf["b"]:
@@ -1326,7 +1329,7 @@ def _basket_fn(key, pdf_iter, state):
                 a, c = (b, e) if b < e else (e, b)
                 out.append({"brand_a": a, "brand_b": c})
             seen.add(b)
-    state.update((",".join(sorted(seen)),))
+    state.update((sorted(seen),))
     if out:
         yield pd.DataFrame(out)
 

@@ -107,7 +107,9 @@ def stream_sudan_worldbank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):  # fail loud on a truncated drain
+        q.stop()
+        raise RuntimeError("stream_sudan_worldbank drain exceeded 120 s")
     q.stop()
     return spark.table("stream_sudan_wb_result")
 
@@ -200,7 +202,9 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):  # fail loud on a truncated drain
+            q.stop()
+            raise RuntimeError("stream_dedup_incremental drain exceeded 300 s")
         q.stop()
         # Detach from the TemporaryDirectory with an executor-side Spark
         # write to the kept scratch root (stage+rename+fingerprint), not
@@ -304,7 +308,9 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):  # fail loud on a truncated drain
+            q.stop()
+            raise RuntimeError("drain exceeded 300 s")
         q.stop()
         # Parquet sink (not memory — the memory sink materializes on the
         # driver by construction), detached from the TemporaryDirectory
@@ -406,6 +412,11 @@ def stream_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_sudan__spark.session import load_table
     from duckdb_sudan__spark.streaming.events import basket_pairs_stream
 
+    from duckdb_sudan__spark.streaming.sinks import _persist_result
+
+    li_src = os.path.join(sf_dir, "lineitem.parquet")
+    p_src = os.path.join(sf_dir, "part.parquet")
+    fingerprint = f"v2:{os.path.getmtime(li_src)}:{os.path.getmtime(p_src)}"
     with tempfile.TemporaryDirectory() as tmp:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         src = os.path.join(tmp, "li")
@@ -418,19 +429,39 @@ def stream_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
             .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         )
+        # Batch-side partial aggregation into parquet (r12 review: the
+        # memory sink would buffer the (order, pair)-grain delta stream
+        # on the DRIVER — the r9 no-collect-in-return-path watch item).
+        # Each micro-batch reduces its deltas to <= |brands|^2 partial
+        # counts executor-side; availableNow serializes the appends.
+        partials = os.path.join(tmp, "partials")
+
+        def _agg_batch(bdf, _bid):
+            (
+                bdf.groupBy("brand_a", "brand_b")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                .write.mode("append")
+                .parquet(partials)
+            )
+
         q = (
             basket_pairs_stream(stream)
-            .writeStream.format("memory")
-            .queryName("stream_basket_pairs_result")
-            .outputMode("append")
+            .writeStream.foreachBatch(_agg_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # fail LOUD on a truncated drain (r12 review: an ignored False
+        # return + unconditional stop() silently ships partial counts)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_basket_pairs drain exceeded 300 s")
         q.stop()
-    return (
-        spark.table("stream_basket_pairs_result")
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .orderBy("brand_a", "brand_b")
-    )
+        final = (
+            spark.read.schema("brand_a string, brand_b string, c bigint")
+            .parquet(partials)
+            .groupBy("brand_a", "brand_b")
+            .agg(F.sum("c").cast("bigint").alias("n_ab"))
+        )
+        out_dir = _persist_result(final, sf_dir, "basket_pairs", fingerprint)
+    return spark.read.parquet(out_dir).orderBy("brand_a", "brand_b")

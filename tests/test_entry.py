@@ -53,6 +53,9 @@ def test_r13_window_plan_is_valid():
     window (it is a rotation, not a repeat)."""
     import __spark_entry__ as E
 
+    import glob
+    import json
+
     plan = E._R13_WINDOW_PLAN
     oracles = E.oracle_sql()
     queries = E.queries()
@@ -62,3 +65,12 @@ def test_r13_window_plan_is_valid():
     assert not missing_q, f"r13 plan names unregistered entries: {missing_q}"
     assert not missing_o, f"r13 plan names rows-only entries: {missing_o}"
     assert not set(plan) & set(E._WINDOW_PRIORITY), "r13 plan repeats the r12 window"
+    # composition (r12 review: the docstring's 'led by the 39 r11-
+    # overflow entries' must be asserted, not just claimed): the
+    # leading 39 are exactly entries NO committed driver CORRECTNESS
+    # file has ever hashed — the definition of window debt
+    driver_checked: set[str] = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        driver_checked.update(json.load(open(path)))
+    already = [k for k in plan[:39] if k in driver_checked]
+    assert not already, f"r13 plan's overflow block holds driver-checked keys: {already}"
