@@ -360,21 +360,28 @@ def run_block(spark, keys: list[str], sf_dir: str) -> dict:
     return best
 
 
-# Quiet-box gate (r10 verdict item 3): BENCH_r09 and BENCH_r10 were both
-# captured on recently-hammered boxes (loadavg 3-6 at start) and
-# understated the engine by ~30% vs the cold-box A/B in BENCH_NOTES.md.
-# Cooldown-and-retry until the 1-min loadavg drops below the gate, with
-# a bounded total wait so a driver run can never hang; the final loadavg
-# ships in the JSON either way so a hot capture is always visible.
+# Quiet-box gate (r10 verdict item 3; tightened per r12 verdict item 2):
+# BENCH_r09/r10/r12 were all captured on recently-hammered boxes and
+# understated the engine 1.2-1.9x vs the cold-box A/Bs in BENCH_NOTES.md.
+# BENCH_r12 shipped hot BECAUSE the gate satisfied on the 1-min window
+# alone (initial [7.46, 8.36, 7.94] → cleared after 140 s with 5/15-min
+# still at 5.2/6.8). The r12 verdict ordered the BENCH_NOTES discipline
+# ("all three windows < 1") INTO this gate: cooldown-and-retry until
+# max(1-min, 5-min, 15-min) < LOADAVG_GATE. The wait budget is sized to
+# the 15-min window's decay (a box that just went quiet needs ~15-20 min
+# for loadavg[2] to fall below 1), bounded so a driver run can never
+# hang; the final triple ships in the JSON either way so a hot capture
+# is always visible AND self-describing.
 LOADAVG_GATE = 1.0
 LOADAVG_POLL_SEC = 20
-LOADAVG_MAX_WAIT_SEC = 900
+LOADAVG_MAX_WAIT_SEC = 2400
 
 
 def _await_quiet_box() -> tuple[list[float], dict]:
-    """Poll loadavg[0] until it is under LOADAVG_GATE or the wait budget
-    runs out. Returns (final loadavg triple, gate report for the JSON).
-    Disable with SPARK_GRAFT_LOADGATE=0 (local smoke loops)."""
+    """Poll until ALL THREE loadavg windows are under LOADAVG_GATE or
+    the wait budget runs out. Returns (final loadavg triple, gate report
+    for the JSON). Disable with SPARK_GRAFT_LOADGATE=0 (local smoke
+    loops)."""
     try:
         initial = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
@@ -383,15 +390,17 @@ def _await_quiet_box() -> tuple[list[float], dict]:
         return initial, {"enabled": False, "initial": initial}
     waited = 0.0
     load = list(initial)
-    while load and load[0] >= LOADAVG_GATE and waited < LOADAVG_MAX_WAIT_SEC:
+    while load and max(load) >= LOADAVG_GATE and waited < LOADAVG_MAX_WAIT_SEC:
         time.sleep(LOADAVG_POLL_SEC)
         waited += LOADAVG_POLL_SEC
         load = [round(x, 2) for x in os.getloadavg()]
     return load, {
         "enabled": True,
+        "windows": "max(1m,5m,15m)",
         "initial": initial,
+        "final": load,
         "waited_sec": round(waited, 1),
-        "satisfied": bool(load and load[0] < LOADAVG_GATE),
+        "satisfied": bool(load and max(load) < LOADAVG_GATE),
     }
 
 

@@ -800,3 +800,113 @@ def mm_brightness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_pixels").cast("bigint").alias("n_pixels"))
         .orderBy("luma_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG tier — permanently capability-gated (r13 adjudication)
+#
+# Every probe since r8 has found NO JPEG codec in this container (no
+# PIL/Pillow, no imageio, no cv2; reference parity target is the
+# binary-column decode workflow, reference src/media notes aside). The
+# r12 verdict ordered the MERGE-style permanent adjudication: a probe
+# that never raises, a decode entry point that fails LOUD with
+# documented guidance when no codec is present, and a conditionally
+# registered queries() entry that appears only where a codec exists —
+# so on a real cluster (pip install pillow) the tier lights up with
+# zero code changes, and in this container the gate itself is what is
+# tested (tests/test_llm_ops.py::test_jpeg_*). The PPM (P6) and WAV
+# (RIFF) tiers above prove the full decode contract end-to-end on real
+# bytes; JPEG swaps ONLY the codec call.
+# ---------------------------------------------------------------------------
+
+
+def jpeg_capabilities() -> dict[str, bool]:
+    """Probe the Python-side JPEG codecs a production image pipeline
+    would use, in preference order. Never raises — absence is a
+    reportable state, not an error (mirrors sinks.merge_capabilities)."""
+    caps: dict[str, bool] = {}
+    for mod in ("PIL", "imageio", "cv2"):
+        try:
+            __import__(mod)
+            caps[mod] = True
+        except Exception:
+            caps[mod] = False
+    caps["any"] = any(caps[m] for m in ("PIL", "imageio", "cv2"))
+    return caps
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode JPEG bytes to (width, height, HxWx3 uint8 RGB) via the
+    first available codec. Raises RuntimeError with install guidance
+    when the container ships none — loud, never a silent fake, so a
+    pipeline misconfigured onto a codec-less image can never emit
+    fabricated features (same contract as the lakehouse MERGE leg)."""
+    caps = jpeg_capabilities()
+    if caps["PIL"]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.width, img.height, np.asarray(img)
+    if caps["imageio"]:
+        import imageio.v3 as iio
+
+        rgb = np.asarray(iio.imread(payload))
+        if rgb.ndim == 2:  # grayscale JPEG -> replicate to RGB
+            rgb = np.stack([rgb] * 3, axis=2)
+        return rgb.shape[1], rgb.shape[0], rgb[:, :, :3]
+    if caps["cv2"]:
+        import cv2
+
+        bgr = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("malformed JPEG payload")
+        return bgr.shape[1], bgr.shape[0], bgr[:, :, ::-1]
+    raise RuntimeError(
+        "JPEG decode needs a codec (none on this cluster): install "
+        "Pillow (preferred), imageio, or opencv-python on the executors. "
+        "The PPM/WAV tiers (mm_decode_ppm / mm_decode_wav) exercise the "
+        "identical decode contract on dependency-free formats."
+    )
+
+
+if jpeg_capabilities()["any"]:  # pragma: no cover — no codec in this container
+
+    @register("mm_decode_jpeg")  # rows-only: binary decode is not SQL
+    def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real-codec twin of mm_decode_ppm: JPEG payloads (encoded from
+        the deterministic P6 fixtures via the same codec) -> decode_jpeg
+        -> ITU grayscale -> 64-bit phash. Registered ONLY where a codec
+        exists, so the driver never hashes a raising entry; plan shape
+        identical to mm_decode_ppm (two streaming Arrow map stages, no
+        shuffle until the caller adds one)."""
+        import io
+
+        from PIL import Image
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                rows = []
+                for doc_id in batch["doc_id"]:
+                    _, _, rgb = decode_ppm(_ppm_fixture(int(doc_id)))
+                    buf = io.BytesIO()
+                    Image.fromarray(rgb).save(buf, format="JPEG", quality=95)
+                    w, h, rgb2 = decode_jpeg(buf.getvalue())
+                    gray = (
+                        0.299 * rgb2[:, :, 0] + 0.587 * rgb2[:, :, 1] + 0.114 * rgb2[:, :, 2]
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": int(w),
+                            "height": int(h),
+                            "gray_mean": float(np.round(gray.mean(), 6)),
+                            "phash": _phash64(gray),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=[f.name for f in _PPM_DECODE_SCHEMA.fields])
+
+        return d.mapInPandas(gen_and_decode, _PPM_DECODE_SCHEMA).orderBy("doc_id")

@@ -121,9 +121,14 @@ WITH oc AS (
                      / CAST(n_h * (n_h - 1) AS DOUBLE))) AS BIGINT) AS w_q
   FROM cells
 ), alloc AS (
+  -- GREATEST(..., 1): a zero-variance (or sub-kilo-weight) stratum
+  -- quantizes to 0; if EVERY stratum does, the total is 0 and the two
+  -- engines diverge (DuckDB raises on //0, Spark's div returns NULL).
+  -- The 1-floor keeps the denominator positive on both sides and gives
+  -- degenerate strata the minimal uniform weight instead of none.
   SELECT seg, n_h, w_q,
-         CAST({NEYMAN_BUDGET} * (w_q // 1000) // SUM(w_q // 1000) OVER () AS BIGINT) AS base_n,
-         CAST({NEYMAN_BUDGET} * (w_q // 1000) % SUM(w_q // 1000) OVER () AS BIGINT) AS rem
+         CAST({NEYMAN_BUDGET} * GREATEST(w_q // 1000, 1) // SUM(GREATEST(w_q // 1000, 1)) OVER () AS BIGINT) AS base_n,
+         CAST({NEYMAN_BUDGET} * GREATEST(w_q // 1000, 1) % SUM(GREATEST(w_q // 1000, 1)) OVER () AS BIGINT) AS rem
   FROM weighted
 ), topped AS (
   SELECT seg, n_h, w_q, base_n,
@@ -160,8 +165,9 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     alloc = weighted.select(
         "seg", "n_h", "w_q",
-        F.expr(f"CAST({NEYMAN_BUDGET} * (w_q div 1000) AS BIGINT)").alias("scaled"),
-        F.expr("w_q div 1000").alias("w_k"),
+        # GREATEST(..., 1) mirrors the oracle's zero-total guard exactly
+        F.expr(f"CAST({NEYMAN_BUDGET} * GREATEST(w_q div 1000, 1) AS BIGINT)").alias("scaled"),
+        F.expr("GREATEST(w_q div 1000, 1)").alias("w_k"),
     ).select(
         "seg", "n_h", "w_q", "scaled",
         F.sum("w_k").over(wall).alias("tot_w"),

@@ -98,7 +98,11 @@ ORDER BY cohort_year, cohort_month, age_months
 @register("q_cohort_retention_triangle", COHORT_ORACLE)
 def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE customer-grain shuffle: collect_set of month indices per
-    customer (bounded by calendar months — safe per-key state), then
+    customer — per-key state is bounded by the CALENDAR, not the data:
+    one int64 per distinct active month, so ~84 at the sf1 corpus's
+    7-year window and ~360 even at a 30-year production horizon
+    (~3 KB/customer worst case; same explicit-bound discipline as
+    q_market_basket_pairs' |brands|) — then
     cohort = array_min and the distinct (cohort, age) cells explode
     MAP-SIDE; cohort sizes are the age=0 cells of the same relation.
     A/B-measured at sf1 rows against the first-order-join + DISTINCT

@@ -1125,48 +1125,57 @@ def _bucketed_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     marker_dir = os.path.join(repo_root, "tmp", "bucketed")
     os.makedirs(marker_dir, exist_ok=True)
     marker = os.path.join(marker_dir, f"{sf_base}_ok")
-    if (
-        os.path.exists(marker)
-        and spark.catalog.tableExists(t_orders)
-        and spark.catalog.tableExists(t_customer)
-    ):
-        with open(marker) as fh:
-            if fh.read().strip() == fingerprint:
-                return t_orders, t_customer
+    # r12 advice: the stage mutates shared state (DROP TABLE, rmtree of
+    # the warehouse location, the marker) — an exclusive file lock makes
+    # two concurrent sessions on the same repo serialize instead of
+    # dropping each other's tables mid-query. The check runs UNDER the
+    # lock so a waiter re-reads the marker the winner just wrote.
+    import fcntl
 
-    from duckdb_sudan__spark.session import load_table
+    with open(os.path.join(marker_dir, f"{sf_base}.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if (
+            os.path.exists(marker)
+            and spark.catalog.tableExists(t_orders)
+            and spark.catalog.tableExists(t_customer)
+        ):
+            with open(marker) as fh:
+                if fh.read().strip() == fingerprint:
+                    return t_orders, t_customer
 
-    # A fresh session starts with an empty in-memory catalog, but the
-    # managed-table LOCATION under spark-warehouse/ can survive from an
-    # earlier session — saveAsTable then fails LOCATION_ALREADY_EXISTS.
-    # Drop + remove the orphan location before (re)writing.
-    import shutil
+        from duckdb_sudan__spark.session import load_table
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    warehouse = warehouse.removeprefix("file:")
-    for t in (t_orders, t_customer):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        # A fresh session starts with an empty in-memory catalog, but the
+        # managed-table LOCATION under spark-warehouse/ can survive from an
+        # earlier session — saveAsTable then fails LOCATION_ALREADY_EXISTS.
+        # Drop + remove the orphan location before (re)writing.
+        import shutil
 
-    (
-        load_table(spark, sf_dir, "orders")
-        .write.mode("overwrite")
-        .bucketBy(_BUCKETS, "o_custkey")
-        .sortBy("o_custkey")
-        .format("parquet")
-        .saveAsTable(t_orders)
-    )
-    (
-        load_table(spark, sf_dir, "customer")
-        .write.mode("overwrite")
-        .bucketBy(_BUCKETS, "c_custkey")
-        .sortBy("c_custkey")
-        .format("parquet")
-        .saveAsTable(t_customer)
-    )
-    with open(marker, "w") as fh:
-        fh.write(fingerprint)
-    return t_orders, t_customer
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        warehouse = warehouse.removeprefix("file:")
+        for t in (t_orders, t_customer):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .format("parquet")
+            .saveAsTable(t_orders)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, "c_custkey")
+            .sortBy("c_custkey")
+            .format("parquet")
+            .saveAsTable(t_customer)
+        )
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+        return t_orders, t_customer
 
 
 def _register_bucketed_join() -> None:

@@ -436,12 +436,17 @@ def stream_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # counts executor-side; availableNow serializes the appends.
         partials = os.path.join(tmp, "partials")
 
-        def _agg_batch(bdf, _bid):
+        # r12 advice: keyed on the batch id with overwrite, so a retried
+        # / re-executed micro-batch REWRITES its own subdir instead of
+        # double-appending — the pattern stays exactly-once even if the
+        # checkpoint is ever made persistent (no '=' in the dir name so
+        # the readback below never triggers partition discovery).
+        def _agg_batch(bdf, bid):
             (
                 bdf.groupBy("brand_a", "brand_b")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-                .write.mode("append")
-                .parquet(partials)
+                .write.mode("overwrite")
+                .parquet(os.path.join(partials, f"b{bid}"))
             )
 
         q = (
@@ -457,11 +462,20 @@ def stream_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise RuntimeError("stream_basket_pairs drain exceeded 300 s")
         q.stop()
-        final = (
-            spark.read.schema("brand_a string, brand_b string, c bigint")
-            .parquet(partials)
-            .groupBy("brand_a", "brand_b")
-            .agg(F.sum("c").cast("bigint").alias("n_ab"))
-        )
+        # r12 advice: an empty source yields zero micro-batch output, so
+        # no parquet was ever written — return the declared-schema empty
+        # result instead of a PATH_NOT_FOUND from the readback.
+        if os.path.isdir(partials):
+            final = (
+                spark.read.schema("brand_a string, brand_b string, c bigint")
+                .option("recursiveFileLookup", "true")
+                .parquet(partials)
+                .groupBy("brand_a", "brand_b")
+                .agg(F.sum("c").cast("bigint").alias("n_ab"))
+            )
+        else:
+            final = spark.createDataFrame(
+                [], "brand_a string, brand_b string, n_ab bigint"
+            )
         out_dir = _persist_result(final, sf_dir, "basket_pairs", fingerprint)
     return spark.read.parquet(out_dir).orderBy("brand_a", "brand_b")

@@ -73,3 +73,19 @@ def test_loadgate_passes_quiet_box(bench, monkeypatch):
     monkeypatch.setattr(os, "getloadavg", lambda: (0.2, 0.5, 0.7))
     load, report = bench._await_quiet_box()
     assert report["satisfied"] is True and report["waited_sec"] == 0
+
+
+def test_loadgate_requires_all_three_windows(bench, monkeypatch):
+    # r12 verdict item 2: BENCH_r12 shipped hot because the gate
+    # satisfied on the 1-min window alone while 5/15-min were still at
+    # 5.2/6.8. The exact r12 failure state must now be HELD at the gate
+    # (satisfied=False at budget exhaustion), and the report must carry
+    # the full triple so the capture self-describes.
+    monkeypatch.setenv("SPARK_GRAFT_LOADGATE", "1")
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.43, 5.23, 6.82))
+    monkeypatch.setattr(bench, "LOADAVG_POLL_SEC", 0.01)
+    monkeypatch.setattr(bench, "LOADAVG_MAX_WAIT_SEC", 0.05)
+    load, report = bench._await_quiet_box()
+    assert report["satisfied"] is False
+    assert report["final"] == [0.43, 5.23, 6.82]
+    assert report["windows"] == "max(1m,5m,15m)"

@@ -46,31 +46,36 @@ def test_correctness_window_is_full_and_oracled():
     assert set(oracles) <= set(keys)
 
 
-def test_r13_window_plan_is_valid():
-    """The committed r13 window literal must be executable as-is at r13
-    open: 50 unique names, every one a registered ORACLED entry, led by
-    the 39 r11-overflow entries, with zero overlap against the live r12
-    window (it is a rotation, not a repeat)."""
+def test_r13_window_plan_executed_verbatim():
+    """r13 open (VERDICT r12 item 1): the live window must BE the
+    committed machine-checked r13 plan — 50 unique names, every one a
+    registered ORACLED entry, zero overlap with the executed r12 window
+    (a rotation, not a repeat), and the leading 39 never driver-hashed
+    before this round."""
     import __spark_entry__ as E
 
-    import glob
     import json
 
     plan = E._R13_WINDOW_PLAN
     oracles = E.oracle_sql()
     queries = E.queries()
+    assert E._WINDOW_PRIORITY == plan, "r13 window differs from the committed plan"
     assert len(plan) == 50 and len(set(plan)) == 50
     missing_q = [k for k in plan if k not in queries]
     missing_o = [k for k in plan if k not in oracles]
     assert not missing_q, f"r13 plan names unregistered entries: {missing_q}"
     assert not missing_o, f"r13 plan names rows-only entries: {missing_o}"
-    assert not set(plan) & set(E._WINDOW_PRIORITY), "r13 plan repeats the r12 window"
-    # composition (r12 review: the docstring's 'led by the 39 r11-
-    # overflow entries' must be asserted, not just claimed): the
-    # leading 39 are exactly entries NO committed driver CORRECTNESS
-    # file has ever hashed — the definition of window debt
+    assert not set(plan) & set(E._R12_WINDOW), "r13 plan repeats the r12 window"
+    # composition: the leading 39 are exactly entries NO committed
+    # driver CORRECTNESS file BEFORE r13 had ever hashed — the
+    # definition of window debt (r13's own JSON will contain them once
+    # the driver runs, so exclude it from the debt scan).
+    import glob
+
     driver_checked: set[str] = set()
     for path in glob.glob("CORRECTNESS_r*.json"):
-        driver_checked.update(json.load(open(path)))
+        rnd = int(path.split("_r")[1].split(".")[0])
+        if rnd < 13:
+            driver_checked.update(json.load(open(path)))
     already = [k for k in plan[:39] if k in driver_checked]
     assert not already, f"r13 plan's overflow block holds driver-checked keys: {already}"

@@ -1468,3 +1468,62 @@ def test_bigram_cond_entropy_single_token_doc_guard(spark, duck):
         got = {r.lang: r for r in df.collect()}
         assert "fr" not in got  # the 1-token fr doc yields no bigram row
         assert got["en"].n_bigrams == 2  # only doc 3's (a,b) and (b,b)
+
+
+def test_jpeg_capabilities_probe_is_honest():
+    """r13 permanent adjudication: the codec probe reports all three
+    JPEG codecs absent in this container — and never raises (mirrors
+    test_merge_capabilities_probe_is_honest)."""
+    from duckdb_sudan__spark.operators.multimodal import jpeg_capabilities
+
+    caps = jpeg_capabilities()
+    assert set(caps) == {"PIL", "imageio", "cv2", "any"}
+    assert caps["any"] == any(caps[m] for m in ("PIL", "imageio", "cv2"))
+
+
+def test_jpeg_decode_fails_loud_without_codec():
+    """Without a codec, decode_jpeg must raise the documented install
+    guidance — never a silent fake (the gate IS the tested contract,
+    like the lakehouse MERGE leg)."""
+    import pytest
+
+    from duckdb_sudan__spark.operators.multimodal import (
+        decode_jpeg,
+        jpeg_capabilities,
+    )
+
+    if jpeg_capabilities()["any"]:
+        pytest.skip("a JPEG codec is installed here; the raise leg is moot")
+    with pytest.raises(RuntimeError, match="Pillow"):
+        decode_jpeg(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+
+def test_jpeg_entry_registered_iff_codec_present():
+    """The conditionally-registered mm_decode_jpeg entry appears in
+    queries() exactly when a codec exists — so the driver never hashes
+    a raising entry in THIS container, and the tier lights up with zero
+    code changes where Pillow ships."""
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.multimodal import jpeg_capabilities
+
+    assert ("mm_decode_jpeg" in QUERIES) == jpeg_capabilities()["any"]
+
+
+def test_jpeg_decode_execution_leg(spark):
+    """Execution leg: runs only where a codec is installed (skipped in
+    this container). The JPEG tier must agree with the PPM tier on
+    dimensions and be phash-close on content (lossy quality=95)."""
+    import pytest
+
+    from duckdb_sudan__spark.operators import QUERIES
+    from duckdb_sudan__spark.operators.multimodal import jpeg_capabilities
+
+    if not jpeg_capabilities()["any"]:
+        pytest.skip("no JPEG codec in this container (permanent gate, r13)")
+    jpeg = {r["doc_id"]: r for r in QUERIES["mm_decode_jpeg"](spark, SF_DIR).collect()}
+    ppm = {r["doc_id"]: r for r in QUERIES["mm_decode_ppm"](spark, SF_DIR).collect()}
+    assert set(jpeg) == set(ppm)
+    for doc_id, jr in jpeg.items():
+        pr = ppm[doc_id]
+        assert (jr["width"], jr["height"]) == (pr["width"], pr["height"])
+        assert bin(jr["phash"] ^ pr["phash"]).count("1") <= 10
