@@ -1075,11 +1075,11 @@ def _clip_ring_to_convex(ring, qpts):
     return pts if len(pts) >= 3 else []
 
 
-def _clip_2area_convex(doc: dict, qpts) -> int:
-    """round(2 * area(geom ∩ convex qpts)) in microdeg², even-odd:
+def _clip_2area_convex_frac(doc: dict, qpts):
+    """EXACT Fraction 2·area(geom ∩ convex qpts) in microdeg², even-odd:
     clipped outer area minus clipped hole areas, determinant shoelace
-    over exact Fractions, ONE terminal round (the _clip_2area contract
-    generalized from the AOI box to any convex polygon)."""
+    over exact Fractions, NO rounding — the concave tier sums this per
+    triangle and rounds ONCE terminally."""
     from fractions import Fraction
 
     polys = [doc["coordinates"]] if doc["type"] == "Polygon" else doc["coordinates"]
@@ -1094,14 +1094,21 @@ def _clip_2area_convex(doc: dict, qpts) -> int:
             for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
                 s += x0 * y1 - x1 * y0
             total += abs(s) if ri == 0 else -abs(s)
-    return round(total)
+    return total
+
+
+def _clip_2area_convex(doc: dict, qpts) -> int:
+    """round(2 * area(geom ∩ convex qpts)) in microdeg² — ONE terminal
+    round over the exact-Fraction core (the _clip_2area contract
+    generalized from the AOI box to any convex polygon)."""
+    return round(_clip_2area_convex_frac(doc, qpts))
 
 
 # --- independently coded oracle clipper: two-line determinant
 # --- crossings, REVERSED edge order, trapezoid shoelace, while-loop ---------
 
 
-def _oracle_clip_2area_convex(doc: dict, qpts) -> int:
+def _oracle_clip_2area_convex_frac(doc: dict, qpts):
     from fractions import Fraction
 
     def line_cross(p, q):
@@ -1152,7 +1159,11 @@ def _oracle_clip_2area_convex(doc: dict, qpts) -> int:
             for (x0, y0), (x1, y1) in zip(pts, pts[1:] + pts[:1]):
                 acc += (x0 + x1) * (y1 - y0)
             total += abs(acc) if ri == 0 else -abs(acc)
-    return round(total)
+    return total
+
+
+def _oracle_clip_2area_convex(doc: dict, qpts) -> int:
+    return round(_oracle_clip_2area_convex_frac(doc, qpts))
 
 
 # The registered entry exercises the generic path with a NON-axis-
@@ -1259,3 +1270,305 @@ def _register_geom_clip_geojson() -> None:
 
 
 _register_geom_clip_geojson()
+
+
+# ---------------------------------------------------------------------------
+# Concave clip tier (r13, VERDICT r12 item 4)
+#
+# Sutherland-Hodgman is only correct on CONVEX clip regions, so the
+# convex tier above deliberately raises on a reflex vertex. A real
+# GIS user's AOI (a drawn district, a flood outline) is routinely
+# concave. The decomposition path: validate the ring as SIMPLE
+# (non-self-intersecting), ear-clip it into triangles — every triangle
+# IS convex — run the exact-Fraction S-H clip per triangle, and sum.
+# The triangles PARTITION the polygon interior (disjoint except
+# measure-zero shared edges), so on the microdeg grid the Fraction sum
+# is exactly 2·area(geom ∩ polygon); ONE terminal round.
+#
+# All geometry below is exact integer/Fraction arithmetic — no floats,
+# no epsilons. Parity target: the reference docs/functions.md
+# arbitrary-AOI workflow (ST_GeomFromGeoJSON → ST_Intersection →
+# ST_Area), which DuckDB spatial serves for any simple polygon.
+#
+# Scale: the AOI is a USER QUERY (tens of vertices) — triangulation is
+# driver-side O(n²) on a tiny ring, then the T triangle half-plane
+# sets broadcast in the UDF closure exactly like the convex tier's
+# qpts; the per-state work is T small S-H clips inside the same
+# one-Arrow-batch pandas UDF. No extra shuffle, no new plan shape.
+# ---------------------------------------------------------------------------
+
+
+def _cross3(o, a, b) -> int:
+    """Exact integer orientation: >0 left turn, <0 right, 0 collinear."""
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _on_segment(a, b, p) -> bool:
+    """p collinear-with and within the closed bbox of segment a-b."""
+    return (
+        _cross3(a, b, p) == 0
+        and min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Closed-segment intersection test, exact integers (CLRS 33.1)."""
+    d1 = _cross3(p3, p4, p1)
+    d2 = _cross3(p3, p4, p2)
+    d3 = _cross3(p1, p2, p3)
+    d4 = _cross3(p1, p2, p4)
+    if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+        return True
+    return (
+        (d1 == 0 and _on_segment(p3, p4, p1))
+        or (d2 == 0 and _on_segment(p3, p4, p2))
+        or (d3 == 0 and _on_segment(p1, p2, p3))
+        or (d4 == 0 and _on_segment(p1, p2, p4))
+    )
+
+
+def _simple_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
+    """Parse + validate a user GeoJSON Polygon as a SIMPLE (possibly
+    concave) clip region on the integer microdegree grid. Returns the
+    CCW vertex ring with collinear pass-through vertices removed.
+
+    Raises ValueError on: non-Polygon type, holes, < 3 distinct
+    vertices, zero area, repeated vertices, zero-angle spikes, or any
+    self-intersection (two non-adjacent edges touching or crossing —
+    exact integer tests, so a bowtie can never sneak through as
+    'numerically simple')."""
+    if doc.get("type") != "Polygon":
+        raise ValueError("query geometry must be a GeoJSON Polygon")
+    rings = doc.get("coordinates") or []
+    if len(rings) != 1:
+        raise ValueError("query polygon must have exactly one ring (no holes)")
+    pts = [
+        (round(float(x) * 1_000_000), round(float(y) * 1_000_000))
+        for x, y in rings[0]
+    ]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    dedup: list[tuple[int, int]] = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) >= 2 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    if len(dedup) != len(set(dedup)):
+        raise ValueError("query polygon revisits a vertex (not a simple ring)")
+    # collinear pass-through vertices are redundant (drop); a 180°
+    # spike (direction reversal) is degenerate geometry (reject)
+    changed = True
+    while changed and len(dedup) >= 3:
+        changed = False
+        for i in range(len(dedup)):
+            o, v, b = dedup[i - 1], dedup[i], dedup[(i + 1) % len(dedup)]
+            if _cross3(o, v, b) == 0:
+                dot = (v[0] - o[0]) * (b[0] - v[0]) + (v[1] - o[1]) * (b[1] - v[1])
+                if dot <= 0:
+                    raise ValueError("query polygon has a zero-angle spike")
+                del dedup[i]
+                changed = True
+                break
+    if len(dedup) < 3:
+        raise ValueError("query polygon needs >= 3 distinct vertices")
+    s2 = 0
+    for (x0, y0), (x1, y1) in zip(dedup, dedup[1:] + dedup[:1]):
+        s2 += x0 * y1 - x1 * y0
+    if s2 == 0:
+        raise ValueError("query polygon is degenerate (zero area)")
+    if s2 < 0:
+        dedup.reverse()  # normalize to CCW
+    n = len(dedup)
+    for i in range(n):
+        a, b = dedup[i], dedup[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue  # adjacent edges share a vertex by construction
+            c, d = dedup[j], dedup[(j + 1) % n]
+            if _segments_intersect(a, b, c, d):
+                raise ValueError(
+                    "query polygon is self-intersecting (not a simple ring)"
+                )
+    return dedup
+
+
+def _in_triangle_closed(a, b, c, p) -> bool:
+    """p inside-or-on the CCW triangle abc, exact integers."""
+    return _cross3(a, b, p) >= 0 and _cross3(b, c, p) >= 0 and _cross3(c, a, p) >= 0
+
+
+def _triangulate_ear(ring: list[tuple[int, int]]) -> list[tuple]:
+    """Ear-clipping triangulation of a simple CCW ring (collinear
+    vertices already removed) into n-2 CCW triangles that PARTITION its
+    interior. O(n³) worst case — the ring is a user AOI of tens of
+    vertices, never data. Meisters' two-ears theorem guarantees
+    progress on every simple polygon; the closed-triangle containment
+    test (rejecting ears with ANY other remaining vertex inside or on
+    the candidate triangle) keeps every emitted diagonal strictly
+    interior, so the pieces are disjoint and area-additive."""
+    idx = list(range(len(ring)))
+    tris: list[tuple] = []
+    while len(idx) > 3:
+        n = len(idx)
+        for k in range(n):
+            ia, ib, ic = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = ring[ia], ring[ib], ring[ic]
+            if _cross3(a, b, c) <= 0:
+                continue  # reflex (or collinear-degenerate) corner: not an ear
+            if any(
+                _in_triangle_closed(a, b, c, ring[j])
+                for j in idx
+                if j not in (ia, ib, ic)
+            ):
+                continue
+            tris.append((a, b, c))
+            del idx[k]
+            break
+        else:  # pragma: no cover — unreachable on a validated simple ring
+            raise ValueError("ear clipping found no ear (degenerate polygon)")
+    tris.append((ring[idx[0]], ring[idx[1]], ring[idx[2]]))
+    return tris
+
+
+def _clip_2area_simple(doc: dict, tris) -> int:
+    """round(2 · area(geom ∩ simple polygon)) via the triangle
+    partition: exact-Fraction S-H clip per (convex) triangle, Fraction
+    sum across triangles, ONE terminal round."""
+    from fractions import Fraction
+
+    total = Fraction(0)
+    for tri in tris:
+        total += _clip_2area_convex_frac(doc, list(tri))
+    return round(total)
+
+
+def _oracle_clip_2area_simple(doc: dict, tris) -> int:
+    """Independently-coded twin: the reversed-edge-order two-line-
+    determinant trapezoid clipper summed over the same triangulation."""
+    from fractions import Fraction
+
+    total = Fraction(0)
+    for tri in tris:
+        total += _oracle_clip_2area_convex_frac(doc, list(tri))
+    return round(total)
+
+
+# The registered entry's AOI: a 10-vertex star outline over central
+# Sudan (alternating ~4.8° outer / ~2.1° inner radius, rotated so no
+# edge is axis-aligned). Every inner vertex is REFLEX — the polygon
+# the convex tier rejects by design — and the star shape makes the
+# triangulation non-fan (ears must skip reflex corners). Vertices are
+# exact microdegree integers; the GeoJSON doc round-trips bit-exactly.
+_STAR_AOI_MICRODEG = [
+    (37_163_119, 16_459_627),
+    (33_697_122, 16_256_627),
+    (31_952_231, 19_259_877),
+    (31_081_458, 15_899_701),
+    (27_715_966, 15_028_424),
+    (30_646_890, 13_205_924),
+    (30_382_175, 9_744_373),
+    (33_015_614, 12_006_174),
+    (36_226_907, 10_690_123),
+    (34_967_885, 13_925_299),
+]
+
+
+def _star_aoi_doc() -> dict:
+    ring = [[x / 1_000_000, y / 1_000_000] for x, y in _STAR_AOI_MICRODEG]
+    ring.append(ring[0])
+    return {"type": "Polygon", "coordinates": [ring]}
+
+
+def clip_states_to_simple_geojson(spark: SparkSession, geojson) -> DataFrame:
+    """Clip every served state to an ARBITRARY SIMPLE GeoJSON Polygon —
+    convex OR concave. Same output contract as clip_states_to_geojson
+    (iso_code, state_name, clip_area2_microdeg2, area2_microdeg2,
+    pct_in_poly_ppm, relation). Convex rings take the single-pass S-H
+    path; concave rings are ear-clipped into triangles driver-side and
+    the exact per-triangle clips are summed. Raises ValueError on a
+    self-intersecting, holed, or degenerate ring."""
+    doc = json.loads(geojson) if isinstance(geojson, str) else geojson
+    try:
+        qpts = _convex_ring_microdeg(doc)
+        tris = None
+    except ValueError as exc:
+        if "not convex" not in str(exc):
+            raise
+        tris = _triangulate_ear(_simple_ring_microdeg(doc))
+        qpts = None
+    bounds = geo_states.sudan_boundaries(spark, "state")
+
+    @F.pandas_udf("struct<clip2:bigint,area2:bigint>")
+    def clip_of(gj: pd.Series) -> pd.DataFrame:
+        out = []
+        for g in gj:
+            d = json.loads(g)
+            a2, _p, _h = _geom_2area_and_parts(d)
+            c2 = (
+                _clip_2area_convex(d, qpts)
+                if qpts is not None
+                else _clip_2area_simple(d, tris)
+            )
+            out.append({"clip2": c2, "area2": a2})
+        return pd.DataFrame(out)
+
+    return (
+        bounds.select("iso_code", "state_name", clip_of(F.col("geojson")).alias("c"))
+        .select(
+            "iso_code",
+            "state_name",
+            F.col("c.clip2").alias("clip_area2_microdeg2"),
+            F.col("c.area2").alias("area2_microdeg2"),
+            F.expr(
+                "cast(1000000 * cast(c.clip2 as decimal(19,0))"
+                " div cast(c.area2 as decimal(19,0)) as bigint)"
+            ).alias("pct_in_poly_ppm"),
+            F.expr(
+                "CASE WHEN c.clip2 = c.area2 THEN 'within'"
+                " WHEN c.clip2 > 0 THEN 'intersects'"
+                " ELSE 'disjoint' END"
+            ).alias("relation"),
+        )
+        .orderBy("iso_code")
+    )
+
+
+def _geom_clip_concave_oracle() -> str:
+    import json as _json
+
+    from duckdb_sudan__spark.oracle import values_sql
+
+    tris = _triangulate_ear(_simple_ring_microdeg(_star_aoi_doc()))
+    rows = []
+    for i, (iso, name, _ar, _lon, _lat) in enumerate(geo_states.SUDAN_STATES):
+        doc = _json.loads(geo_states.state_boundary_geojson(i))
+        a2, _parts, _holes = _geom_2area_and_parts(doc)
+        c2 = _oracle_clip_2area_simple(doc, tris)
+        rel = "within" if c2 == a2 else ("intersects" if c2 > 0 else "disjoint")
+        rows.append((iso, name, c2, a2, 1_000_000 * c2 // a2, rel))
+    return (
+        values_sql(
+            sorted(rows),
+            ["iso_code", "state_name", "clip_area2_microdeg2",
+             "area2_microdeg2", "pct_in_poly_ppm", "relation"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT", "VARCHAR"],
+        )
+        + " ORDER BY iso_code"
+    )
+
+
+def _register_geom_clip_concave() -> None:
+    @register("sudan_geom_clip_concave", _geom_clip_concave_oracle())
+    def sudan_geom_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The arbitrary-AOI workflow on a CONCAVE polygon: a 10-vertex
+        star whose 5 reflex corners the convex tier rejects by design.
+        The public API is clip_states_to_simple_geojson(spark,
+        any_simple_polygon); this entry is its driver-hashed witness
+        (oracle: the independently-coded trapezoid clipper summed over
+        the same ear-clipping triangulation)."""
+        return clip_states_to_simple_geojson(spark, _star_aoi_doc())
+
+
+_register_geom_clip_concave()

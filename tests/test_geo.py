@@ -697,3 +697,186 @@ def test_convex_ring_rejects_star_and_multiwound():
         _convex_ring_microdeg({"type": "Polygon", "coordinates": star})
     with pytest.raises(ValueError):
         _convex_ring_microdeg({"type": "Polygon", "coordinates": double})
+
+
+# --------------------------------------------------------------------------
+# Concave clip tier (r13, VERDICT r12 item 4)
+# --------------------------------------------------------------------------
+
+
+def test_simple_ring_validation_and_triangulation():
+    """The simple-ring validator accepts concave rings the convex tier
+    rejects, rejects genuinely broken rings exactly (bowtie, hole,
+    spike, revisited vertex), and the ear-clipping triangles PARTITION
+    the interior (integer-exact area additivity)."""
+    from duckdb_sudan__spark.geo.spatial import (
+        _convex_ring_microdeg,
+        _cross3,
+        _simple_ring_microdeg,
+        _star_aoi_doc,
+        _triangulate_ear,
+    )
+
+    star = _star_aoi_doc()
+    with pytest.raises(ValueError, match="not convex"):
+        _convex_ring_microdeg(star)
+    ring = _simple_ring_microdeg(star)
+    assert len(ring) == 10
+    tris = _triangulate_ear(ring)
+    assert len(tris) == len(ring) - 2
+    s2 = sum(x0 * y1 - x1 * y0 for (x0, y0), (x1, y1) in zip(ring, ring[1:] + ring[:1]))
+    assert sum(_cross3(a, b, c) for a, b, c in tris) == s2 > 0
+    assert all(_cross3(a, b, c) > 0 for a, b, c in tris)  # all CCW, non-degenerate
+
+    # the SYMMETRIC bowtie nets to zero shoelace area — caught by the
+    # earlier degeneracy check; the ASYMMETRIC one has nonzero area and
+    # must be caught by the exact segment-intersection sweep
+    bowtie_sym = {"type": "Polygon",
+                  "coordinates": [[[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]]}
+    with pytest.raises(ValueError, match="zero area"):
+        _simple_ring_microdeg(bowtie_sym)
+    bowtie = {"type": "Polygon",
+              "coordinates": [[[0.0, 0.0], [3.0, 3.0], [3.0, 0.0], [0.0, 2.0], [0.0, 0.0]]]}
+    with pytest.raises(ValueError, match="self-intersecting"):
+        _simple_ring_microdeg(bowtie)
+    holed = {"type": "Polygon",
+             "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+                              [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]]}
+    with pytest.raises(ValueError, match="exactly one ring"):
+        _simple_ring_microdeg(holed)
+    spike = {"type": "Polygon",
+             "coordinates": [[[0.0, 0.0], [4.0, 0.0], [2.0, 0.0], [2.0, 3.0], [0.0, 0.0]]]}
+    with pytest.raises(ValueError, match="spike|revisits|self-intersecting"):
+        _simple_ring_microdeg(spike)
+    revisit = {"type": "Polygon",
+               "coordinates": [[[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 0.0],
+                                 [0.0, 3.0], [-3.0, 3.0], [0.0, 0.0]]]}
+    with pytest.raises(ValueError, match="revisits"):
+        _simple_ring_microdeg(revisit)
+
+
+def test_concave_clip_agrees_with_convex_path_on_convex_inputs():
+    """Invariant (VERDICT r12 item 4): on a CONVEX input the triangle-
+    sum path must equal the single-pass convex S-H result exactly, for
+    every state — the hexagon AOI entry's numbers reproduced through
+    the decomposition."""
+    import json as _json
+
+    from duckdb_sudan__spark.geo.spatial import (
+        _clip_2area_convex,
+        _clip_2area_simple,
+        _hex_aoi_doc,
+        _simple_ring_microdeg,
+        _triangulate_ear,
+    )
+
+    qpts = __import__(
+        "duckdb_sudan__spark.geo.spatial", fromlist=["_convex_ring_microdeg"]
+    )._convex_ring_microdeg(_hex_aoi_doc())
+    tris = _triangulate_ear(_simple_ring_microdeg(_hex_aoi_doc()))
+    for i in range(len(geo_states.SUDAN_STATES)):
+        doc = _json.loads(geo_states.state_boundary_geojson(i))
+        assert _clip_2area_simple(doc, tris) == _clip_2area_convex(doc, qpts)
+
+
+def test_concave_clip_hypothesis_random_simple_polygons():
+    """Hypothesis sweep: random STAR-SHAPED polygons (random radii
+    around a random center, sorted by angle — simple by construction,
+    concave with overwhelming probability) over the Sudan envelope.
+    The two independently-coded per-triangle clippers must agree
+    bit-for-bit on every state, and 0 <= clip2 <= area2."""
+    import json as _json
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_sudan__spark.geo.spatial import (
+        _clip_2area_simple,
+        _geom_2area_and_parts,
+        _oracle_clip_2area_simple,
+        _simple_ring_microdeg,
+        _triangulate_ear,
+    )
+
+    docs = [
+        _json.loads(geo_states.state_boundary_geojson(i))
+        for i in range(len(geo_states.SUDAN_STATES))
+    ]
+    areas = [_geom_2area_and_parts(d)[0] for d in docs]
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=24_000_000, max_value=36_000_000),  # center lon
+        st.integers(min_value=10_000_000, max_value=20_000_000),  # center lat
+        st.lists(
+            st.integers(min_value=500_000, max_value=6_000_000),  # radii (microdeg)
+            min_size=4,
+            max_size=9,
+        ),
+        st.integers(min_value=0, max_value=359),  # phase
+    )
+    def sweep(cx, cy, radii, phase):
+        n = len(radii)
+        ring = []
+        for k, r in enumerate(radii):
+            ang = math.radians(phase + 360.0 * k / n)
+            ring.append([ (cx + round(r * math.cos(ang))) / 1e6,
+                          (cy + round(r * math.sin(ang))) / 1e6 ])
+        ring.append(ring[0])
+        doc = {"type": "Polygon", "coordinates": [ring]}
+        try:
+            simple = _simple_ring_microdeg(doc)
+        except ValueError:
+            return  # degenerate sample (collinear / repeated) — skip
+        tris = _triangulate_ear(simple)
+        assert len(tris) == len(simple) - 2
+        for sdoc, a2 in zip(docs, areas):
+            c_main = _clip_2area_simple(sdoc, tris)
+            c_oracle = _oracle_clip_2area_simple(sdoc, tris)
+            assert c_main == c_oracle
+            assert 0 <= c_main <= a2
+
+    sweep()
+
+
+def test_clip_states_to_simple_geojson_api(spark, duck):
+    """The widened public API: a concave covering polygon classifies
+    every state within; the star AOI produces a mixed relation set with
+    at least one intersecting state; convex inputs route through the
+    single-pass path with identical results to clip_states_to_geojson;
+    and the registered star entry matches its VALUES oracle."""
+    from duckdb_sudan__spark.geo.spatial import (
+        _star_aoi_doc,
+        clip_states_to_geojson,
+        clip_states_to_simple_geojson,
+    )
+
+    # concave cover: the envelope square with a notch cut into a corner
+    # far outside Sudan — still contains every state
+    notched = {
+        "type": "Polygon",
+        "coordinates": [[[15.0, 0.0], [45.0, 0.0], [45.0, 30.0], [31.0, 30.0],
+                          [31.0, 29.0], [15.0, 29.0], [15.0, 0.0]]],
+    }
+    rows = clip_states_to_simple_geojson(spark, notched).collect()
+    assert len(rows) == 18 and all(r.relation == "within" for r in rows)
+
+    star_rows = clip_states_to_simple_geojson(spark, _star_aoi_doc()).collect()
+    rels = {r.relation for r in star_rows}
+    assert "intersects" in rels and "disjoint" in rels
+
+    hexa = __import__(
+        "duckdb_sudan__spark.geo.spatial", fromlist=["_hex_aoi_doc"]
+    )._hex_aoi_doc()
+    via_simple = {r.iso_code: r for r in clip_states_to_simple_geojson(spark, hexa).collect()}
+    via_convex = {r.iso_code: r for r in clip_states_to_geojson(spark, hexa).collect()}
+    assert via_simple == via_convex
+
+    from duckdb_sudan__spark.operators import ORACLES, QUERIES
+
+    assert_matches_oracle(
+        QUERIES["sudan_geom_clip_concave"](spark, "/root/testdata/sf0.001"),
+        duck,
+        ORACLES["sudan_geom_clip_concave"],
+    )

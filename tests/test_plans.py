@@ -3018,3 +3018,16 @@ def test_bucketed_join_has_no_exchange_before_smj(spark):
         if "Exchange" in l and "reuse" not in l.lower():
             assert i < smj[0], (i, l, plan)
     assert sum(1 for l in lines if "Bucketed: true" in l) == 2, plan
+
+
+def test_geom_clip_concave_single_stage_no_shuffle_before_sort(spark):
+    """The concave tier keeps the convex entry's plan EXACTLY: the
+    ear-clipped triangle set is a driver-side closure literal over the
+    same one-Arrow-map 18-row boundary relation — no Join, and no
+    Exchange other than the final orderBy's range partitioning. The
+    decomposition adds per-row work (T small S-H clips), never plan
+    nodes."""
+    df = QUERIES["sudan_geom_clip_concave"](spark, SF_DIR)
+    nodes = plan_nodes(df)
+    assert not any("Join" in n for n in nodes), nodes
+    assert shuffle_count(nodes) <= 1, nodes

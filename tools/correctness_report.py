@@ -64,6 +64,25 @@ SF1_OVERFLOW_KEYS = [
     "ts_pettitt_changepoint", "ts_mann_kendall", "ts_theil_sen_slope",
 ]
 
+# r12 verdict item 6: the static 30 above stay (they are the families
+# where a wrap first bites), and each round ROTATES ~20 fresh
+# DECIMAL/HUGEINT/quadratic-integer-citing entries through the same
+# sf1 corpus. r13 block: the r12 adds the verdict names explicitly
+# (ml_auc_exact_rank — U2 ≈ int64 at ~sf500 per its docstring —
+# text_bigram_cond_entropy, q_market_basket_pairs' BIGINT-routed
+# lift), plus the exact-integer-ppm ml_* metric family and the
+# squared/product-of-counts statistics not yet in the static 30.
+SF1_ROTATION_KEYS = [
+    "ml_auc_exact_rank", "text_bigram_cond_entropy",
+    "q_market_basket_pairs", "ml_auc_exact", "ml_mcc_binary",
+    "ml_cohens_kappa", "ml_psi_drift_bits", "ml_calibration_ece",
+    "agg_hhi_concentration", "ev_type_affinity_pmi",
+    "q_rank_stability_spearman", "ts_cross_correlation_lags",
+    "ml_pr_curve_binned", "ml_ks_binned", "ml_auc_by_group",
+    "ml_stratified_ate", "ml_threshold_cost_curve", "ml_ndcg_at_k",
+    "ml_mrr_per_user", "ml_average_precision_binned",
+]
+
 
 def _sf1_combined_con():
     """Stage the combined sf1 corpus (symlinks into the two existing
@@ -176,19 +195,22 @@ def main() -> None:
     # bite. TPC-H tables come from bench.stage_sf1 (10 shifted sf0.1
     # copies = sf1); events/documents/embeddings from the 16x scaling
     # corpus (sf1.6 — strictly harder). Same comparison, same report.
+    gate_keys = SF1_OVERFLOW_KEYS + SF1_ROTATION_KEYS
     try:
         con2, sf1_dir = _sf1_combined_con()
         results = [
             compare_one(spark, con2, key, queries[key], oracles[key], sf1_dir)
-            for key in SF1_OVERFLOW_KEYS
+            for key in gate_keys
         ]
     except Exception as exc:  # corpus unavailable — record, don't lose the report
         results = [
             (key, -1, -1, False, False, False, False, 0.0,
              f"sf1 corpus unavailable: {exc}"[:120])
-            for key in SF1_OVERFLOW_KEYS
+            for key in gate_keys
         ]
-    sections.append(("tmp/sf1_check (sf1 overflow gate)", results))
+    sections.append(
+        ("tmp/sf1_check (sf1 overflow gate: 30 static + 20 r13-rotation)", results)
+    )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "CORRECTNESS_LOCAL.md"), "w") as f:
