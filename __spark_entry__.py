@@ -281,6 +281,38 @@ _R13_WINDOW_PLAN = [
 _WINDOW_PRIORITY = list(_R13_WINDOW_PLAN)
 
 
+# The committed r14 window as a MACHINE-CHECKED literal (r13 close),
+# computed from the committed CORRECTNESS_r*.json files (script in the
+# r13 transcript; tests/test_entry.py re-derives the composition):
+# FIRST the 6 oracled entries ADDED in r13 (the wave was capped at 6 —
+# concave clip + the olap39 five — so these are the ONLY entries with
+# no driver row after r13 executes), THEN the 28 r6-checked leftovers
+# (alphabetical; the oldest stale class), THEN the alphabetically-first
+# 16 of the 50 r7-checked rows. 6 + 28 + 16 = 50. r14 opens by
+# assigning _WINDOW_PRIORITY = _R14_WINDOW_PLAN verbatim; the remaining
+# 34 r7 rows + rotation debt go to r15.
+_R14_WINDOW_PLAN = [
+    "ev_rolling_retention", "ev_weekly_active_streaks",
+    "q_brand_repeat_rate", "q_revenue_lorenz_bands",
+    "sudan_geom_clip_concave", "ts_updown_streaks",
+    "hybrid_search_rrf", "join_lateral_topn", "join_positional",
+    "join_semi_anti", "lm_oov_rate", "mm_manifest_stats",
+    "ngram_lm_counts", "pipeline_chunk_index", "pipeline_dedup_cascade",
+    "sample_temperature_mix", "setops_by_name", "sketch_heavy_hitters",
+    "str_distance", "str_regex_extract_all", "str_try_parse",
+    "sudan_wb_pivot", "summarize_stats", "text_chunk_overlap",
+    "text_ngram_novelty", "text_pii_scrub", "tfidf_topk",
+    "ts_time_bucket", "win_distribution", "win_exclude_current",
+    "win_ignore_nulls", "win_rolling_regression", "win_running_distinct",
+    "win_time_range_sliding",
+    "agg_argmax", "agg_bitwise", "agg_bool", "agg_corr_matrix",
+    "agg_mad_robust", "agg_median", "ann_mips_dot", "bpe_pair_counts",
+    "corpus_dedup_rate_by_source", "corpus_vocab_growth", "cte_topn",
+    "cube_sales", "dataset_epoch_interleave", "decontaminate_embedding",
+    "dedup_canonical_docs", "dedup_translation_pairs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     every.update(_sudan_queries())

@@ -70,6 +70,7 @@ def load_all() -> None:
         olap36,
         olap37,
         olap38,
+        olap39,
         relational,
         similarity,
         sketches,

@@ -3031,3 +3031,27 @@ def test_geom_clip_concave_single_stage_no_shuffle_before_sort(spark):
     nodes = plan_nodes(df)
     assert not any("Join" in n for n in nodes), nodes
     assert shuffle_count(nodes) <= 1, nodes
+
+
+def test_r13_wave_plans(spark):
+    """r13 wave shapes: retention joins stay keyed (the only nested-loop
+    joins are the broadcast 1-row horizon / 3-row offset literals);
+    Lorenz, updown and weekly-streak windows consume BOUNDED aggregates
+    (band grid / calendar days / per-user weeks) — leaf-first, the
+    aggregate precedes every window; no plan holds a cartesian product
+    or row-wise Python."""
+    for key in [
+        "ev_rolling_retention", "q_revenue_lorenz_bands",
+        "q_brand_repeat_rate", "ts_updown_streaks",
+        "ev_weekly_active_streaks",
+    ]:
+        nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+        assert not any("CartesianProduct" in n for n in nodes), (key, nodes)
+        assert not any("BatchEvalPython" in n for n in nodes), (key, nodes)
+    # window-input-is-the-aggregate: the band/day aggregates run BELOW
+    # the cumulative windows (plan_nodes lists leaf-first)
+    for key in ["q_revenue_lorenz_bands", "ts_updown_streaks"]:
+        nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+        aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+        wins = [i for i, n in enumerate(nodes) if n == "Window"]
+        assert aggs and wins and min(aggs) < min(wins), (key, nodes)
