@@ -212,6 +212,8 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = new_vs_returning_stream(events), "append"
         elif which == "growth_accounting":  # per-user weekly growth classifier
             out, mode = growth_accounting_stream(events), "append"
+        elif which == "weekly_streaks":  # per-user consecutive-week streaks
+            out, mode = weekly_streaks_stream(events), "append"
         elif which == "interval_union":  # per-user merge-intervals sweep
             out, mode = interval_union_stream(events), "append"
         elif which == "lifetime":  # per-user lifetime tracker (update mode)
@@ -1186,6 +1188,92 @@ def growth_accounting_stream(events: DataFrame, watermark: str = "1 hour") -> Da
             _growth_fn,
             GROWTH_OUT_SCHEMA,
             GROWTH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: weekly activity streak tracker (r13 —
+# ev_weekly_active_streaks' incremental-maintenance twin)
+# ---------------------------------------------------------------------------
+
+STREAKS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("wk", T.LongType()),
+        T.StructField("run_len", T.LongType()),
+    ]
+)
+# (prev_wk, run_len): the user's last classified epoch-week and the
+# length of the streak ENDING at it; presence = state.exists
+STREAKS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_wk", T.LongType()),
+        T.StructField("run_len", T.LongType()),
+    ]
+)
+
+
+def _weekly_streak_fn(key, pdf_iter, state):
+    """Per-user streak tracker: each newly-processed distinct
+    epoch-week (day-index div 7 — the BATCH entry's week definition,
+    deliberately NOT the Monday floor _growth_fn uses) emits the
+    length of the consecutive-week run ENDING at that week: prev+1
+    extends (run+1), a gap resets to 1. O(1) state per user (two
+    int64s). Same cross-batch ordering contract as _new_ret_fn /
+    _growth_fn: weeks dedup+sort within the batch; across batches a
+    week at-or-before the high-water mark is DROPPED (append mode
+    can't retract an emitted run length). max(run_len) per user over
+    the drained rows IS the batch entry's longest_weeks — asserted in
+    tests/test_sources_streaming.py."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    has = state.exists
+    prev_wk, run_len = state.get if has else (0, 0)
+    chunks = [c for c in pdf_iter if len(c)]
+    if not chunks:
+        if has:
+            state.update((int(prev_wk), int(run_len)))
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    us = (
+        pdf["ts"].astype("int64") // 1000
+        if pdf["ts"].dtype.kind == "M" and pdf["ts"].dt.unit == "ns"
+        else pdf["ts"].astype("int64")
+    )
+    weeks = sorted({(int(u) // _DAY_US) // 7 for u in us})
+    out = []
+    for w in weeks:
+        if has and w <= prev_wk:
+            continue  # duplicate or late cross-batch week: drop
+        run_len = run_len + 1 if (has and w == prev_wk + 1) else 1
+        has = True
+        out.append({"user_id": key[0], "wk": w, "run_len": int(run_len)})
+        prev_wk = w
+    state.update((int(prev_wk), int(run_len)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def weekly_streaks_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ev_weekly_active_streaks' streaming twin: the per-(user, week)
+    current-streak feed as it happens (the live engagement-streak
+    badge a product surface shows). Drained rows reduce to the batch
+    histogram by max(run_len) per user — asserted exactly in
+    tests/test_sources_streaming.py. Batch-equivalence assumes
+    per-user non-decreasing week arrival across micro-batches; late
+    weeks are dropped, never re-classified — see _weekly_streak_fn."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _weekly_streak_fn,
+            STREAKS_OUT_SCHEMA,
+            STREAKS_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )

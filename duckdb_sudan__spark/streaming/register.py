@@ -338,6 +338,17 @@ def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, "new_vs_returning")
 
 
+@register("stream_weekly_streaks")  # rows-only: ≡ batch ev_weekly_active_streaks (tested)
+def stream_weekly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_weekly_active_streaks' incremental twin (r13): per-user
+    consecutive-epoch-week streak state (applyInPandasWithState, two
+    int64s per user) emits the run length ending at each newly-active
+    week as it happens — the live engagement-streak feed. Drained rows
+    reduce to the batch histogram by max(run_len) per user; asserted
+    in tests/test_sources_streaming.py."""
+    return run_stream_to_memory(spark, sf_dir, "weekly_streaks")
+
+
 @register("stream_hazard_lifetimes")  # rows-only: ≡ batch ev_hazard_curve (tested)
 def stream_hazard_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev_hazard_curve's streaming twin: per-user lifetime state

@@ -1244,3 +1244,41 @@ def test_stream_basket_pairs_matches_batch(spark):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_stream_weekly_streaks_matches_batch(spark):
+    """The per-user streak stream (r13): max(run_len) per user over the
+    drained rows, histogrammed, must equal the batch
+    ev_weekly_active_streaks exactly; per-user rows are unique per week
+    and run lengths within a user are internally consistent (a run of
+    length L is preceded by L-1 at the prior week)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    drained = QUERIES["stream_weekly_streaks"](spark, SF_DIR)
+    shist = {
+        tuple(r)
+        for r in drained.groupBy("user_id")
+        .agg(F.max("run_len").cast("bigint").alias("longest_weeks"))
+        .groupBy("longest_weeks")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .collect()
+    }
+    bhist = {tuple(r) for r in QUERIES["ev_weekly_active_streaks"](spark, SF_DIR).collect()}
+    assert shist == bhist and len(shist) > 0
+    # (user, wk) rows unique
+    assert drained.groupBy("user_id", "wk").count().where(F.col("count") > 1).count() == 0
+    # internal consistency: every run_len L > 1 at week w has L-1 at w-1
+    a = drained.select("user_id", "wk", "run_len").where(F.col("run_len") > 1)
+    b = drained.select(
+        F.col("user_id").alias("u2"), F.col("wk").alias("w2"), F.col("run_len").alias("r2")
+    )
+    bad = a.join(
+        b,
+        (a.user_id == b.u2) & (b.w2 == a.wk - 1) & (b.r2 == a.run_len - 1),
+        "left_anti",
+    )
+    assert bad.count() == 0
