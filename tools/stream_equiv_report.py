@@ -154,6 +154,21 @@ def _pairs(spark):
         return len(got), len(want), got == want and len(got) > 0, \
             "exact (summed per-batch pair deltas ≡ batch counts)"
 
+    def weekly_streaks():
+        drained = QUERIES["stream_weekly_streaks"](spark, SF_DIR)
+        s = {
+            (r.longest_weeks, r.n_users)
+            for r in drained.groupBy("user_id")
+            .agg(F.max("run_len").cast("bigint").alias("longest_weeks"))
+            .groupBy("longest_weeks")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .collect()
+        }
+        b = {tuple(r) for r in QUERIES["ev_weekly_active_streaks"](spark, SF_DIR).collect()}
+        return len(s), len(b), s == b and len(s) > 0, \
+            "exact (max run per user histogram ≡ batch longest-streaks)"
+
+    yield "stream_weekly_streaks", "ev_weekly_active_streaks", weekly_streaks
     yield "stream_basket_pairs", "q_market_basket_pairs", basket_pairs
     yield "stream_tumbling", "ev_tumbling", tumbling
     yield "stream_time_bucket", "ts_time_bucket", time_bucket
