@@ -229,7 +229,12 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, which: str = "tumblin
             out, mode = dedup_stream(events), "append"
         name = f"stream_{which}_result"
         q = out.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
-        q.awaitTermination(120)
+        # fail LOUD on a truncated drain (same contract as the 4
+        # foreachBatch drain sites, r12 review): an ignored False here
+        # would silently compare a partial drain against the batch twin
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(f"stream_{which} drain exceeded 120 s")
         q.stop()
         return spark.table(name)
 

@@ -222,7 +222,9 @@ def stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):  # loud truncated-drain contract
+            q.stop()
+            raise RuntimeError("stream_sink_upsert drain exceeded 120 s")
         q.stop()
         # persist executor-side before the TemporaryDirectory vanishes
         # (a Spark write, not a driver collect — see _persist_result)
@@ -250,7 +252,9 @@ def stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):  # loud truncated-drain contract
+            q.stop()
+            raise RuntimeError("stream_sink_partitioned drain exceeded 120 s")
         q.stop()
         # persist the partitioned tree executor-side, keeping the
         # event_type layout so the count below is a partition-pruned read
