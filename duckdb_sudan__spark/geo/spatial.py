@@ -990,21 +990,24 @@ _register_convex_hull()
 # while-loop) baked as VALUES (offline geometry => SF-invariant).
 
 
-def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
-    """Parse + validate a user GeoJSON Polygon as a convex clip region
-    on the integer microdegree grid. Returns the CCW vertex ring.
-
-    Raises ValueError on: non-Polygon type, holes, < 3 distinct
-    vertices, zero area, or a reflex (non-convex) vertex. Collinear
-    vertices are tolerated (they add redundant half-planes, which is
-    exact-harmless)."""
+def _parse_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
+    """Shared GeoJSON-Polygon ring ingestion for BOTH clip validators
+    (r13 review: the two parsers had drifted copies of this prologue,
+    and the convex copy tolerated revisited vertices — which let a
+    self-touching zero-net-area spike ring through as 'convex' and
+    silently clipped everything to the spike's line). Parse to the
+    integer microdegree grid, drop the closing vertex and consecutive
+    duplicates, reject revisited vertices / < 3 distinct vertices /
+    zero shoelace area, and normalize to CCW."""
     if doc.get("type") != "Polygon":
         raise ValueError("query geometry must be a GeoJSON Polygon")
     rings = doc.get("coordinates") or []
     if len(rings) != 1:
         raise ValueError("query polygon must have exactly one ring (no holes)")
-    ring = rings[0]
-    pts = [(round(float(x) * 1_000_000), round(float(y) * 1_000_000)) for x, y in ring]
+    pts = [
+        (round(float(x) * 1_000_000), round(float(y) * 1_000_000))
+        for x, y in rings[0]
+    ]
     if len(pts) > 1 and pts[0] == pts[-1]:
         pts = pts[:-1]
     dedup: list[tuple[int, int]] = []
@@ -1013,6 +1016,8 @@ def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
             dedup.append(p)
     if len(dedup) >= 2 and dedup[0] == dedup[-1]:
         dedup.pop()
+    if len(dedup) != len(set(dedup)):
+        raise ValueError("query polygon revisits a vertex (not a simple ring)")
     if len(dedup) < 3:
         raise ValueError("query polygon needs >= 3 distinct vertices")
     s2 = 0
@@ -1022,6 +1027,18 @@ def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
         raise ValueError("query polygon is degenerate (zero area)")
     if s2 < 0:
         dedup.reverse()  # normalize to CCW
+    return dedup
+
+
+def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
+    """Parse + validate a user GeoJSON Polygon as a convex clip region
+    on the integer microdegree grid. Returns the CCW vertex ring.
+
+    Raises ValueError on: non-Polygon type, holes, < 3 distinct
+    vertices, revisited vertices, zero area, or a reflex (non-convex)
+    vertex. Collinear pass-through vertices are tolerated (they add
+    redundant half-planes, which is exact-harmless)."""
+    dedup = _parse_ring_microdeg(doc)
     n = len(dedup)
     for i in range(n):
         o, a, b = dedup[i], dedup[(i + 1) % n], dedup[(i + 2) % n]
@@ -1034,7 +1051,11 @@ def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
     # convex ring's shoelace 2-area equals its own convex hull's
     # 2-area EXACTLY (integer vertices, both exact); any star/multi-
     # wound ring covers interior regions more than once and exceeds
-    # it. Integer-exact, collinear-tolerant.
+    # it. Integer-exact, collinear-tolerant. (dedup is already CCW, so
+    # the shoelace recompute here is nonneg.)
+    s2 = 0
+    for (x0, y0), (x1, y1) in zip(dedup, dedup[1:] + dedup[:1]):
+        s2 += x0 * y1 - x1 * y0
     if abs(s2) != _hull_2area(_hull_monotone_chain(dedup)):
         raise ValueError(
             "query polygon is not convex (self-intersecting or multiply-wound ring)"
@@ -1338,25 +1359,7 @@ def _simple_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
     self-intersection (two non-adjacent edges touching or crossing —
     exact integer tests, so a bowtie can never sneak through as
     'numerically simple')."""
-    if doc.get("type") != "Polygon":
-        raise ValueError("query geometry must be a GeoJSON Polygon")
-    rings = doc.get("coordinates") or []
-    if len(rings) != 1:
-        raise ValueError("query polygon must have exactly one ring (no holes)")
-    pts = [
-        (round(float(x) * 1_000_000), round(float(y) * 1_000_000))
-        for x, y in rings[0]
-    ]
-    if len(pts) > 1 and pts[0] == pts[-1]:
-        pts = pts[:-1]
-    dedup: list[tuple[int, int]] = []
-    for p in pts:
-        if not dedup or p != dedup[-1]:
-            dedup.append(p)
-    if len(dedup) >= 2 and dedup[0] == dedup[-1]:
-        dedup.pop()
-    if len(dedup) != len(set(dedup)):
-        raise ValueError("query polygon revisits a vertex (not a simple ring)")
+    dedup = _parse_ring_microdeg(doc)
     # collinear pass-through vertices are redundant (drop); a 180°
     # spike (direction reversal) is degenerate geometry (reject)
     changed = True
@@ -1490,13 +1493,18 @@ def clip_states_to_simple_geojson(spark: SparkSession, geojson) -> DataFrame:
     the exact per-triangle clips are summed. Raises ValueError on a
     self-intersecting, holed, or degenerate ring."""
     doc = json.loads(geojson) if isinstance(geojson, str) else geojson
+    # SIMPLICITY is the precondition for BOTH paths (r13 review: routing
+    # through the convex validator first let a self-touching ring the
+    # simple validator rejects take the convex fast path) — validate
+    # simple unconditionally, then pick the fast path if also convex.
+    ring = _simple_ring_microdeg(doc)
     try:
         qpts = _convex_ring_microdeg(doc)
         tris = None
     except ValueError as exc:
         if "not convex" not in str(exc):
             raise
-        tris = _triangulate_ear(_simple_ring_microdeg(doc))
+        tris = _triangulate_ear(ring)
         qpts = None
     bounds = geo_states.sudan_boundaries(spark, "state")
 

@@ -820,19 +820,28 @@ def mm_brightness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_JPEG_CAPS: dict[str, bool] | None = None
+
+
 def jpeg_capabilities() -> dict[str, bool]:
     """Probe the Python-side JPEG codecs a production image pipeline
     would use, in preference order. Never raises — absence is a
-    reportable state, not an error (mirrors sinks.merge_capabilities)."""
-    caps: dict[str, bool] = {}
-    for mod in ("PIL", "imageio", "cv2"):
-        try:
-            __import__(mod)
-            caps[mod] = True
-        except Exception:
-            caps[mod] = False
-    caps["any"] = any(caps[m] for m in ("PIL", "imageio", "cv2"))
-    return caps
+    reportable state, not an error (mirrors sinks.merge_capabilities).
+    Memoized (r13 review): a failed import is NOT cached by Python, so
+    re-probing absent codecs per decoded row would pay a full finder/
+    sys.path walk twice per row in the Arrow hot loop."""
+    global _JPEG_CAPS
+    if _JPEG_CAPS is None:
+        caps: dict[str, bool] = {}
+        for mod in ("PIL", "imageio", "cv2"):
+            try:
+                __import__(mod)
+                caps[mod] = True
+            except Exception:
+                caps[mod] = False
+        caps["any"] = any(caps[m] for m in ("PIL", "imageio", "cv2"))
+        _JPEG_CAPS = caps
+    return _JPEG_CAPS
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -871,20 +880,52 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     )
 
 
+def encode_jpeg(rgb: np.ndarray, quality: int = 95) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as JPEG via the SAME codec
+    ladder as decode_jpeg (r13 review: the fixture generator originally
+    hard-required PIL while the registration gate accepted ANY codec,
+    so an imageio-/cv2-only cluster would register a raising entry).
+    Raises the same loud guidance when no codec exists."""
+    caps = jpeg_capabilities()
+    if caps["PIL"]:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="JPEG", quality=quality)
+        return buf.getvalue()
+    if caps["imageio"]:
+        import imageio.v3 as iio
+
+        return bytes(iio.imwrite("<bytes>", rgb, extension=".jpg", quality=quality))
+    if caps["cv2"]:
+        import cv2
+
+        ok, out = cv2.imencode(
+            ".jpg", rgb[:, :, ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), quality]
+        )
+        if not ok:
+            raise ValueError("cv2 JPEG encode failed")
+        return out.tobytes()
+    raise RuntimeError(
+        "JPEG encode needs a codec (none on this cluster): install "
+        "Pillow (preferred), imageio, or opencv-python on the executors."
+    )
+
+
 if jpeg_capabilities()["any"]:  # pragma: no cover — no codec in this container
 
     @register("mm_decode_jpeg")  # rows-only: binary decode is not SQL
     def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Real-codec twin of mm_decode_ppm: JPEG payloads (encoded from
-        the deterministic P6 fixtures via the same codec) -> decode_jpeg
-        -> ITU grayscale -> 64-bit phash. Registered ONLY where a codec
-        exists, so the driver never hashes a raising entry; plan shape
-        identical to mm_decode_ppm (two streaming Arrow map stages, no
-        shuffle until the caller adds one)."""
-        import io
-
-        from PIL import Image
-
+        the deterministic P6 fixtures via encode_jpeg's codec ladder —
+        NOT hard-wired to PIL, so an imageio-/cv2-only cluster works
+        too) -> decode_jpeg -> ITU grayscale -> 64-bit phash.
+        Registered ONLY where a codec exists, so the driver never
+        hashes a raising entry; plan shape identical to mm_decode_ppm
+        (two streaming Arrow map stages, no shuffle until the caller
+        adds one)."""
         d = load_table(spark, sf_dir, "documents").select("doc_id")
 
         def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -892,9 +933,7 @@ if jpeg_capabilities()["any"]:  # pragma: no cover — no codec in this containe
                 rows = []
                 for doc_id in batch["doc_id"]:
                     _, _, rgb = decode_ppm(_ppm_fixture(int(doc_id)))
-                    buf = io.BytesIO()
-                    Image.fromarray(rgb).save(buf, format="JPEG", quality=95)
-                    w, h, rgb2 = decode_jpeg(buf.getvalue())
+                    w, h, rgb2 = decode_jpeg(encode_jpeg(rgb, quality=95))
                     gray = (
                         0.299 * rgb2[:, :, 0] + 0.587 * rgb2[:, :, 1] + 0.114 * rgb2[:, :, 2]
                     )

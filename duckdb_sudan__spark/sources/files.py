@@ -1120,59 +1120,71 @@ def _bucketed_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     t_orders, t_customer = f"bkt_orders_{sf_base}", f"bkt_customer_{sf_base}"
     src_o = os.path.join(sf_dir, "orders.parquet")
     src_c = os.path.join(sf_dir, "customer.parquet")
-    fingerprint = f"v1:{_BUCKETS}:{os.path.getmtime(src_o)}:{os.path.getmtime(src_c)}"
+    # v2: external-location tables (r13) — the bump forces one clean
+    # rebuild off the legacy managed-table layout
+    fingerprint = f"v2:{_BUCKETS}:{os.path.getmtime(src_o)}:{os.path.getmtime(src_c)}"
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     marker_dir = os.path.join(repo_root, "tmp", "bucketed")
     os.makedirs(marker_dir, exist_ok=True)
     marker = os.path.join(marker_dir, f"{sf_base}_ok")
-    # r12 advice: the stage mutates shared state (DROP TABLE, rmtree of
-    # the warehouse location, the marker) — an exclusive file lock makes
-    # two concurrent sessions on the same repo serialize instead of
-    # dropping each other's tables mid-query. The check runs UNDER the
-    # lock so a waiter re-reads the marker the winner just wrote.
+    # r12 advice + r13 review: the stage mutates shared state — an
+    # exclusive file lock serializes concurrent sessions, AND the
+    # steady state is NON-DESTRUCTIVE: the tables are EXTERNAL (data
+    # under tmp/bucketed/<table>), so a fresh session whose in-memory
+    # catalog is empty but whose marker+data match the fingerprint
+    # RE-DECLARES the table over the existing files instead of
+    # rmtree-ing a location another session may be mid-scan on. The
+    # destructive rebuild now happens only when the SOURCE DATA
+    # changed (fingerprint mismatch), where invalidating readers of
+    # stale data is the correct outcome.
     import fcntl
+    import shutil
+
+    from duckdb_sudan__spark.session import load_table
+
+    specs = ((t_orders, "orders", "o_custkey"), (t_customer, "customer", "c_custkey"))
+    data_loc = {t: os.path.join(marker_dir, t) for t, _, _ in specs}
+
+    def _declare_over_existing(t: str, col: str) -> None:
+        schema = spark.read.parquet(data_loc[t]).schema
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {t} ({ddl}) USING parquet"
+            f" CLUSTERED BY ({col}) SORTED BY ({col}) INTO {_BUCKETS} BUCKETS"
+            f" LOCATION '{data_loc[t]}'"
+        )
 
     with open(os.path.join(marker_dir, f"{sf_base}.lock"), "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
-        if (
-            os.path.exists(marker)
-            and spark.catalog.tableExists(t_orders)
-            and spark.catalog.tableExists(t_customer)
-        ):
+        marker_ok = False
+        if os.path.exists(marker):
             with open(marker) as fh:
-                if fh.read().strip() == fingerprint:
-                    return t_orders, t_customer
+                marker_ok = fh.read().strip() == fingerprint
+        if marker_ok and all(os.path.isdir(data_loc[t]) for t, _, _ in specs):
+            for t, _, col in specs:
+                if not spark.catalog.tableExists(t):
+                    _declare_over_existing(t, col)
+            return t_orders, t_customer
 
-        from duckdb_sudan__spark.session import load_table
-
-        # A fresh session starts with an empty in-memory catalog, but the
-        # managed-table LOCATION under spark-warehouse/ can survive from an
-        # earlier session — saveAsTable then fails LOCATION_ALREADY_EXISTS.
-        # Drop + remove the orphan location before (re)writing.
-        import shutil
-
+        # fingerprint changed (or first run): rebuild. Also clear any
+        # legacy MANAGED location under spark-warehouse/ from the
+        # pre-r13 shape of this stage so saveAsTable can't collide.
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         warehouse = warehouse.removeprefix("file:")
-        for t in (t_orders, t_customer):
+        for t, _, _ in specs:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-
-        (
-            load_table(spark, sf_dir, "orders")
-            .write.mode("overwrite")
-            .bucketBy(_BUCKETS, "o_custkey")
-            .sortBy("o_custkey")
-            .format("parquet")
-            .saveAsTable(t_orders)
-        )
-        (
-            load_table(spark, sf_dir, "customer")
-            .write.mode("overwrite")
-            .bucketBy(_BUCKETS, "c_custkey")
-            .sortBy("c_custkey")
-            .format("parquet")
-            .saveAsTable(t_customer)
-        )
+            shutil.rmtree(data_loc[t], ignore_errors=True)
+        for t, table, col in specs:
+            (
+                load_table(spark, sf_dir, table)
+                .write.mode("overwrite")
+                .option("path", data_loc[t])
+                .bucketBy(_BUCKETS, col)
+                .sortBy(col)
+                .format("parquet")
+                .saveAsTable(t)
+            )
         with open(marker, "w") as fh:
             fh.write(fingerprint)
         return t_orders, t_customer

@@ -880,3 +880,38 @@ def test_clip_states_to_simple_geojson_api(spark, duck):
         duck,
         ORACLES["sudan_geom_clip_concave"],
     )
+
+
+def test_self_touching_spike_ring_rejected_by_both_apis(spark):
+    """r13 review (verified-empirical finding): a self-touching ring
+    with a zero-net-area spike — [[0,0],[4,0],[4,4],[2,4],[2,3],[2,4],
+    [0,4]] revisits (2,4) — used to pass the convex validator (all
+    turns >= 0, spike nets zero shoelace so the hull-area check held)
+    and its antiparallel spike half-planes clipped EVERYTHING to the
+    line x=2: a subject fully inside returned 'disjoint'. The shared
+    ring parser now rejects revisited vertices, and the simple API
+    validates simplicity BEFORE routing to the convex fast path."""
+    from duckdb_sudan__spark.geo.spatial import (
+        _convex_ring_microdeg,
+        _simple_ring_microdeg,
+    )
+
+    spikey = {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 4.0],
+                          [2.0, 3.0], [2.0, 4.0], [0.0, 4.0], [0.0, 0.0]]],
+    }
+    with pytest.raises(ValueError, match="revisits"):
+        _convex_ring_microdeg(spikey)
+    with pytest.raises(ValueError, match="revisits"):
+        _simple_ring_microdeg(spikey)
+
+    from duckdb_sudan__spark.geo.spatial import (
+        clip_states_to_geojson,
+        clip_states_to_simple_geojson,
+    )
+
+    with pytest.raises(ValueError, match="revisits"):
+        clip_states_to_geojson(spark, spikey)
+    with pytest.raises(ValueError, match="revisits"):
+        clip_states_to_simple_geojson(spark, spikey)

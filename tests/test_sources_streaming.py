@@ -1282,3 +1282,44 @@ def test_stream_weekly_streaks_matches_batch(spark):
         "left_anti",
     )
     assert bad.count() == 0
+
+
+def test_bucketed_stage_redeclare_is_nondestructive(spark):
+    """r13 review: a fresh session (empty in-memory catalog) with a
+    matching marker+data must RE-DECLARE the external bucketed tables
+    over the existing files — never rmtree a location another session
+    may be mid-scan on. Simulated by dropping the catalog entries
+    (external tables: data survives) and re-staging: the data files'
+    inodes/mtimes must be untouched, and the re-declared tables must
+    keep the zero-exchange bucketed plan."""
+    import os
+
+    from duckdb_sudan__spark.sources.files import _bucketed_stage
+
+    t_o, t_c = _bucketed_stage(spark, SF_DIR)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    loc = os.path.join(root, "tmp", "bucketed", t_o)
+    before = {
+        f: os.stat(os.path.join(loc, f)).st_mtime_ns
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    }
+    assert before, "external location should hold bucketed parquet files"
+    spark.sql(f"DROP TABLE {t_o}")
+    spark.sql(f"DROP TABLE {t_c}")
+    assert os.path.isdir(loc), "external table drop must leave the data"
+    t_o2, t_c2 = _bucketed_stage(spark, SF_DIR)
+    assert (t_o2, t_c2) == (t_o, t_c)
+    after = {
+        f: os.stat(os.path.join(loc, f)).st_mtime_ns
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    }
+    assert after == before, "re-declare must not rewrite the data files"
+    # the re-declared tables still carry the bucket spec: the joined
+    # plan shows two bucketed scans and no pre-join Exchange
+    o = spark.table(t_o2)
+    c = spark.table(t_c2)
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2, plan
