@@ -318,6 +318,22 @@ def sample_query(spark, key: str, sf_dir: str) -> list[float]:
     return samples
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal time (s) from /proc/stat field 8 —
+    the ONE signal that sees a noisy host neighbor. r13 finding: a
+    uniformly-inflated block with loadavg quiet AND external_cores_avg
+    near zero is invisible to both in-guest proxies (they count only
+    runnable guest threads / other guest processes); steal is the
+    honest detector, so ship its per-block delta in the artifact."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        return int(parts[8]) / hz if len(parts) > 8 else 0.0
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return 0.0
+
+
 def run_block(spark, keys: list[str], sf_dir: str) -> dict:
     """Time one query set with the external-load proxy around the whole
     block; re-sample the entire block (once) while the proxy reads hot.
@@ -325,6 +341,7 @@ def run_block(spark, keys: list[str], sf_dir: str) -> dict:
     attempts: list[dict] = []
     for _ in range(1 + BLOCK_RETRIES):
         before = _proc_cpu_snapshot()
+        steal0 = _steal_sec()
         wall0 = time.perf_counter()
         timings: dict[str, float] = {}
         spreads: dict[str, list[float]] = {}
@@ -339,6 +356,7 @@ def run_block(spark, keys: list[str], sf_dir: str) -> dict:
                 flagged.append(key)
         wall = time.perf_counter() - wall0
         ext = _external_busy_sec(before, _proc_cpu_snapshot())
+        steal = _steal_sec() - steal0
         attempts.append(
             {
                 "timings": timings,
@@ -348,13 +366,15 @@ def run_block(spark, keys: list[str], sf_dir: str) -> dict:
                 "external_cpu_sec": round(ext, 2),
                 "block_wall_sec": round(wall, 2),
                 "external_cores_avg": round(ext / max(wall, 1e-9), 3),
+                "steal_sec": round(steal, 2),
+                "steal_cores_avg": round(steal / max(wall, 1e-9), 3),
             }
         )
         if attempts[-1]["external_cores_avg"] <= EXTERNAL_HOT_CORES:
             break
     best = min(attempts, key=lambda a: a["external_cores_avg"])
     best["attempt_proxies"] = [
-        {k: a[k] for k in ("external_cpu_sec", "block_wall_sec", "external_cores_avg")}
+        {k: a[k] for k in ("external_cpu_sec", "block_wall_sec", "external_cores_avg", "steal_sec", "steal_cores_avg")}
         for a in attempts
     ]
     return best
@@ -452,6 +472,8 @@ def main() -> None:
         "loadavg_gate": load_gate,
         "ncpus": ncpus,
         "external_cpu_sec": block["external_cpu_sec"],
+        "steal_sec": block["steal_sec"],
+        "steal_cores_avg": block["steal_cores_avg"],
         "block_wall_sec": block["block_wall_sec"],
         "external_cores_avg": block["external_cores_avg"],
         "load_proxy_hot": block["external_cores_avg"] > EXTERNAL_HOT_CORES,
@@ -498,6 +520,8 @@ def main() -> None:
             result["sf1_total_min"] = round(sum(sf1_block["mins"].values()), 3)
             result["sf1_load_flagged"] = sf1_block["flagged"]
             result["sf1_external_cpu_sec"] = sf1_block["external_cpu_sec"]
+            result["sf1_steal_sec"] = sf1_block["steal_sec"]
+            result["sf1_steal_cores_avg"] = sf1_block["steal_cores_avg"]
             result["sf1_block_wall_sec"] = sf1_block["block_wall_sec"]
             result["sf1_external_cores_avg"] = sf1_block["external_cores_avg"]
             result["sf1_load_proxy_hot"] = (

@@ -89,3 +89,11 @@ def test_loadgate_requires_all_three_windows(bench, monkeypatch):
     assert report["satisfied"] is False
     assert report["final"] == [0.43, 5.23, 6.82]
     assert report["windows"] == "max(1m,5m,15m)"
+
+
+def test_steal_sec_reads_proc_stat(bench):
+    # monotone nonnegative cumulative seconds; parses this kernel's
+    # /proc/stat (field 8) without raising
+    a = bench._steal_sec()
+    b = bench._steal_sec()
+    assert a >= 0.0 and b >= a
