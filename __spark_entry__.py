@@ -274,13 +274,6 @@ _R13_WINDOW_PLAN = [
     "grouping_id_sets",
 ]
 
-# r13 open (VERDICT r12 item 1): execute the committed machine-checked
-# plan verbatim. This drains the never-driver-checked backlog to ZERO —
-# after CORRECTNESS_r13 every oracled entry ever registered has a
-# driver-green row.
-_WINDOW_PRIORITY = list(_R13_WINDOW_PLAN)
-
-
 # The committed r14 window as a MACHINE-CHECKED literal (r13 close),
 # computed from the committed CORRECTNESS_r*.json files (script in the
 # r13 transcript; tests/test_entry.py re-derives the composition):
@@ -311,6 +304,12 @@ _R14_WINDOW_PLAN = [
     "cube_sales", "dataset_epoch_interleave", "decontaminate_embedding",
     "dedup_canonical_docs", "dedup_translation_pairs",
 ]
+
+# r14 open (VERDICT r13 item 1): execute the committed machine-checked
+# plan verbatim. CORRECTNESS_r14 gives the 6 r13 additions their driver
+# rows, drains the r6-stale class to zero (28 rows), and retires the
+# alphabetically-first 16 of the 50 r7-checked rows.
+_WINDOW_PRIORITY = list(_R14_WINDOW_PLAN)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

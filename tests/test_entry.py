@@ -46,48 +46,29 @@ def test_correctness_window_is_full_and_oracled():
     assert set(oracles) <= set(keys)
 
 
-def test_r13_window_plan_executed_verbatim():
-    """r13 open (VERDICT r12 item 1): the live window must BE the
-    committed machine-checked r13 plan — 50 unique names, every one a
-    registered ORACLED entry, zero overlap with the executed r12 window
-    (a rotation, not a repeat), and the leading 39 never driver-hashed
-    before this round."""
-    import __spark_entry__ as E
-
+def test_r13_window_plan_was_executed():
+    """History pin: the committed r13 plan matches CORRECTNESS_r13.json
+    key-for-key AND in order (the driver executed the committed plan
+    verbatim), all 50 green — the invariant future window math builds
+    on."""
     import json
 
-    plan = E._R13_WINDOW_PLAN
-    oracles = E.oracle_sql()
-    queries = E.queries()
-    assert E._WINDOW_PRIORITY == plan, "r13 window differs from the committed plan"
-    assert len(plan) == 50 and len(set(plan)) == 50
-    missing_q = [k for k in plan if k not in queries]
-    missing_o = [k for k in plan if k not in oracles]
-    assert not missing_q, f"r13 plan names unregistered entries: {missing_q}"
-    assert not missing_o, f"r13 plan names rows-only entries: {missing_o}"
-    assert not set(plan) & set(E._R12_WINDOW), "r13 plan repeats the r12 window"
-    # composition: the leading 39 are exactly entries NO committed
-    # driver CORRECTNESS file BEFORE r13 had ever hashed — the
-    # definition of window debt (r13's own JSON will contain them once
-    # the driver runs, so exclude it from the debt scan).
-    import glob
+    import __spark_entry__ as E
 
-    driver_checked: set[str] = set()
-    for path in glob.glob("CORRECTNESS_r*.json"):
-        rnd = int(path.split("_r")[1].split(".")[0])
-        if rnd < 13:
-            driver_checked.update(json.load(open(path)))
-    already = [k for k in plan[:39] if k in driver_checked]
-    assert not already, f"r13 plan's overflow block holds driver-checked keys: {already}"
+    got = json.load(open("CORRECTNESS_r13.json"))
+    assert list(got) == E._R13_WINDOW_PLAN
+    bad = [k for k, v in got.items() if not (v["rows_match"] and v["hash_match"])]
+    assert not bad, f"r13 driver rows not green: {bad}"
 
 
-def test_r14_window_plan_is_valid():
-    """The committed r14 window literal must be executable as-is at r14
-    open: 50 unique registered ORACLED entries, zero overlap with the
-    live r13 window (a rotation, not a repeat), led by exactly the
-    entries NO committed driver CORRECTNESS file (r13 included, once it
-    lands) will have hashed — the r13 additions — then the oldest
-    stale classes in order (machine-derived, not hand-claimed)."""
+def test_r14_window_plan_executed_verbatim():
+    """r14 open (VERDICT r13 item 1): the live window must BE the
+    committed machine-checked r14 plan — 50 unique names, every one a
+    registered ORACLED entry, zero overlap with the executed r13 window
+    (a rotation, not a repeat), led by exactly the entries no committed
+    driver CORRECTNESS file has hashed (the 6 r13 additions), then the
+    oldest stale classes oldest-first (machine-derived, not
+    hand-claimed)."""
     import glob
     import json
 
@@ -96,28 +77,33 @@ def test_r14_window_plan_is_valid():
     plan = E._R14_WINDOW_PLAN
     oracles = E.oracle_sql()
     queries = E.queries()
+    assert E._WINDOW_PRIORITY == plan, "r14 window differs from the committed plan"
     assert len(plan) == 50 and len(set(plan)) == 50
     missing_q = [k for k in plan if k not in queries]
     missing_o = [k for k in plan if k not in oracles]
     assert not missing_q, f"r14 plan names unregistered entries: {missing_q}"
     assert not missing_o, f"r14 plan names rows-only entries: {missing_o}"
-    assert not set(plan) & set(E._WINDOW_PRIORITY), "r14 plan repeats the r13 window"
-    # recompute the composition from the committed driver files: the
-    # leading block must be exactly the never-driver-checked oracled
-    # entries (treating the live r13 window as checked — its JSON lands
-    # when the driver runs), and the tail must drain oldest-first.
+    assert not set(plan) & set(E._R13_WINDOW_PLAN), "r14 plan repeats the r13 window"
+    # recompute the composition from the committed driver files
+    # (CORRECTNESS_r13 is on disk now, so no live-window special case):
+    # the leading block must be exactly the never-driver-checked oracled
+    # entries, and the tail must drain oldest-first.
     latest: dict[str, int] = {}
     for path in glob.glob("CORRECTNESS_r*.json"):
         rnd = int(path.split("_r")[1].split(".")[0])
+        if rnd >= 14:
+            continue  # r14's own JSON lands when the driver runs
         for k in json.load(open(path)):
             latest[k] = max(latest.get(k, 0), rnd)
-    for k in E._WINDOW_PRIORITY:
-        latest[k] = max(latest.get(k, 0), 13)
     never = sorted(k for k in oracles if k not in latest)
-    assert plan[: len(never)] == never, (
-        f"r14 plan must lead with the never-checked entries {never}"
+    # entries registered AFTER the plan froze (the r14 wave) are also
+    # never-checked but cannot be in the literal — they lead the r15
+    # plan instead (test_r15_window_plan_is_valid asserts that).
+    never_in_plan = [k for k in never if k in set(plan)]
+    assert plan[: len(never_in_plan)] == never_in_plan, (
+        f"r14 plan must lead with the never-checked entries {never_in_plan}"
     )
-    fill = plan[len(never):]
+    fill = plan[len(never_in_plan):]
     fill_rounds = [latest[k] for k in fill]
     assert fill_rounds == sorted(fill_rounds), "r14 fill must drain oldest-first"
     oldest = min(r for k, r in latest.items() if k in oracles)
