@@ -239,7 +239,35 @@ MAX_RUNS = 7
 # attempts' proxies ship in the JSON either way, so a loaded-box
 # number is self-describing.
 EXTERNAL_HOT_CORES = 0.5
+# r13 verdict item 2: BENCH_r13 shipped under 1.38 stolen cores while
+# BOTH in-guest proxies (loadavg triple, external_cores_avg) read
+# quiet — hypervisor steal is invisible to them by construction. The
+# hot-block retry criterion therefore includes the steal average, with
+# its own (much tighter) threshold: 0.1 stolen cores across a block is
+# already ~3x the quiet-box noise floor observed in BENCH_NOTES' gated
+# runs (0.00-0.03), while the contended captures read 0.46-1.38.
+STEAL_HOT_CORES = 0.1
 BLOCK_RETRIES = 1
+
+
+def _block_hot(attempt: dict) -> bool:
+    """A block is hot when EITHER proxy exceeds its threshold: external
+    guest CPU (other processes on this box) or hypervisor steal (a
+    noisy host neighbor). Shipped as load_proxy_hot so a capture that
+    stayed hot through the retry self-describes."""
+    return (
+        attempt["external_cores_avg"] > EXTERNAL_HOT_CORES
+        or attempt["steal_cores_avg"] > STEAL_HOT_CORES
+    )
+
+
+def _block_hotness(attempt: dict) -> float:
+    """Threshold-normalized hotness for picking the best attempt: the
+    worse of the two proxies, each scaled so 1.0 == its threshold."""
+    return max(
+        attempt["external_cores_avg"] / EXTERNAL_HOT_CORES,
+        attempt["steal_cores_avg"] / STEAL_HOT_CORES,
+    )
 
 
 def _proc_cpu_snapshot() -> dict[int, tuple[int, int]]:
@@ -370,9 +398,9 @@ def run_block(spark, keys: list[str], sf_dir: str) -> dict:
                 "steal_cores_avg": round(steal / max(wall, 1e-9), 3),
             }
         )
-        if attempts[-1]["external_cores_avg"] <= EXTERNAL_HOT_CORES:
+        if not _block_hot(attempts[-1]):
             break
-    best = min(attempts, key=lambda a: a["external_cores_avg"])
+    best = min(attempts, key=_block_hotness)
     best["attempt_proxies"] = [
         {k: a[k] for k in ("external_cpu_sec", "block_wall_sec", "external_cores_avg", "steal_sec", "steal_cores_avg")}
         for a in attempts
@@ -476,7 +504,7 @@ def main() -> None:
         "steal_cores_avg": block["steal_cores_avg"],
         "block_wall_sec": block["block_wall_sec"],
         "external_cores_avg": block["external_cores_avg"],
-        "load_proxy_hot": block["external_cores_avg"] > EXTERNAL_HOT_CORES,
+        "load_proxy_hot": _block_hot(block),
         "attempt_proxies": block["attempt_proxies"],
     }
 
@@ -524,9 +552,7 @@ def main() -> None:
             result["sf1_steal_cores_avg"] = sf1_block["steal_cores_avg"]
             result["sf1_block_wall_sec"] = sf1_block["block_wall_sec"]
             result["sf1_external_cores_avg"] = sf1_block["external_cores_avg"]
-            result["sf1_load_proxy_hot"] = (
-                sf1_block["external_cores_avg"] > EXTERNAL_HOT_CORES
-            )
+            result["sf1_load_proxy_hot"] = _block_hot(sf1_block)
             result["sf1_attempt_proxies"] = sf1_block["attempt_proxies"]
 
     print(json.dumps(result))

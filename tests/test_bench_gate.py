@@ -91,6 +91,38 @@ def test_loadgate_requires_all_three_windows(bench, monkeypatch):
     assert report["windows"] == "max(1m,5m,15m)"
 
 
+def test_steal_hot_block_trips_retry_criterion(bench):
+    # r13 verdict item 2: the driver's BENCH_r13 capture ran under 1.384
+    # stolen cores (common block) / 1.281 (sf1) while the loadavg triple
+    # AND external_cores_avg read quiet — invisible to every in-guest
+    # proxy. That exact state must now read HOT (trips the bounded
+    # block retry and ships load_proxy_hot=true if the retry is stolen
+    # too).
+    r13_common = {"external_cores_avg": 0.02, "steal_cores_avg": 1.384}
+    r13_sf1 = {"external_cores_avg": 0.01, "steal_cores_avg": 1.281}
+    assert bench._block_hot(r13_common) is True
+    assert bench._block_hot(r13_sf1) is True
+    # BENCH_NOTES' controlled catch: 0.457 stolen cores, both legacy
+    # proxies quiet, inflation matching — also hot.
+    assert bench._block_hot({"external_cores_avg": 0.0, "steal_cores_avg": 0.457}) is True
+    # a genuinely quiet gated run (BENCH_NOTES run 3 floor) stays cold
+    assert bench._block_hot({"external_cores_avg": 0.03, "steal_cores_avg": 0.02}) is False
+    # the legacy external-CPU criterion is unchanged
+    assert bench._block_hot({"external_cores_avg": 0.7, "steal_cores_avg": 0.0}) is True
+
+
+def test_block_hotness_prefers_least_stolen_attempt(bench):
+    # best-attempt selection is threshold-normalized across BOTH
+    # proxies: a 0.3-stolen-core retry (3x its threshold) must lose to
+    # a 0.4-external-core attempt (0.8x its threshold), and vice versa.
+    a = {"external_cores_avg": 0.4, "steal_cores_avg": 0.02}
+    b = {"external_cores_avg": 0.02, "steal_cores_avg": 0.3}
+    assert min([a, b], key=bench._block_hotness) is a
+    c = {"external_cores_avg": 0.6, "steal_cores_avg": 0.0}  # 1.2x
+    d = {"external_cores_avg": 0.0, "steal_cores_avg": 0.08}  # 0.8x
+    assert min([c, d], key=bench._block_hotness) is d
+
+
 def test_steal_sec_reads_proc_stat(bench):
     # monotone nonnegative cumulative seconds; parses this kernel's
     # /proc/stat (field 8) without raising
