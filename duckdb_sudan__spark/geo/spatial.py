@@ -1030,13 +1030,22 @@ def _parse_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
     return dedup
 
 
+class NotConvexError(ValueError):
+    """The ring is a valid simple polygon but not convex — the ONE
+    validator outcome the concave tier recovers from by triangulating
+    (ADVICE r13: a typed subclass, not message-substring matching, so
+    rewording a message can never silently turn concave inputs into
+    hard errors)."""
+
+
 def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
     """Parse + validate a user GeoJSON Polygon as a convex clip region
     on the integer microdegree grid. Returns the CCW vertex ring.
 
-    Raises ValueError on: non-Polygon type, holes, < 3 distinct
-    vertices, revisited vertices, zero area, or a reflex (non-convex)
-    vertex. Collinear pass-through vertices are tolerated (they add
+    Raises NotConvexError on a reflex vertex or a multiply-wound ring
+    (recoverable by the concave tier); plain ValueError on: non-Polygon
+    type, holes, < 3 distinct vertices, revisited vertices, or zero
+    area. Collinear pass-through vertices are tolerated (they add
     redundant half-planes, which is exact-harmless)."""
     dedup = _parse_ring_microdeg(doc)
     n = len(dedup)
@@ -1044,7 +1053,7 @@ def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
         o, a, b = dedup[i], dedup[(i + 1) % n], dedup[(i + 2) % n]
         turn = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
         if turn < 0:
-            raise ValueError("query polygon is not convex (reflex vertex)")
+            raise NotConvexError("query polygon is not convex (reflex vertex)")
     # The all-left-turns test alone accepts self-intersecting rings
     # that wind more than once (a pentagram's turns are all left and
     # its shoelace sum is positive — r12 review finding). A simple
@@ -1057,7 +1066,7 @@ def _convex_ring_microdeg(doc: dict) -> list[tuple[int, int]]:
     for (x0, y0), (x1, y1) in zip(dedup, dedup[1:] + dedup[:1]):
         s2 += x0 * y1 - x1 * y0
     if abs(s2) != _hull_2area(_hull_monotone_chain(dedup)):
-        raise ValueError(
+        raise NotConvexError(
             "query polygon is not convex (self-intersecting or multiply-wound ring)"
         )
     return dedup
@@ -1402,36 +1411,59 @@ def _in_triangle_closed(a, b, c, p) -> bool:
     return _cross3(a, b, p) >= 0 and _cross3(b, c, p) >= 0 and _cross3(c, a, p) >= 0
 
 
+def _in_triangle_strict(a, b, c, p) -> bool:
+    """p strictly inside the CCW triangle abc, exact integers."""
+    return _cross3(a, b, p) > 0 and _cross3(b, c, p) > 0 and _cross3(c, a, p) > 0
+
+
 def _triangulate_ear(ring: list[tuple[int, int]]) -> list[tuple]:
     """Ear-clipping triangulation of a simple CCW ring (collinear
     vertices already removed) into n-2 CCW triangles that PARTITION its
     interior. O(n³) worst case — the ring is a user AOI of tens of
     vertices, never data. Meisters' two-ears theorem guarantees
-    progress on every simple polygon; the closed-triangle containment
-    test (rejecting ears with ANY other remaining vertex inside or on
-    the candidate triangle) keeps every emitted diagonal strictly
-    interior, so the pieces are disjoint and area-additive."""
+    progress on every simple polygon under the STRICT containment test;
+    the closed-triangle test is tried first (it keeps every diagonal
+    strictly interior) and the strict-interior test is the fallback for
+    rings where every closed-test ear is blocked only by a vertex
+    exactly ON a candidate diagonal (ADVICE r13: that state is
+    reachable, not 'unreachable'). Either way the partition is
+    certified by an exact invariant at the end: the triangle 2-areas
+    must sum to the ring's shoelace 2-area — integer-exact, so an
+    invalid fallback partition raises loudly instead of mis-clipping."""
     idx = list(range(len(ring)))
     tris: list[tuple] = []
     while len(idx) > 3:
         n = len(idx)
-        for k in range(n):
-            ia, ib, ic = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
-            a, b, c = ring[ia], ring[ib], ring[ic]
-            if _cross3(a, b, c) <= 0:
-                continue  # reflex (or collinear-degenerate) corner: not an ear
-            if any(
-                _in_triangle_closed(a, b, c, ring[j])
-                for j in idx
-                if j not in (ia, ib, ic)
-            ):
-                continue
-            tris.append((a, b, c))
-            del idx[k]
-            break
-        else:  # pragma: no cover — unreachable on a validated simple ring
+        found = False
+        for contains in (_in_triangle_closed, _in_triangle_strict):
+            for k in range(n):
+                ia, ib, ic = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+                a, b, c = ring[ia], ring[ib], ring[ic]
+                if _cross3(a, b, c) <= 0:
+                    continue  # reflex (or collinear-degenerate) corner: not an ear
+                if any(
+                    contains(a, b, c, ring[j])
+                    for j in idx
+                    if j not in (ia, ib, ic)
+                ):
+                    continue
+                tris.append((a, b, c))
+                del idx[k]
+                found = True
+                break
+            if found:
+                break
+        if not found:
             raise ValueError("ear clipping found no ear (degenerate polygon)")
     tris.append((ring[idx[0]], ring[idx[1]], ring[idx[2]]))
+    s2 = 0
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:] + ring[:1]):
+        s2 += x0 * y1 - x1 * y0
+    tri2 = sum(_cross3(a, b, c) for a, b, c in tris)
+    if tri2 != s2:
+        raise ValueError(
+            f"ear-clipping partition is not area-additive ({tri2} != {s2})"
+        )
     return tris
 
 
@@ -1501,9 +1533,7 @@ def clip_states_to_simple_geojson(spark: SparkSession, geojson) -> DataFrame:
     try:
         qpts = _convex_ring_microdeg(doc)
         tris = None
-    except ValueError as exc:
-        if "not convex" not in str(exc):
-            raise
+    except NotConvexError:
         tris = _triangulate_ear(ring)
         qpts = None
     bounds = geo_states.sudan_boundaries(spark, "state")

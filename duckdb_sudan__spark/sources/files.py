@@ -1146,11 +1146,18 @@ def _bucketed_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     data_loc = {t: os.path.join(marker_dir, t) for t, _, _ in specs}
 
     def _declare_over_existing(t: str, col: str) -> None:
+        # ADVICE r13: backtick-quote field names so the stage stays
+        # correct if ever reused for tables with reserved-word or
+        # mixed-case columns (nullability is intentionally relaxed to
+        # nullable — parquet-backed external tables can't enforce it)
         schema = spark.read.parquet(data_loc[t]).schema
-        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        ddl = ", ".join(
+            f"`{f.name.replace('`', '``')}` {f.dataType.simpleString()}"
+            for f in schema.fields
+        )
         spark.sql(
             f"CREATE TABLE {t} ({ddl}) USING parquet"
-            f" CLUSTERED BY ({col}) SORTED BY ({col}) INTO {_BUCKETS} BUCKETS"
+            f" CLUSTERED BY (`{col}`) SORTED BY (`{col}`) INTO {_BUCKETS} BUCKETS"
             f" LOCATION '{data_loc[t]}'"
         )
 

@@ -1209,14 +1209,20 @@ STREAKS_OUT_SCHEMA = T.StructType(
         T.StructField("user_id", T.LongType()),
         T.StructField("wk", T.LongType()),
         T.StructField("run_len", T.LongType()),
+        T.StructField("late_drops", T.LongType()),
     ]
 )
-# (prev_wk, run_len): the user's last classified epoch-week and the
-# length of the streak ENDING at it; presence = state.exists
+# (prev_wk, run_len, late_drops): the user's last classified epoch-week,
+# the length of the streak ENDING at it, and the cumulative count of
+# dropped at-or-before-high-water weeks (ADVICE r13: the drop was
+# silent — on a source that is not per-user week-ordered the streaming
+# histogram diverged from the batch twin with no observable signal);
+# presence = state.exists
 STREAKS_STATE_SCHEMA = T.StructType(
     [
         T.StructField("prev_wk", T.LongType()),
         T.StructField("run_len", T.LongType()),
+        T.StructField("late_drops", T.LongType()),
     ]
 )
 
@@ -1226,21 +1232,26 @@ def _weekly_streak_fn(key, pdf_iter, state):
     epoch-week (day-index div 7 — the BATCH entry's week definition,
     deliberately NOT the Monday floor _growth_fn uses) emits the
     length of the consecutive-week run ENDING at that week: prev+1
-    extends (run+1), a gap resets to 1. O(1) state per user (two
+    extends (run+1), a gap resets to 1. O(1) state per user (three
     int64s). Same cross-batch ordering contract as _new_ret_fn /
     _growth_fn: weeks dedup+sort within the batch; across batches a
     week at-or-before the high-water mark is DROPPED (append mode
-    can't retract an emitted run length). max(run_len) per user over
-    the drained rows IS the batch entry's longest_weeks — asserted in
+    can't retract an emitted run length) — but COUNTED, not silent
+    (ADVICE r13): every emitted row carries the user's cumulative
+    late_drops, so a production source that is not per-user
+    week-ordered shows its divergence from the batch twin in-band;
+    the equivalence test asserts the counter is zero on the ordered
+    corpus. max(run_len) per user over the drained rows IS the batch
+    entry's longest_weeks — asserted in
     tests/test_sources_streaming.py."""
     import pandas as pd  # noqa: PLC0415 — runs on executors
 
     has = state.exists
-    prev_wk, run_len = state.get if has else (0, 0)
+    prev_wk, run_len, late = state.get if has else (0, 0, 0)
     chunks = [c for c in pdf_iter if len(c)]
     if not chunks:
         if has:
-            state.update((int(prev_wk), int(run_len)))
+            state.update((int(prev_wk), int(run_len), int(late)))
         return
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
     us = (
@@ -1252,12 +1263,19 @@ def _weekly_streak_fn(key, pdf_iter, state):
     out = []
     for w in weeks:
         if has and w <= prev_wk:
-            continue  # duplicate or late cross-batch week: drop
+            # the within-batch set is deduped, so w < prev_wk is a true
+            # out-of-order arrival (counted); w == prev_wk is a benign
+            # cross-batch redelivery of the high-water week (not)
+            if w < prev_wk:
+                late += 1
+            continue
         run_len = run_len + 1 if (has and w == prev_wk + 1) else 1
         has = True
-        out.append({"user_id": key[0], "wk": w, "run_len": int(run_len)})
+        out.append(
+            {"user_id": key[0], "wk": w, "run_len": int(run_len), "late_drops": int(late)}
+        )
         prev_wk = w
-    state.update((int(prev_wk), int(run_len)))
+    state.update((int(prev_wk), int(run_len), int(late)))
     if out:
         yield pd.DataFrame(out)
 
@@ -1269,7 +1287,8 @@ def weekly_streaks_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     histogram by max(run_len) per user — asserted exactly in
     tests/test_sources_streaming.py. Batch-equivalence assumes
     per-user non-decreasing week arrival across micro-batches; late
-    weeks are dropped, never re-classified — see _weekly_streak_fn."""
+    weeks are dropped, never re-classified, and surfaced via the
+    cumulative late_drops column — see _weekly_streak_fn."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (

@@ -755,6 +755,76 @@ def test_simple_ring_validation_and_triangulation():
         _simple_ring_microdeg(revisit)
 
 
+def test_not_convex_is_a_typed_error():
+    """ADVICE r13: the concave tier routes on NotConvexError, a typed
+    ValueError subclass — NOT on message substrings — so rewording the
+    validator messages can never silently turn concave inputs into hard
+    errors. Both validator raise sites must emit the subclass; genuinely
+    broken rings must NOT (they stay hard errors on both tiers)."""
+    from duckdb_sudan__spark.geo.spatial import (
+        NotConvexError,
+        _convex_ring_microdeg,
+        _star_aoi_doc,
+    )
+
+    assert issubclass(NotConvexError, ValueError)
+    # reflex-vertex site
+    with pytest.raises(NotConvexError):
+        _convex_ring_microdeg(_star_aoi_doc())
+    # multiply-wound site (pentagram: all left turns, shoelace > hull)
+    import math
+
+    penta = [
+        (round(3_000_000 + 2_000_000 * math.cos(math.radians(90 + 144 * i))),
+         round(3_000_000 + 2_000_000 * math.sin(math.radians(90 + 144 * i))))
+        for i in range(5)
+    ]
+    gram = {"type": "Polygon",
+            "coordinates": [[[x / 1e6, y / 1e6] for x, y in penta + penta[:1]]]}
+    with pytest.raises(NotConvexError, match="multiply-wound|self-intersecting"):
+        _convex_ring_microdeg(gram)
+    # a degenerate ring is NOT NotConvexError — not recoverable by
+    # triangulation, must propagate out of the concave tier too
+    line = {"type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [0.0, 0.0]]]}
+    with pytest.raises(ValueError) as exc:
+        _convex_ring_microdeg(line)
+    assert not isinstance(exc.value, NotConvexError)
+
+
+def test_triangulation_strict_fallback_and_area_invariant():
+    """ADVICE r13: the closed-containment ear test rejects ears blocked
+    by a vertex exactly ON the candidate diagonal; _triangulate_ear now
+    falls back to strict-interior containment instead of claiming that
+    state unreachable, and certifies EVERY partition with the exact
+    area-additivity invariant (triangle 2-areas sum == ring shoelace)."""
+    from duckdb_sudan__spark.geo.spatial import (
+        _cross3,
+        _in_triangle_closed,
+        _in_triangle_strict,
+        _triangulate_ear,
+    )
+
+    # the two containment predicates differ exactly on the boundary
+    a, b, c = (0, 0), (6, 0), (6, 6)
+    on_diag = (3, 3)  # on segment a-c
+    assert _in_triangle_closed(a, b, c, on_diag)
+    assert not _in_triangle_strict(a, b, c, on_diag)
+    inside = (4, 2)
+    assert _in_triangle_closed(a, b, c, inside) and _in_triangle_strict(a, b, c, inside)
+
+    # a ring where a reflex vertex sits exactly ON two candidate ear
+    # diagonals (square + center dent: (3,3) is on A-C and on E-B):
+    # ears A and B are boundary-blocked under the closed test, the
+    # triangulation must still succeed and stay exactly area-additive
+    ring = [(0, 0), (6, 0), (6, 6), (3, 3), (0, 6)]
+    tris = _triangulate_ear(ring)
+    assert len(tris) == 3
+    s2 = sum(x0 * y1 - x1 * y0 for (x0, y0), (x1, y1) in zip(ring, ring[1:] + ring[:1]))
+    assert sum(_cross3(*t) for t in tris) == s2
+    assert all(_cross3(*t) > 0 for t in tris)
+
+
 def test_concave_clip_agrees_with_convex_path_on_convex_inputs():
     """Invariant (VERDICT r12 item 4): on a CONVEX input the triangle-
     sum path must equal the single-pass convex S-H result exactly, for

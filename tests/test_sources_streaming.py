@@ -1058,6 +1058,61 @@ def test_snapshot_time_travel_isolation(spark):
     assert "file_A" in ms[0]["files"] and "file_A" in ms[1]["files"]
 
 
+def test_weekly_streak_fn_counts_late_drops():
+    """ADVICE r13: _weekly_streak_fn's cross-batch drop of a week at-
+    or-before the high-water mark was SILENT — now every emitted row
+    carries the user's cumulative late_drops counter. Driven directly:
+    a true out-of-order week increments it, a benign redelivery of the
+    high-water week does not, and the counter survives batches that
+    emit nothing."""
+    import pandas as pd
+
+    from duckdb_sudan__spark.streaming.events import _weekly_streak_fn
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(tss):
+        return pd.DataFrame({"ts": pd.to_datetime(tss)})
+
+    st = FakeState()
+    key = (5,)
+    # weeks 2820 and 2821 (epoch-day div 7): two emissions, no drops
+    out1 = list(_weekly_streak_fn(key, iter([batch(
+        ["2024-01-23 08:00:00", "2024-01-30 09:00:00"]
+    )]), st))[0]
+    assert [int(x) for x in out1["run_len"]] == [1, 2]
+    assert [int(x) for x in out1["late_drops"]] == [0, 0]
+    # batch 2: one LATE week (2819 < high-water 2821) and one new week
+    # (2822) — the emission carries late_drops=1
+    out2 = list(_weekly_streak_fn(key, iter([batch(
+        ["2024-01-16 10:00:00", "2024-02-06 10:00:00"]
+    )]), st))[0]
+    assert [int(x) for x in out2["run_len"]] == [3]
+    assert [int(x) for x in out2["late_drops"]] == [1]
+    # batch 3: redelivery of the high-water week only — no emission,
+    # no counter bump (== is benign, < is late)
+    out3 = list(_weekly_streak_fn(key, iter([batch(["2024-02-06 11:00:00"])]), st))
+    assert out3 == []
+    assert st.get == (2822, 3, 1)
+    # batch 4: another late week, emission-free — counter persists in
+    # state and surfaces on the NEXT emission
+    out4 = list(_weekly_streak_fn(key, iter([batch(["2024-01-02 10:00:00"])]), st))
+    assert out4 == [] and st.get == (2822, 3, 2)
+    out5 = list(_weekly_streak_fn(key, iter([batch(["2024-02-13 10:00:00"])]), st))[0]
+    assert [int(x) for x in out5["run_len"]] == [4]
+    assert [int(x) for x in out5["late_drops"]] == [2]
+
+
 def test_new_ret_fn_drops_late_and_duplicate_days():
     """_new_ret_fn's cross-batch contract, driven directly: a later
     batch re-delivering an already-emitted day (or carrying an
@@ -1269,6 +1324,11 @@ def test_stream_weekly_streaks_matches_batch(spark):
     }
     bhist = {tuple(r) for r in QUERIES["ev_weekly_active_streaks"](spark, SF_DIR).collect()}
     assert shist == bhist and len(shist) > 0
+    # ADVICE r13: the late-drop counter must be in-band AND zero here —
+    # the corpus replays per-user week-ordered, so any nonzero counter
+    # means the ordering contract (the premise of batch-equivalence)
+    # broke somewhere between source and state
+    assert drained.where(F.col("late_drops") != 0).count() == 0
     # (user, wk) rows unique
     assert drained.groupBy("user_id", "wk").count().where(F.col("count") > 1).count() == 0
     # internal consistency: every run_len L > 1 at week w has L-1 at w-1
