@@ -71,6 +71,8 @@ def load_all() -> None:
         olap37,
         olap38,
         olap39,
+        olap40,
+        olap41,
         relational,
         similarity,
         sketches,

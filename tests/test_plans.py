@@ -3055,3 +3055,38 @@ def test_r13_wave_plans(spark):
         aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
         wins = [i for i, n in enumerate(nodes) if n == "Window"]
         assert aggs and wins and min(aggs) < min(wins), (key, nodes)
+
+
+def test_r14_wave_plans(spark):
+    """r14 wave shapes: every window consumes a BOUNDED relation (the
+    price-grid best points, the cents-grid histogram, the day grid,
+    the ≤10-row Qini buckets) — leaf-first, an aggregate precedes
+    every window; the stats/power/logrank entries finish in 1-row or
+    literal-grid selects; no plan holds a cartesian product (the only
+    cross joins are broadcast 1-row scalar aggregates) or row-wise
+    Python."""
+    for key in [
+        "q_pareto_frontier_parts", "stats_kruskal_wallis",
+        "stats_levene_bf", "ev_power_mde", "ml_logrank_test",
+        "ev_uplift_qini_buckets", "dt_iso_week_parity",
+    ]:
+        nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+        assert not any("CartesianProduct" in n for n in nodes), (key, nodes)
+        assert not any("BatchEvalPython" in n for n in nodes), (key, nodes)
+    # window-input-is-the-aggregate for every windowed r14 entry
+    for key in [
+        "q_pareto_frontier_parts", "stats_kruskal_wallis",
+        "stats_levene_bf", "ml_logrank_test", "ev_uplift_qini_buckets",
+    ]:
+        nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+        aggs = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+        wins = [i for i, n in enumerate(nodes) if n == "Window"]
+        assert aggs and wins and min(aggs) < min(wins), (key, nodes)
+    # the levene median dim and the power baseline join back by
+    # broadcast (5-row / 1-row builds)
+    for key in ["stats_levene_bf", "ev_power_mde"]:
+        nodes = plan_nodes(QUERIES[key](spark, SF_DIR))
+        assert any("BroadcastHashJoin" in n or "BroadcastNestedLoopJoin" in n for n in nodes), (
+            key,
+            nodes,
+        )
