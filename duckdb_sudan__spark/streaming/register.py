@@ -145,6 +145,16 @@ def _register_tws_tier() -> bool:
     def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_stream_to_memory(spark, sf_dir, "sessionize_tws")
 
+    @register("stream_weekly_streaks_tws")  # rows-only: typed-state streaks
+    def stream_weekly_streaks_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """stream_weekly_streaks on the transformWithStateInPandas
+        tier (r14 — VERDICT r13 item 6): same state machine, same
+        late_drops observability, RocksDB typed state. Drained rows
+        must equal the applyInPandasWithState twin row-for-row and
+        reduce to the batch ev_weekly_active_streaks histogram;
+        asserted in tests/test_sources_streaming.py."""
+        return run_stream_to_memory(spark, sf_dir, "weekly_streaks_tws")
+
     return True
 
 

@@ -199,6 +199,41 @@ def test_funnel_tws_matches_applyinpandas_and_batch(spark):
     assert len(tws) > 0
 
 
+def test_weekly_streaks_tws_matches_applyinpandas_and_batch(spark):
+    """r14 (VERDICT r13 item 6): the typed-state weekly-streak tier
+    must be row-identical to the GroupState tier (same state machine,
+    late_drops included), and its max(run_len)-per-user histogram must
+    equal the batch ev_weekly_active_streaks exactly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from duckdb_sudan__spark.vendor import ensure_protobuf_path
+
+    if not ensure_protobuf_path():
+        pytest.skip("no google.protobuf runtime and no vendored shim")
+    from duckdb_sudan__spark import operators
+    from duckdb_sudan__spark.operators import QUERIES
+
+    operators.load_all()
+    tws_df = run_stream_to_memory(spark, SF_DIR, "weekly_streaks_tws")
+    tws = {tuple(r) for r in tws_df.collect()}
+    legacy = {tuple(r) for r in run_stream_to_memory(spark, SF_DIR, "weekly_streaks").collect()}
+    assert tws == legacy and len(tws) > 0
+    shist = {
+        tuple(r)
+        for r in tws_df.groupBy("user_id")
+        .agg(F.max("run_len").cast("bigint").alias("longest_weeks"))
+        .groupBy("longest_weeks")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .collect()
+    }
+    bhist = {tuple(r) for r in QUERIES["ev_weekly_active_streaks"](spark, SF_DIR).collect()}
+    assert shist == bhist
+    # ordered corpus → the in-band late counter reads zero here too
+    assert tws_df.where(F.col("late_drops") != 0).count() == 0
+
+
 def test_tws_gate_matches_protobuf_availability(spark):
     """The conditional registration is consistent: stream_funnel_tws is
     in QUERIES exactly when protobuf imports — never a half-registered

@@ -168,7 +168,25 @@ def _pairs(spark):
         return len(s), len(b), s == b and len(s) > 0, \
             "exact (max run per user histogram ≡ batch longest-streaks)"
 
+    def weekly_streaks_tws():
+        tws_df = QUERIES["stream_weekly_streaks_tws"](spark, SF_DIR)
+        s = {tuple(r) for r in tws_df.collect()}
+        legacy = {tuple(r) for r in QUERIES["stream_weekly_streaks"](spark, SF_DIR).collect()}
+        hist = {
+            (r.longest_weeks, r.n_users)
+            for r in tws_df.groupBy("user_id")
+            .agg(F.max("run_len").cast("bigint").alias("longest_weeks"))
+            .groupBy("longest_weeks")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .collect()
+        }
+        b = {tuple(r) for r in QUERIES["ev_weekly_active_streaks"](spark, SF_DIR).collect()}
+        ok = s == legacy and hist == b and len(s) > 0
+        return len(s), len(legacy), ok, \
+            "exact (row-identical to GroupState tier; histogram ≡ batch)"
+
     yield "stream_weekly_streaks", "ev_weekly_active_streaks", weekly_streaks
+    yield "stream_weekly_streaks_tws", "stream_weekly_streaks + batch", weekly_streaks_tws
     yield "stream_basket_pairs", "q_market_basket_pairs", basket_pairs
     yield "stream_tumbling", "ev_tumbling", tumbling
     yield "stream_time_bucket", "ts_time_bucket", time_bucket
