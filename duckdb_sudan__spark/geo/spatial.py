@@ -74,10 +74,17 @@ def _ray_cast(lons: np.ndarray, lats: np.ndarray, edges: np.ndarray) -> np.ndarr
     return hits.sum(axis=1) % 2 == 1
 
 
-def assign_points_to_states(points: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+def assign_points_to_states(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    rings: list[tuple[str, np.ndarray]] | None = None,
+) -> DataFrame:
     """Append `iso_code` (first containing state in SUDAN_STATES order,
-    NULL when outside every ring) to a point DataFrame. Map-only."""
-    rings = state_rings()
+    NULL when outside every ring) to a point DataFrame. Map-only.
+    `rings` defaults to the served (offline) geometry; the live GADM
+    tier passes genuine rings through the same kernel (r14)."""
+    rings = state_rings() if rings is None else rings
 
     @F.pandas_udf(T.StringType())
     def which_state(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -1218,7 +1225,7 @@ def _hex_aoi_doc() -> dict:
     return {"type": "Polygon", "coordinates": [ring]}
 
 
-def clip_states_to_geojson(spark: SparkSession, geojson) -> DataFrame:
+def clip_states_to_geojson(spark: SparkSession, geojson, bounds: DataFrame | None = None) -> DataFrame:
     """Clip every served state to an ARBITRARY convex GeoJSON Polygon.
 
     ``geojson`` is a GeoJSON Polygon as a dict or JSON string. Returns
@@ -1228,10 +1235,13 @@ def clip_states_to_geojson(spark: SparkSession, geojson) -> DataFrame:
     ST_Intersection/ST_Area/ST_Contains composition of the reference's
     spatial docs as one DataFrame call. Raises ValueError on a
     non-convex or degenerate query polygon (Sutherland-Hodgman is only
-    exact on convex clip regions)."""
+    exact on convex clip regions). ``bounds`` defaults to the served
+    (offline) state table; the live GADM tier passes genuine geometry
+    through the same clip kernel (r14)."""
     doc = json.loads(geojson) if isinstance(geojson, str) else geojson
     qpts = _convex_ring_microdeg(doc)
-    bounds = geo_states.sudan_boundaries(spark, "state")
+    if bounds is None:
+        bounds = geo_states.sudan_boundaries(spark, "state")
 
     @F.pandas_udf("struct<clip2:bigint,area2:bigint>")
     def clip_of(gj: pd.Series) -> pd.DataFrame:
@@ -1516,14 +1526,18 @@ def _star_aoi_doc() -> dict:
     return {"type": "Polygon", "coordinates": [ring]}
 
 
-def clip_states_to_simple_geojson(spark: SparkSession, geojson) -> DataFrame:
+def clip_states_to_simple_geojson(
+    spark: SparkSession, geojson, bounds: DataFrame | None = None
+) -> DataFrame:
     """Clip every served state to an ARBITRARY SIMPLE GeoJSON Polygon —
     convex OR concave. Same output contract as clip_states_to_geojson
     (iso_code, state_name, clip_area2_microdeg2, area2_microdeg2,
     pct_in_poly_ppm, relation). Convex rings take the single-pass S-H
     path; concave rings are ear-clipped into triangles driver-side and
     the exact per-triangle clips are summed. Raises ValueError on a
-    self-intersecting, holed, or degenerate ring."""
+    self-intersecting, holed, or degenerate ring. ``bounds`` defaults
+    to the served (offline) state table; the live GADM tier passes
+    genuine geometry through the same kernels (r14)."""
     doc = json.loads(geojson) if isinstance(geojson, str) else geojson
     # SIMPLICITY is the precondition for BOTH paths (r13 review: routing
     # through the convex validator first let a self-touching ring the
@@ -1536,7 +1550,8 @@ def clip_states_to_simple_geojson(spark: SparkSession, geojson) -> DataFrame:
     except NotConvexError:
         tris = _triangulate_ear(ring)
         qpts = None
-    bounds = geo_states.sudan_boundaries(spark, "state")
+    if bounds is None:
+        bounds = geo_states.sudan_boundaries(spark, "state")
 
     @F.pandas_udf("struct<clip2:bigint,area2:bigint>")
     def clip_of(gj: pd.Series) -> pd.DataFrame:
@@ -1610,3 +1625,94 @@ def _register_geom_clip_concave() -> None:
 
 
 _register_geom_clip_concave()
+
+
+# ---------------------------------------------------------------------------
+# LIVE GADM tier (r14 — VERDICT r13 item 5): the whole geo stack on
+# GENUINE boundaries, behind a capability probe. The MERGE/JPEG
+# pattern: probe (geo_states.gadm_capabilities — cheap TCP
+# reachability, never raises), loud raise (live_gadm_state_rows —
+# install/egress guidance, never a silent fake), conditional
+# registration (the entry exists exactly where the network does, so a
+# networked cluster runs point-in-state + both clip tiers on real
+# GADM v4.1 geometry with ZERO code changes). This container has no
+# network: the offline Voronoi tier stays the driver-hashed surface.
+# ---------------------------------------------------------------------------
+
+
+def live_gadm_state_rows() -> list[tuple[str, str, str]]:
+    """(iso_code, state_name, geojson) with GENUINE GADM v4.1 level-1
+    geometry. Raises RuntimeError with egress guidance when the fetch
+    fails or no state matches — loud, never a silent fallback to the
+    synthetic placeholder (that would let a misconfigured cluster
+    report placeholder areas as real ones)."""
+    from duckdb_sudan__spark.providers import http as provider_http
+
+    doc = provider_http.http_get_json(geo_states.GADM_STATE_URL)
+    rows = geo_states.parse_gadm_states(doc) if doc is not None else []
+    live = [(iso, name, gj) for (name, _ar, iso, gj) in rows if gj]
+    if not live:
+        raise RuntimeError(
+            "live GADM geometry unavailable: could not fetch/parse "
+            f"{geo_states.GADM_STATE_URL} (needs egress to "
+            "geodata.ucdavis.edu:443). The offline tier "
+            "(sudan_boundaries(..., offline=True)) serves the synthetic "
+            "Voronoi placeholder with the identical schema and kernels."
+        )
+    return live
+
+
+def _register_live_gadm_tier() -> bool:
+    """Conditionally register the live-geometry composition. Factored
+    out so the gate itself is unit-tested in environments with AND
+    without network (tests/test_geo.py::test_gadm_gate_*), mirroring
+    streaming.register._register_tws_tier."""
+    if not geo_states.gadm_capabilities()["any"]:
+        return False
+
+    @register("sudan_geo_live_gadm")  # rows-only: live fetch is not SQL
+    def sudan_geo_live_gadm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The full §A geo stack on GENUINE GADM boundaries: per state,
+        (a) does the public centroid land inside the real polygon
+        (ray-cast kernel), (b) convex-AOI clip share, (c) concave
+        star-AOI clip share — all three kernels identical to the
+        offline tier, only the geometry differs. Output is one row per
+        GADM-matched state."""
+        live = live_gadm_state_rows()
+        bounds = spark.createDataFrame(
+            live, "iso_code string, state_name string, geojson string"
+        )
+        rings = [(iso, _geometry_edges(json.loads(gj))) for iso, _name, gj in live]
+        probes = spark.createDataFrame(
+            [
+                (iso, lon, lat)
+                for iso, _name, _ar, lon, lat in geo_states.SUDAN_STATES
+            ],
+            "probe_iso string, lon double, lat double",
+        )
+        assigned = assign_points_to_states(probes, rings=rings).select(
+            F.col("probe_iso").alias("iso_code"),
+            (F.col("iso_code") == F.col("probe_iso")).alias("centroid_inside_own"),
+        )
+        convex = clip_states_to_geojson(spark, _hex_aoi_doc(), bounds=bounds).select(
+            "iso_code", "state_name",
+            F.col("pct_in_poly_ppm").alias("hex_clip_ppm"),
+            F.col("area2_microdeg2").alias("area2_microdeg2"),
+        )
+        concave = clip_states_to_simple_geojson(
+            spark, _star_aoi_doc(), bounds=bounds
+        ).select("iso_code", F.col("pct_in_poly_ppm").alias("star_clip_ppm"))
+        return (
+            convex.join(concave, ["iso_code"])
+            .join(F.broadcast(assigned), ["iso_code"], "left")
+            .select(
+                "iso_code", "state_name", "area2_microdeg2",
+                "hex_clip_ppm", "star_clip_ppm", "centroid_inside_own",
+            )
+            .orderBy("iso_code")
+        )
+
+    return True
+
+
+GADM_LIVE_REGISTERED = _register_live_gadm_tier()

@@ -275,6 +275,37 @@ GADM_COUNTRY_URL = "https://geodata.ucdavis.edu/gadm/gadm4.1/json/gadm41_SDN_0.j
 GADM_STATE_URL = "https://geodata.ucdavis.edu/gadm/gadm4.1/json/gadm41_SDN_1.json"
 
 
+_GADM_CAPS: dict | None = None
+
+
+def gadm_capabilities() -> dict:
+    """Probe whether the LIVE GADM geometry tier can run here: a cheap
+    DNS + TCP reachability check against the GADM host (no payload is
+    transferred — the multi-MB GeoJSON downloads only when the live
+    tier actually runs). Never raises — absence is a reportable state,
+    not an error (mirrors jpeg_capabilities / merge_capabilities).
+    Memoized: the probe runs once per process, and
+    SPARK_GRAFT_GADM=0 force-disables the tier (air-gapped clusters
+    with a resolving-but-filtered egress)."""
+    global _GADM_CAPS
+    if _GADM_CAPS is None:
+        import os
+        import socket
+        from urllib.parse import urlparse
+
+        caps = {"network": False}
+        if os.environ.get("SPARK_GRAFT_GADM", "1") != "0":
+            host = urlparse(GADM_STATE_URL).hostname
+            try:
+                with socket.create_connection((host, 443), timeout=3):
+                    caps["network"] = True
+            except Exception:
+                caps["network"] = False
+        caps["any"] = caps["network"]
+        _GADM_CAPS = caps
+    return _GADM_CAPS
+
+
 def _norm_state_name(name: str) -> str:
     """Normalize an English state name for GADM matching: lowercase,
     drop the Arabic definite-article transliterations GADM and common
