@@ -312,6 +312,41 @@ _R14_WINDOW_PLAN = [
 _WINDOW_PRIORITY = list(_R14_WINDOW_PLAN)
 
 
+# The committed r15 window as a MACHINE-CHECKED literal (r14 close),
+# computed from the committed CORRECTNESS_r*.json files with the live
+# r14 window treated as checked-at-14 (script in the r14 transcript;
+# tests/test_entry.py re-derives the composition): FIRST the 8 oracled
+# entries ADDED in r14 (the wave was capped at 8 — olap40/olap41 —
+# so these are the ONLY entries with no driver row once r14 executes),
+# THEN the 34 remaining r7-checked rows (alphabetical; the oldest
+# stale class), THEN the alphabetically-first 8 of the 50 r8-checked
+# rows. 8 + 34 + 8 = 50. r15 opens by assigning
+# _WINDOW_PRIORITY = _R15_WINDOW_PLAN verbatim; the remaining 42 r8
+# rows + rotation debt go to r16.
+_R15_WINDOW_PLAN = [
+    "dt_iso_week_parity", "ev_power_mde", "ev_uplift_qini_buckets",
+    "graph_degree_assortativity", "ml_logrank_test",
+    "q_pareto_frontier_parts", "stats_kruskal_wallis", "stats_levene_bf",
+    "distinct_types", "emb_matryoshka_truncate", "ev_anomaly_zscore",
+    "ev_asof_tolerance", "ev_concurrency_curve", "ev_funnel",
+    "ev_funnel_rates", "ev_retention_cohorts", "ev_session_bounce_rate",
+    "ev_top_paths", "files_bucketed_join", "files_dpp_partitioned_join",
+    "files_parquet_roundtrip", "groupby_all_sales", "join_full_outer",
+    "join_interval_overlap", "join_relational_division",
+    "join_scd2_lookup", "list_lambda_docs", "listagg_nations",
+    "pipeline_decontaminate_report", "pivot_multi_agg",
+    "rollup_share_of_parent", "select_exclude_replace",
+    "setops_not_in_null_semantics", "str_format_parity",
+    "text_gopher_filters", "ts_gapfill_interpolate", "ts_seasonal_naive",
+    "vocab_coverage_rate", "win_gaps_islands", "win_lead_lag",
+    "win_pareto_abc", "win_sliding_median",
+    "agg_entropy_bits", "agg_weighted_avg", "agg_winsorized_trimmed",
+    "corpus_perplexity_buckets", "cte_reused_aggregate",
+    "dataset_split_train_valid", "dedup_cluster_size_histogram",
+    "dedup_containment",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     every.update(_sudan_queries())

@@ -112,3 +112,50 @@ def test_r14_window_plan_executed_verbatim():
     assert fill[:n_old] == stale_oldest[:n_old], (
         "r14 fill must take the oldest class alphabetically"
     )
+
+
+def test_r15_window_plan_is_valid():
+    """The committed r15 window literal must be executable as-is at r15
+    open: 50 unique registered ORACLED entries, zero overlap with the
+    live r14 window (a rotation, not a repeat), led by exactly the
+    entries NO committed driver CORRECTNESS file (r14 included, once it
+    lands) will have hashed — the r14 wave — then the oldest stale
+    classes oldest-first (machine-derived, not hand-claimed)."""
+    import glob
+    import json
+
+    import __spark_entry__ as E
+
+    plan = E._R15_WINDOW_PLAN
+    oracles = E.oracle_sql()
+    queries = E.queries()
+    assert len(plan) == 50 and len(set(plan)) == 50
+    missing_q = [k for k in plan if k not in queries]
+    missing_o = [k for k in plan if k not in oracles]
+    assert not missing_q, f"r15 plan names unregistered entries: {missing_q}"
+    assert not missing_o, f"r15 plan names rows-only entries: {missing_o}"
+    assert not set(plan) & set(E._R14_WINDOW_PLAN), "r15 plan repeats the r14 window"
+    # recompute the composition from the committed driver files,
+    # treating the live r14 window as checked (its JSON lands when the
+    # driver runs): the leading block must be exactly the
+    # never-driver-checked oracled entries, the tail drains oldest-first
+    latest: dict[str, int] = {}
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        for k in json.load(open(path)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    for k in E._R14_WINDOW_PLAN:
+        latest[k] = max(latest.get(k, 0), 14)
+    never = sorted(k for k in oracles if k not in latest)
+    assert plan[: len(never)] == never, (
+        f"r15 plan must lead with the never-checked entries {never}"
+    )
+    fill = plan[len(never):]
+    fill_rounds = [latest[k] for k in fill]
+    assert fill_rounds == sorted(fill_rounds), "r15 fill must drain oldest-first"
+    oldest = min(r for k, r in latest.items() if k in oracles)
+    stale_oldest = sorted(k for k, r in latest.items() if r == oldest and k in oracles)
+    n_old = min(len(stale_oldest), len(fill))
+    assert fill[:n_old] == stale_oldest[:n_old], (
+        "r15 fill must take the oldest class alphabetically"
+    )

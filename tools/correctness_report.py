@@ -67,20 +67,25 @@ SF1_OVERFLOW_KEYS = [
 # r12 verdict item 6: the static 30 above stay (they are the families
 # where a wrap first bites), and each round ROTATES ~20 fresh
 # DECIMAL/HUGEINT/quadratic-integer-citing entries through the same
-# sf1 corpus. r13 block: the r12 adds the verdict names explicitly
-# (ml_auc_exact_rank — U2 ≈ int64 at ~sf500 per its docstring —
-# text_bigram_cond_entropy, q_market_basket_pairs' BIGINT-routed
-# lift), plus the exact-integer-ppm ml_* metric family and the
-# squared/product-of-counts statistics not yet in the static 30.
+# sf1 corpus. r14 block (VERDICT r13 item 4): the r13 wave's Lorenz /
+# brand-repeat ppm emissions, the whole r14 wave (rank-sum squares,
+# z-moments, micro-quantized hypergeometric terms, Qini cums — the
+# exact classes the gate exists for), ONE graph ppm entry
+# (assortativity; every graph oracle recomputes the quadratic DuckDB
+# k-NN at sf1.6x ≈ 7 min each, so the family is sampled, not swept —
+# the cap is the oracle's cost, not the Spark plan's), the ts
+# smoother/decomposition arithmetic, and the remaining ml_* table
+# builders. r13's rotation names are retired driver-green.
 SF1_ROTATION_KEYS = [
-    "ml_auc_exact_rank", "text_bigram_cond_entropy",
-    "q_market_basket_pairs", "ml_auc_exact", "ml_mcc_binary",
-    "ml_cohens_kappa", "ml_psi_drift_bits", "ml_calibration_ece",
-    "agg_hhi_concentration", "ev_type_affinity_pmi",
-    "q_rank_stability_spearman", "ts_cross_correlation_lags",
-    "ml_pr_curve_binned", "ml_ks_binned", "ml_auc_by_group",
-    "ml_stratified_ate", "ml_threshold_cost_curve", "ml_ndcg_at_k",
-    "ml_mrr_per_user", "ml_average_precision_binned",
+    "q_revenue_lorenz_bands", "q_brand_repeat_rate",
+    "graph_degree_assortativity", "stats_kruskal_wallis",
+    "stats_levene_bf", "ml_logrank_test", "ev_uplift_qini_buckets",
+    "ev_power_mde", "ts_stl_decompose", "ts_holt_linear",
+    "ml_confusion_matrix", "ml_best_f1_threshold",
+    "ml_roc_curve_binned", "ml_class_weights", "ml_drift_chi2_weekly",
+    "ml_target_encoding_loo", "ml_feature_importance_mi",
+    "ml_kfold_balance", "ml_pointintime_features",
+    "q_pareto_frontier_parts",
 ]
 
 
@@ -209,7 +214,7 @@ def main() -> None:
             for key in gate_keys
         ]
     sections.append(
-        ("tmp/sf1_check (sf1 overflow gate: 30 static + 20 r13-rotation)", results)
+        ("tmp/sf1_check (sf1 overflow gate: 30 static + 20 r14-rotation)", results)
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
