@@ -70,15 +70,19 @@ SF1_OVERFLOW_KEYS = [
 # sf1 corpus. r14 block (VERDICT r13 item 4): the r13 wave's Lorenz /
 # brand-repeat ppm emissions, the whole r14 wave (rank-sum squares,
 # z-moments, micro-quantized hypergeometric terms, Qini cums — the
-# exact classes the gate exists for), ONE graph ppm entry
-# (assortativity; every graph oracle recomputes the quadratic DuckDB
-# k-NN at sf1.6x ≈ 7 min each, so the family is sampled, not swept —
-# the cap is the oracle's cost, not the Spark plan's), the ts
-# smoother/decomposition arithmetic, and the remaining ml_* table
-# builders. r13's rotation names are retired driver-green.
+# exact classes the gate exists for), the ts smoother/decomposition
+# arithmetic, the discount-elasticity cents×qty products, and the
+# remaining ml_* table builders. The graph_* ppm family is EXCLUDED
+# by measurement, not oversight: every graph oracle recomputes the
+# DuckDB k-NN, whose quadratic pair join materializes both embedding
+# arrays per candidate pair — ~100+ GB of spill at sf1.6x (measured:
+# the r14 attempt filled the disk at 759 s). The family's sf1-scale
+# guard is the Spark side only (SCALING.md); its hash gate runs at
+# sf0.1 where the oracle is feasible. r13's rotation names are
+# retired driver-green.
 SF1_ROTATION_KEYS = [
     "q_revenue_lorenz_bands", "q_brand_repeat_rate",
-    "graph_degree_assortativity", "stats_kruskal_wallis",
+    "q_discount_qty_elasticity", "stats_kruskal_wallis",
     "stats_levene_bf", "ml_logrank_test", "ev_uplift_qini_buckets",
     "ev_power_mde", "ts_stl_decompose", "ts_holt_linear",
     "ml_confusion_matrix", "ml_best_f1_threshold",
