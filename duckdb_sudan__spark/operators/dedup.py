@@ -1683,8 +1683,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     taus = spark.createDataFrame([(float(t),) for t in _SWEEP_TAUS], "tau double")
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     matched = pairs.join(F.broadcast(taus), F.col("jac") >= F.col("tau"))
-    endpoints = matched.selectExpr("tau", "id_a AS id").unionAll(
-        matched.selectExpr("tau", "id_b AS id")
+    # r14: emit both endpoints with ONE map-side explode instead of a
+    # unionAll of two projections of `matched` — the union's branches
+    # prune to different columns, so Catalyst compiled two copies of
+    # the whole O(block²) Jaccard pipeline (no exchange reuse). Same
+    # rows (one per endpoint per matching tau), half the compute.
+    endpoints = matched.select(
+        "tau", F.explode(F.array("id_a", "id_b")).alias("id")
     )
     return (
         endpoints.groupBy("tau")

@@ -62,13 +62,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     while _PR_CACHE_HANDLES:
         _PR_CACHE_HANDLES.pop().unpersist()
+    # r14: persist the EDGE LIST itself, not just the contribution
+    # relation — nodes and deg are consumed inside the iteration loop
+    # (new_ranks joins nodes; dangling anti-joins deg), and without a
+    # pin each round re-ran the whole emb_knn_graph Gram-kernel
+    # pipeline for those branches (compiled plan carried 121
+    # exchanges; ~2 full k-NN recomputations per iteration). nodes
+    # and deg are |V|-sized loop-invariant relations — pin them too.
     edges = emb_knn_graph(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).persist()
+    _PR_CACHE_HANDLES.append(edges)
     nodes = edges.select(F.col("src").alias("vec_id")).unionByName(
         edges.select(F.col("dst").alias("vec_id"))
-    ).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ).distinct().persist()
+    _PR_CACHE_HANDLES.append(nodes)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    _PR_CACHE_HANDLES.append(deg)
     # contribution relation reused every iteration: (src, dst, 1/out_deg)
     contrib_edges = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg").cast("double")).alias("w")
@@ -316,9 +326,13 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
     ).distinct()
+    # r14: emit both endpoints with ONE map-side explode — the
+    # previous unionAll's branches pruned to different columns, so
+    # Catalyst compiled two copies of the whole emb_knn_graph → und
+    # pipeline (15 compiled exchanges; the Gram kernel ran twice).
+    # Same rows (one per endpoint per undirected edge), one pipeline.
     deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
+        und.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )

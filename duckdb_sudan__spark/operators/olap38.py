@@ -123,10 +123,15 @@ def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = cells.groupBy("cm", "age").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_customers")
     )
-    cs = (
-        cells.where(F.col("age") == 0)
-        .groupBy("cm")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    # r14: cohort size ≡ the age-0 cell of the SAME triangle (every
+    # customer is active in their own cohort month, so the age-0 row
+    # counts exactly the cohort's customers). Deriving cs from tri's
+    # calendar-bounded output removes the second consumer of the
+    # customer-grain collect_set aggregate — the r13 shape re-ran the
+    # per-customer aggregation + explode for the cs branch (the
+    # exchange was reused but the ObjectHashAggregate pass was not).
+    cs = tri.where(F.col("age") == 0).select(
+        "cm", F.col("active_customers").alias("cohort_size")
     )
     # the cohort-size side is calendar-bounded (months) — broadcast it
     return (
@@ -187,23 +192,38 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
     )
     sets = ob.groupBy("ok").agg(F.array_sort(F.collect_set("b")).alias("bs"))
-    tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    bn = (
-        sets.select(F.explode("bs").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    # r14 single-consumer rewrite: the r13 shape consumed `sets` three
+    # times (tot, bn, pairs) — the order-grain exchange was reused but
+    # the collect_set final aggregation re-ran per consumer. One
+    # explode now emits, per order, the i<j pair structs PLUS one
+    # (NULL, brand) marker per member brand PLUS one (NULL, NULL)
+    # order marker; a single count-grain aggregate then holds all
+    # three relations (pairs / per-brand order counts / total orders),
+    # each read back by a null-pattern filter over the tiny reused
+    # count table. The heavy order-grain aggregate runs exactly once.
+    exploded = sets.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "flatten(transform(bs, (x, i) -> transform("
+                "slice(bs, i + 2, size(bs) - i - 1), y -> struct(x AS a, y AS b)))), "
+                "transform(bs, x -> struct(CAST(NULL AS STRING) AS a, x AS b)), "
+                "array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b)))"
+            )
+        ).alias("pr")
     )
-    pairs = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(bs, (x, i) -> transform("
-                    "slice(bs, i + 2, size(bs) - i - 1), y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("pr")
-        )
-        .groupBy(F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    counts = exploded.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = (
+        counts.where(F.col("a").isNull() & F.col("b").isNull())
+        .select(F.col("n").alias("n_orders"))
+    )
+    bn = counts.where(F.col("a").isNull() & F.col("b").isNotNull()).select(
+        F.col("b"), F.col("n").alias("nb")
+    )
+    pairs = counts.where(F.col("a").isNotNull()).select(
+        F.col("a").alias("brand_a"), F.col("b").alias("brand_b"), F.col("n").alias("n_ab")
     )
     # bn and tot are |brands|-bounded — broadcast both into the pair side
     na = bn.select(F.col("b").alias("brand_a"), F.col("nb").alias("n_a"))

@@ -53,6 +53,10 @@ from pyspark.sql.window import Window
 from duckdb_sudan__spark.operators import register
 from duckdb_sudan__spark.session import load_table
 
+# persisted relations from the previous invocation, released at the
+# next entry call (the graph.py _TRI_CACHE_HANDLES discipline)
+_ASSORT_CACHE_HANDLES: list[DataFrame] = []
+
 # ---------------------------------------------------------------------------
 # graph_degree_assortativity — Newman's r over the k-NN graph
 # ---------------------------------------------------------------------------
@@ -119,9 +123,17 @@ def _register_assortativity() -> None:
         plan degrades to a shuffle join past the broadcast threshold
         with no semantic change."""
         edges = emb_knn_graph(spark, sf_dir).select("id_a", "id_b")
+        # r14: pin the undirected edge set — it feeds 4 compiled
+        # branches (both orientation arms, the deg dim twice via ed's
+        # joins, and the n_edges scalar); unpersisted, each branch
+        # re-ran the whole Gram-kernel pipeline (25 compiled
+        # exchanges). Same release discipline as _TRI_CACHE_HANDLES.
+        while _ASSORT_CACHE_HANDLES:
+            _ASSORT_CACHE_HANDLES.pop().unpersist()
         und = edges.select(
             F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
-        ).distinct()
+        ).distinct().persist()
+        _ASSORT_CACHE_HANDLES.append(und)
         orient = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             und.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )

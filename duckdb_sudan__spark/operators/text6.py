@@ -74,16 +74,27 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the score threshold separates fluent text from boilerplate
     and garble.
 
-    Plan: ONE corpus scan builds the per-doc bigram relation
-    (map-side explode, no self-join — ngram_lm_counts' shape); the
-    count tables c12/c1 partial-agg off it; V is a broadcast scalar.
-    The score join is bg ⋈ c12 on (w1,w2) — both sides shuffle on the
-    same key, then per-doc partial agg. Stopword-headed w1 skew is
-    absorbed by the pre-aggregated counts (the join build side is the
-    count table, never raw bigram pairs). At 100 TB: two
-    map-combinable shuffles of token-grain data, one of count-grain —
-    the canonical LM-scoring plan; swapping bitlen for true log2 on a
-    real cluster is a one-expression change."""
+    Plan (r14 single-pass rewrite): ONE corpus scan builds the
+    per-doc bigram relation (map-side explode, no self-join —
+    ngram_lm_counts' shape) and immediately partial-aggregates it to
+    (doc_id, w1, w2, k) grain — the ONE shuffle that touches
+    token-derived rows, and it is map-combinable. Everything else is
+    count-grain: c12 re-aggregates the (doc, bigram) relation (its
+    exchange is reused, so the scan+explode runs exactly once), c1
+    and V derive from c12 (a word is in the vocab iff it appears as
+    w1 or w2 of some distinct bigram — no token-grain union pass),
+    and the per-bigram surprisal bits are computed ON THE COUNT TABLE
+    before the score join, so the join attaches one precomputed int
+    per (w1,w2) and the per-doc rollup is Σk·bits / Σk. The r13 shape
+    paid 4 scan+explode passes (vocab's unionAll ×2, c12, the score
+    join's bg side) and re-shuffled token-grain rows twice more (join
+    on (w1,w2), then on w1); this shape scans once and shuffles
+    doc-bigram-grain once. Stopword-headed w1 skew is absorbed by the
+    pre-aggregated counts (the join build side is the count table,
+    never raw bigram pairs). At 100 TB: one map-combinable shuffle of
+    doc-bigram-grain data + count-grain shuffles — the canonical
+    LM-scoring plan; swapping bitlen for true log2 on a real cluster
+    is a one-expression change."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     bg = (
@@ -98,29 +109,33 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("s") + 1).alias("w2"),
         )
     )
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c12 = dbg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     vocab = (
-        bg.select(F.col("w1").alias("w"))
-        .unionAll(bg.select(F.col("w2").alias("w")))
+        c12.select(F.col("w1").alias("w"))
+        .unionAll(c12.select(F.col("w2").alias("w")))
         .agg(F.countDistinct("w").alias("v"))
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
-    scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    ctab = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             (_bitlen(F.col("c1") + F.col("v")) - _bitlen(F.col("c12") + 1)).alias("bits"),
         )
     )
     return (
-        scored.groupBy("doc_id")
+        dbg.join(ctab, ["w1", "w2"])
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("bits").cast("bigint").alias("total_bits"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("bits")).cast("bigint").alias("total_bits"),
             F.round(
-                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double"), 6
+                F.sum(F.col("k") * F.col("bits")).cast("double")
+                / F.sum("k").cast("double"),
+                6,
             ).alias("mean_bits"),
         )
         .orderBy("doc_id")
