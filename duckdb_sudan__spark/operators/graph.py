@@ -50,43 +50,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation, not convergence-tested (production runs fix the
     iteration budget for exactly this reproducibility reason).
 
-    Plan: out-degrees and the edge list are computed ONCE and cached;
-    each iteration is one broadcast-or-shuffle hash join
-    (edges ⋈ ranks on src) + one groupBy(dst) partial-agg — the
-    map-side-combining shape that moves O(|E|) rows per iteration —
-    plus a 1-row dangling aggregate. Ranks are persisted per
-    iteration and the previous iteration unpersisted, so lineage
-    stays one-iteration deep (at 100 TB with checkpointing this is
-    the textbook Pregel-on-DataFrames loop; 5 iterations = 5
-    bounded shuffles, no driver-side data).
+    Plan: out-degrees and the edge list are computed ONCE and
+    localCheckpoint'ed; each iteration is one broadcast-or-shuffle
+    hash join (edges ⋈ ranks on src) + one groupBy(dst) partial-agg —
+    the map-side-combining shape that moves O(|E|) rows per
+    iteration — plus a 1-row dangling aggregate. Each iteration's
+    ranks are localCheckpoint'ed so lineage is cut per iteration
+    (at 100 TB with durable checkpointing this is the textbook
+    Pregel-on-DataFrames loop; 5 iterations = 5 bounded shuffles, no
+    driver-side data).
     """
     while _PR_CACHE_HANDLES:
         _PR_CACHE_HANDLES.pop().unpersist()
-    # r14: persist the EDGE LIST itself, not just the contribution
-    # relation — nodes and deg are consumed inside the iteration loop
-    # (new_ranks joins nodes; dangling anti-joins deg), and without a
-    # pin each round re-ran the whole emb_knn_graph Gram-kernel
-    # pipeline for those branches (compiled plan carried 121
-    # exchanges; ~2 full k-NN recomputations per iteration). nodes
-    # and deg are |V|-sized loop-invariant relations — pin them too.
+    # r14: cut lineage with localCheckpoint instead of persist. The
+    # loop's logical plan doubles per iteration (new_ranks references
+    # ranks twice: dangling + flowed), and every unpersisted reference
+    # to edges/nodes/deg re-ran the whole emb_knn_graph Gram-kernel
+    # pipeline (compiled plan carried 121 exchanges; ~2 full k-NN
+    # recomputations per iteration, 58 s at sf0.1). persist alone kept
+    # the full logical plan — by iteration 5 AQE's plan-string
+    # rendering alone OOMed an 8g driver — so the loop-invariant
+    # relations and each iteration's ranks are localCheckpoint'ed
+    # (guide §5: cheaper lineage cut when fault tolerance of the
+    # intermediate is not critical): the kernel runs ONCE, every
+    # iteration plans against constant-size scans.
     edges = emb_knn_graph(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).persist()
-    _PR_CACHE_HANDLES.append(edges)
+    ).localCheckpoint()
     nodes = edges.select(F.col("src").alias("vec_id")).unionByName(
         edges.select(F.col("dst").alias("vec_id"))
-    ).distinct().persist()
-    _PR_CACHE_HANDLES.append(nodes)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
-    _PR_CACHE_HANDLES.append(deg)
+    ).distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
     # contribution relation reused every iteration: (src, dst, 1/out_deg)
     contrib_edges = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("out_deg").cast("double")).alias("w")
-    ).persist()
-    _PR_CACHE_HANDLES.append(contrib_edges)
+    ).localCheckpoint()
     n = nodes.count()
-    ranks = nodes.select("vec_id", (F.lit(1.0) / F.lit(float(n))).alias("rank")).persist()
-    ranks.count()  # materialize before the loop so each iteration starts cached
+    ranks = nodes.select("vec_id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
 
     teleport = (1.0 - PR_DAMPING) / n
     for _ in range(PR_ITERS):
@@ -111,13 +111,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("m") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes AND cuts lineage
         )
-        new_ranks.count()
-        ranks.unpersist()
         ranks = new_ranks
 
-    _PR_CACHE_HANDLES.append(ranks)
     return ranks.select("vec_id", F.round("rank", 9).alias("rank")).orderBy(
         F.desc("rank"), "vec_id"
     )

@@ -134,6 +134,12 @@ def _register_assortativity() -> None:
             F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
         ).distinct().persist()
         _ASSORT_CACHE_HANDLES.append(und)
+        # materialize BEFORE the fan-out: the 4 consuming branches run
+        # concurrently inside one action, and an unmaterialized persist
+        # lets each stage race to compute the uncached Gram-kernel
+        # partitions itself (measured: persist alone recovered nothing,
+        # 4.2 s quiet; count-then-fan-out runs the kernel once)
+        und.count()
         orient = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             und.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
