@@ -871,13 +871,23 @@ def min_label_components(edges: DataFrame) -> DataFrame:
     against the recursive-CTE closure) and the approximate tier
     (dedup_minhash_components) — one audited CC implementation, two
     pair generators."""
+    # r14: localCheckpoint instead of cache — each round's labels plan
+    # references the previous round TWICE (neighbor_min join + the
+    # changed-count join), so the logical plan doubled per round on
+    # top of the full pair-generator lineage embedded in sym; the
+    # lineage cut keeps every round's plan constant-size (guide §5),
+    # and the checkpointed sym runs the pair generator exactly once.
     sym = (
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node")).cache()
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
     changed = 0
     for _ in range(CC_MAX_ROUNDS):
         neighbor_min = (
@@ -888,7 +898,7 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select("node", F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -896,7 +906,6 @@ def min_label_components(edges: DataFrame) -> DataFrame:
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
