@@ -74,27 +74,25 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the score threshold separates fluent text from boilerplate
     and garble.
 
-    Plan (r14 single-pass rewrite): ONE corpus scan builds the
-    per-doc bigram relation (map-side explode, no self-join —
-    ngram_lm_counts' shape) and immediately partial-aggregates it to
-    (doc_id, w1, w2, k) grain — the ONE shuffle that touches
-    token-derived rows, and it is map-combinable. Everything else is
-    count-grain: c12 re-aggregates the (doc, bigram) relation (its
-    exchange is reused, so the scan+explode runs exactly once), c1
-    and V derive from c12 (a word is in the vocab iff it appears as
-    w1 or w2 of some distinct bigram — no token-grain union pass),
-    and the per-bigram surprisal bits are computed ON THE COUNT TABLE
-    before the score join, so the join attaches one precomputed int
-    per (w1,w2) and the per-doc rollup is Σk·bits / Σk. The r13 shape
-    paid 4 scan+explode passes (vocab's unionAll ×2, c12, the score
-    join's bg side) and re-shuffled token-grain rows twice more (join
-    on (w1,w2), then on w1); this shape scans once and shuffles
-    doc-bigram-grain once. Stopword-headed w1 skew is absorbed by the
-    pre-aggregated counts (the join build side is the count table,
-    never raw bigram pairs). At 100 TB: one map-combinable shuffle of
-    doc-bigram-grain data + count-grain shuffles — the canonical
-    LM-scoring plan; swapping bitlen for true log2 on a real cluster
-    is a one-expression change."""
+    Plan (r14): ONE corpus scan builds the per-doc bigram relation
+    (map-side explode, no self-join — ngram_lm_counts' shape); the
+    count table c12 partial-aggs off it, c1 AND the vocabulary scalar
+    derive from c12 (a word is in the vocab iff it appears as w1 or
+    w2 of some distinct bigram — the r13 shape re-ran the token-grain
+    explode twice more for vocab's unionAll), and the per-bigram
+    surprisal bits are computed ON THE COUNT TABLE before the score
+    join, so bg pays ONE join that attaches a precomputed int per
+    (w1, w2) instead of two joins plus per-row arithmetic. The score
+    join's build side is the count table, never raw bigram pairs, so
+    stopword-headed w1 skew is absorbed by the pre-aggregation; the
+    per-doc rollup is a map-combinable doc-grain aggregate. (An
+    alternative that pre-aggregates bg to (doc_id, w1, w2) grain was
+    A/B-measured SLOWER at sf0.1 — the doc-bigram keys are nearly
+    unique so that shuffle moves the full token-grain volume where
+    this shape shuffles only combined doc-grain partials.) At 100 TB:
+    one token-grain scan + count-grain shuffles + one map-combinable
+    doc-grain shuffle; swapping bitlen for true log2 on a real
+    cluster is a one-expression change."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     bg = (
@@ -109,8 +107,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("s") + 1).alias("w2"),
         )
     )
-    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
-    c12 = dbg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     vocab = (
         c12.select(F.col("w1").alias("w"))
@@ -126,16 +123,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_bitlen(F.col("c1") + F.col("v")) - _bitlen(F.col("c12") + 1)).alias("bits"),
         )
     )
+    scored = bg.join(ctab, ["w1", "w2"]).select("doc_id", "bits")
     return (
-        dbg.join(ctab, ["w1", "w2"])
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
-            F.sum("k").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("k") * F.col("bits")).cast("bigint").alias("total_bits"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
             F.round(
-                F.sum(F.col("k") * F.col("bits")).cast("double")
-                / F.sum("k").cast("double"),
-                6,
+                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double"), 6
             ).alias("mean_bits"),
         )
         .orderBy("doc_id")
