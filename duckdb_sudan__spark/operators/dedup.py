@@ -1052,21 +1052,44 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three tier counts are 1-row aggregates crossJoined into the
     output (never collected to the driver); the tier-3 pair relation
     is the SAME blocked Arrow kernel as dedup_ngram_jaccard, applied
-    to the survivor set."""
+    to the survivor set.
+
+    Plan shape (r14): survivors are DECIDED on a narrow
+    (doc_id, fp, pk) proxy — two window-min passes mark the tier-1 and
+    tier-2 keepers — and the flags relation is localCheckpoint'ed so
+    the text scan + fingerprint arithmetic run exactly once. The
+    previous semijoin chain re-embedded `base` in every consumer
+    (~11 compiled copies of the scan+md5 subtree, 37 exchanges). The
+    heavy text column is re-read only once more, to feed the tier-3
+    pair kernel over the survivor semijoin — decide with small rows,
+    move big rows once."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", "lang", "n_chars", "text", bow_fingerprint_expr().alias("fp"))
-    t1_keep = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    s1 = base.join(t1_keep, "doc_id", "leftsemi")
     pk = F.md5(F.array_join(F.slice(F.split("text", " "), 1, _CASCADE_PREFIX_TOKENS), " "))
-    t2_keep = (
-        s1.select("doc_id", pk.alias("pk"))
-        .groupBy("pk").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    keys = d.select("doc_id", bow_fingerprint_expr().alias("fp"), pk.alias("pk"))
+    # tier-1 keep: min doc_id of the fp group (== groupBy fp + semijoin)
+    keys = keys.withColumn(
+        "k1", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
     )
-    s2 = s1.join(t2_keep, "doc_id", "leftsemi")
-    blocked = s2.select(
-        "doc_id", "lang",
-        (F.col("n_chars") / LEN_BUCKET).cast("long").alias("len_bucket"),
-        "text",
+    # tier-2 keep: among tier-1 survivors, min doc_id of the pk group
+    # (min ignores the NULLs the when() assigns to non-survivors)
+    keys = keys.withColumn(
+        "k2",
+        F.col("k1")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("k1"), F.col("doc_id"))).over(Window.partitionBy("pk"))
+        ),
+    )
+    flags = keys.select("doc_id", "k1", "k2").localCheckpoint()
+
+    surv = flags.where(F.col("k2")).select("doc_id")
+    blocked = (
+        d.select(
+            "doc_id", "lang",
+            (F.col("n_chars") / LEN_BUCKET).cast("long").alias("len_bucket"),
+            "text",
+        )
+        .join(surv, "doc_id", "leftsemi")
     )
     pairs = (
         blocked.groupBy("lang", "len_bucket")
@@ -1074,24 +1097,37 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t3_removed = pairs.select("id_b").distinct()
 
-    n_base = base.agg(F.count(F.lit(1)).alias("c0"))
-    n_s1 = s1.agg(F.count(F.lit(1)).alias("c1"))
-    n_s2 = s2.agg(F.count(F.lit(1)).alias("c2"))
+    n_tiers = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.count(F.when(F.col("k1"), F.lit(1))).alias("c1"),
+        F.count(F.when(F.col("k2"), F.lit(1))).alias("c2"),
+    )
     n_rm3 = t3_removed.agg(F.count(F.lit(1)).alias("c3"))
-    counts = n_base.crossJoin(n_s1).crossJoin(n_s2).crossJoin(n_rm3)
-    tier1 = counts.select(
-        F.lit("1_exact").alias("tier"), F.col("c0").alias("n_in"),
-        (F.col("c0") - F.col("c1")).alias("n_removed"), F.col("c1").alias("n_out"),
+    counts = n_tiers.crossJoin(n_rm3)
+    # one explode over the single 1-row counts relation — a unionByName
+    # of three per-tier selects would compile the counts subtree (and
+    # with it the whole pair pipeline) three times over
+    c0, c1, c2, c3 = (F.col(c) for c in ("c0", "c1", "c2", "c3"))
+
+    def _tier(name: str, n_in, n_removed, n_out):
+        return F.struct(
+            F.lit(name).alias("tier"), n_in.alias("n_in"),
+            n_removed.alias("n_removed"), n_out.alias("n_out"),
+        )
+
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    _tier("1_exact", c0, c0 - c1, c1),
+                    _tier("2_prefix", c1, c1 - c2, c2),
+                    _tier("3_ngram", c2, c3, c2 - c3),
+                )
+            ).alias("t")
+        )
+        .select("t.*")
+        .orderBy("tier")
     )
-    tier2 = counts.select(
-        F.lit("2_prefix").alias("tier"), F.col("c1").alias("n_in"),
-        (F.col("c1") - F.col("c2")).alias("n_removed"), F.col("c2").alias("n_out"),
-    )
-    tier3 = counts.select(
-        F.lit("3_ngram").alias("tier"), F.col("c2").alias("n_in"),
-        F.col("c3").alias("n_removed"), (F.col("c2") - F.col("c3")).alias("n_out"),
-    )
-    return tier1.unionByName(tier2).unionByName(tier3).orderBy("tier")
 
 
 # ---------------------------------------------------------------------------
