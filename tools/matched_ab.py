@@ -21,14 +21,19 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OLD_REF = "dbdcc6d"
-FILES = [
-    "duckdb_sudan__spark/operators/dedup.py",
-    "duckdb_sudan__spark/operators/graph.py",
-    "duckdb_sudan__spark/operators/olap38.py",
-    "duckdb_sudan__spark/operators/olap41.py",
-    "duckdb_sudan__spark/operators/text6.py",
-]
+# override per experiment: AB_OLD_REF=<ref> AB_FILES=a.py,b.py
+OLD_REF = os.environ.get("AB_OLD_REF", "dbdcc6d")
+FILES = (
+    os.environ["AB_FILES"].split(",")
+    if os.environ.get("AB_FILES")
+    else [
+        "duckdb_sudan__spark/operators/dedup.py",
+        "duckdb_sudan__spark/operators/graph.py",
+        "duckdb_sudan__spark/operators/olap38.py",
+        "duckdb_sudan__spark/operators/olap41.py",
+        "duckdb_sudan__spark/operators/text6.py",
+    ]
+)
 
 
 def steal_cores(window: float = 8.0) -> float:
