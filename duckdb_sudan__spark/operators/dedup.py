@@ -392,11 +392,6 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
         .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
     )
     sig.cache()
-    # materialize the signature kernel before its 3-consumer fan-out
-    # (banding + both verify join sides) — persist alone lets the
-    # branches race to compute the Arrow minhash partitions inside one
-    # action (the assortativity effect, r14)
-    sig.count()
 
     banded = subsalt_oversized_buckets(_band_buckets(sig), ["band", "bucket"])
     left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
@@ -787,9 +782,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", simhash64(F.col("text")).alias("sim"))
         .cache()
     )
-    # materialize the simhash kernel before banding fans it out to both
-    # join sides (the sig-materialization rationale, r14)
-    sh.count()
     chunks = F.explode(
         F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b * 16) & 65535 AS chunk))")
     )
@@ -1561,16 +1553,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CONTAIN_CACHE_HANDLES.pop().unpersist()
     sh = sh.persist()
     _CONTAIN_CACHE_HANDLES.append(sh)
-    # materialize sh before its 2-consumer fan-out (rare + the shr
-    # semijoin race the explode+distinct otherwise), then shr before
-    # its 3-consumer fan-out (sizes / a / b) — the assortativity fix
-    sh.count()
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= CONTAIN_DF_CAP
     ).select("shingle")
     shr = sh.join(rare, "shingle", "leftsemi").persist()
     _CONTAIN_CACHE_HANDLES.append(shr)
-    shr.count()
     sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     a = shr.select(F.col("doc_id").alias("id_a"), "shingle")
     b = shr.select(F.col("doc_id").alias("id_b"), "shingle")

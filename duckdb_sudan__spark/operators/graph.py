@@ -189,11 +189,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TRI_CACHE_HANDLES.pop().unpersist()
     und2 = und2.persist()
     _TRI_CACHE_HANDLES.append(und2)
-    # materialize BEFORE the 6-branch fan-out (nodes x2 / edges_n /
-    # e1 / e2 / e3): persist alone lets the consuming branches race to
-    # compute the uncached k-NN kernel partitions inside one action —
-    # the effect measured on graph_degree_assortativity (r14)
-    und2.count()
     nodes = (
         und2.select("label", F.col("u").alias("x"))
         .union(und2.select("label", F.col("v").alias("x")))
@@ -392,9 +387,6 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
     ).distinct().persist()
     _CN_CACHE_HANDLES.append(und)
-    # materialize BEFORE the fan-out (adj x2 -> wedges x2, anti-join):
-    # see graph_triangle_count / graph_degree_assortativity
-    und.count()
     adj = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )

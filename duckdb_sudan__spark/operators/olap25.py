@@ -141,10 +141,6 @@ ORDER BY n2
 def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = emb_knn_graph(spark, sf_dir).select("id_a", "id_b")
     edges = edges.cache()  # 4 consumers: both hop sides, anti-join, node list
-    # materialize before the fan-out: cache alone lets the 4 consuming
-    # branches race to compute the k-NN kernel partitions inside one
-    # action (the graph_degree_assortativity effect, r14)
-    edges.count()
     hop2 = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a"))
