@@ -392,6 +392,14 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
         .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
     )
     sig.cache()
+    # r15 (the r14-scheduled experiment, now measured): materialize the
+    # signature kernel before its 3-consumer fan-out (banding + both
+    # verify join sides). persist alone lets the consuming branches
+    # race to compute the uncached Arrow minhash partitions inside one
+    # action — the assortativity effect — and the stage-level A/B shows
+    # the full query at ~2.5-3.4 s with the count vs ~9-11 s without in
+    # the same (stolen) window; quiet matched A/B in OPTIMIZATION_r15.md.
+    sig.count()
 
     banded = subsalt_oversized_buckets(_band_buckets(sig), ["band", "bucket"])
     left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
