@@ -123,6 +123,13 @@ def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = cells.groupBy("cm", "age").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_customers")
     )
+    # r15: tri is consumed twice (join left side + the cs broadcast
+    # branch) — unpersisted, the customer-grain collect_set aggregate
+    # and explode compiled and ran once per consumer (the r14 after-plan
+    # was structurally unchanged: Exchange 6->6, ObjHashAgg 4->4).
+    # localCheckpoint the calendar-bounded triangle (≤ months² rows) so
+    # the heavy aggregate runs exactly once (guide §2.4/§5).
+    tri = tri.localCheckpoint()
     # r14: cohort size ≡ the age-0 cell of the SAME triangle (every
     # customer is active in their own cohort month, so the age-0 row
     # counts exactly the cohort's customers). Deriving cs from tri's
@@ -215,6 +222,15 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = exploded.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # r15: the r14 rewrite moved the fan-out instead of removing it —
+    # `counts` was consumed 4x unpersisted (tot, bn via na AND nc,
+    # pairs), so the heavy join+explode+aggregate pipeline compiled and
+    # ran once per consumer (after-plan ObjectHashAggregate copies went
+    # 6 -> 8). localCheckpoint the count-grain relation — it is tiny
+    # (|brands|^2/2 + |brands| + 1 rows) — so the order-grain aggregate
+    # runs exactly once and every reader scans the materialized rows
+    # (guide §2.4/§5; the assortativity idiom).
+    counts = counts.localCheckpoint()
     tot = (
         counts.where(F.col("a").isNull() & F.col("b").isNull())
         .select(F.col("n").alias("n_orders"))

@@ -108,10 +108,21 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r15: c12 is consumed 3x (vocab, c1, the ctab join's left side) —
+    # unpersisted, the token-grain scan+split+explode subtree compiled
+    # once per consumer (5 copies in the r14 after-plan). Materialize
+    # the count-grain table once (guide §2.4/§5): every reader scans
+    # the materialized distinct-bigram rows, and the only remaining
+    # token-grain subtree is bg's own scan feeding the score join.
+    c12 = c12.localCheckpoint()
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    # r15: vocab via ONE explode over c12 instead of unionAll of two
+    # projections — the unionAll-of-projections antipattern this repo
+    # removed from threshold_sweep/degree_histogram in r14 (each union
+    # branch pruned differently, so Catalyst compiled the c12 subtree
+    # twice; guide §2.3). Same multiset of words, same distinct count.
     vocab = (
-        c12.select(F.col("w1").alias("w"))
-        .unionAll(c12.select(F.col("w2").alias("w")))
+        c12.select(F.explode(F.array("w1", "w2")).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     ctab = (

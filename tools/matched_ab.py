@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # override per experiment: AB_OLD_REF=<ref> AB_FILES=a.py,b.py
 OLD_REF = os.environ.get("AB_OLD_REF", "dbdcc6d")
 FILES = (
-    os.environ["AB_FILES"].split(",")
+    [p.strip() for p in os.environ["AB_FILES"].split(",") if p.strip()]
     if os.environ.get("AB_FILES")
     else [
         "duckdb_sudan__spark/operators/dedup.py",
