@@ -392,14 +392,17 @@ def _minhash_sig_and_candidates(spark: SparkSession, sf_dir: str):
         .select("doc_id", minhash_from_text(F.col("text")).alias("sig"))
     )
     sig.cache()
-    # r15 (the r14-scheduled experiment, now measured): materialize the
-    # signature kernel before its 3-consumer fan-out (banding + both
-    # verify join sides). persist alone lets the consuming branches
-    # race to compute the uncached Arrow minhash partitions inside one
-    # action — the assortativity effect — and the stage-level A/B shows
-    # the full query at ~2.5-3.4 s with the count vs ~9-11 s without in
-    # the same (stolen) window; quiet matched A/B in OPTIMIZATION_r15.md.
-    sig.count()
+    # r15: NO count() materialization here — the r14-scheduled per-site
+    # A/B was run (OPTIMIZATION_r15.md): the quiet matched pair measured
+    # the barrier SLOWER (4.24 -> 6.00), the cross-window quiet-mins the
+    # other way (3.37 -> 2.74), and only under multi-core hypervisor
+    # steal did the materialization win clearly — i.e. the effect is
+    # below the noise floor at this SF because the signature kernel is
+    # light (~1.5 M shingles x 128 perms) and the 3 racing consumers
+    # overlap on idle cores, while an eager count() serializes a full
+    # Python stage before any other work. Unlike assortativity (where
+    # the racing Gram kernel dominates and count() was a measured win),
+    # the race here costs less than the barrier.
 
     banded = subsalt_oversized_buckets(_band_buckets(sig), ["band", "bucket"])
     left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket", "sub")
