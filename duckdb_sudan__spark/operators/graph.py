@@ -30,8 +30,19 @@ PR_DAMPING = 0.85
 # entry call (the earliest provably-consumed point — same discipline as
 # similarity._KNN_CACHE_HANDLES: bench runs the entry N+1 times per
 # process and would otherwise accumulate a cached copy per run)
-_PR_CACHE_HANDLES: list[DataFrame] = []
 _TRI_CACHE_HANDLES: list[DataFrame] = []
+
+# localCheckpoint storage discipline (r15, VERDICT r14 item 8): the
+# checkpointed blocks of superseded per-iteration relations (pagerank
+# ranks, min_label_components labels) are NOT held in any module
+# global — once the loop rebinds the name, the DataFrame and its JVM
+# plan become unreachable and Spark's ContextCleaner (reference
+# tracking, on by default) unpersists the orphaned RDD blocks after
+# GC. Storage across repeated invocations in one session is therefore
+# bounded by the GC cadence times one invocation's checkpoint
+# footprint (ranks = |V| narrow rows), not accumulated per call; no
+# handle registry is needed, and the r14 _PR_CACHE_HANDLES registry
+# (appended nowhere since the localCheckpoint rewrite) is gone.
 
 
 @register("graph_pagerank")  # rows-only: ≡ numpy power iteration, tested
@@ -60,8 +71,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel-on-DataFrames loop; 5 iterations = 5 bounded shuffles, no
     driver-side data).
     """
-    while _PR_CACHE_HANDLES:
-        _PR_CACHE_HANDLES.pop().unpersist()
     # r14: cut lineage with localCheckpoint instead of persist. The
     # loop's logical plan doubles per iteration (new_ranks references
     # ranks twice: dangling + flowed), and every unpersisted reference
@@ -189,6 +198,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TRI_CACHE_HANDLES.pop().unpersist()
     und2 = und2.persist()
     _TRI_CACHE_HANDLES.append(und2)
+    # r15 (the r14-scheduled per-site A/B, measured this round):
+    # materialize before the 6-reference fan-out — persist alone lets
+    # the branches race to compute the uncached k-NN kernel partitions
+    # inside one action (the assortativity effect; same upstream Gram
+    # kernel). A/B table in OPTIMIZATION_r15.md.
+    und2.count()
     nodes = (
         und2.select("label", F.col("u").alias("x"))
         .union(und2.select("label", F.col("v").alias("x")))
@@ -387,6 +402,10 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
     ).distinct().persist()
     _CN_CACHE_HANDLES.append(und)
+    # r15: materialize before the fan-out (both adj branches + the
+    # anti-join side race the k-NN kernel otherwise — the
+    # assortativity effect). A/B table in OPTIMIZATION_r15.md.
+    und.count()
     adj = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )

@@ -141,6 +141,10 @@ ORDER BY n2
 def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = emb_knn_graph(spark, sf_dir).select("id_a", "id_b")
     edges = edges.cache()  # 4 consumers: both hop sides, anti-join, node list
+    # r15: materialize before the 4-consumer fan-out (the assortativity
+    # effect — the consumers race the uncached k-NN kernel partitions
+    # inside one action otherwise). A/B table in OPTIMIZATION_r15.md.
+    edges.count()
     hop2 = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a"))
