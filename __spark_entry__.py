@@ -309,7 +309,13 @@ _R14_WINDOW_PLAN = [
 # plan verbatim. CORRECTNESS_r14 gives the 6 r13 additions their driver
 # rows, drains the r6-stale class to zero (28 rows), and retires the
 # alphabetically-first 16 of the 50 r7-checked rows.
-_WINDOW_PRIORITY = list(_R14_WINDOW_PLAN)
+# r15 open: rotate to the committed r15 literal (defined below) —
+# CORRECTNESS_r15 gives driver rows to the 8 r14-added entries plus
+# the oldest stale classes, and — relevantly for this optimization
+# round — to graph_degree_assortativity, corpus_perplexity_buckets,
+# dedup_cluster_size_histogram and dedup_containment, four entries
+# whose internals r14/r15 touched.
+_WINDOW_PRIORITY: list[str] = []  # assigned after _R15_WINDOW_PLAN
 
 
 # The committed r15 window as a MACHINE-CHECKED literal (r14 close),
@@ -345,6 +351,8 @@ _R15_WINDOW_PLAN = [
     "dataset_split_train_valid", "dedup_cluster_size_histogram",
     "dedup_containment",
 ]
+
+_WINDOW_PRIORITY = list(_R15_WINDOW_PLAN)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

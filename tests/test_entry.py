@@ -77,7 +77,16 @@ def test_r14_window_plan_executed_verbatim():
     plan = E._R14_WINDOW_PLAN
     oracles = E.oracle_sql()
     queries = E.queries()
-    assert E._WINDOW_PRIORITY == plan, "r14 window differs from the committed plan"
+    # r15 rotation: the LIVE window moved to _R15_WINDOW_PLAN (asserted
+    # in test_r15_window_plan_is_valid); the r14 plan's execution is now
+    # history — pin it against the driver's CORRECTNESS_r14.json the way
+    # test_r13_window_plan_was_executed pins r13.
+    import json as _json
+
+    got = _json.load(open("CORRECTNESS_r14.json"))
+    assert list(got) == plan, "driver did not execute the committed r14 plan verbatim"
+    bad = [k for k, v in got.items() if not (v["rows_match"] and v["hash_match"])]
+    assert not bad, f"r14 driver rows not green: {bad}"
     assert len(plan) == 50 and len(set(plan)) == 50
     missing_q = [k for k in plan if k not in queries]
     missing_o = [k for k in plan if k not in oracles]
@@ -129,6 +138,7 @@ def test_r15_window_plan_is_valid():
     plan = E._R15_WINDOW_PLAN
     oracles = E.oracle_sql()
     queries = E.queries()
+    assert E._WINDOW_PRIORITY == plan, "r15 window differs from the committed plan"
     assert len(plan) == 50 and len(set(plan)) == 50
     missing_q = [k for k in plan if k not in queries]
     missing_o = [k for k in plan if k not in oracles]
