@@ -73,6 +73,16 @@ HEADLINE = [
     # customer-grain cohort cells visible per-round
     "q_market_basket_pairs",
     "q_cohort_retention_triangle",
+    # r15 additions (VERDICT r14 item 5, additions-only): the three
+    # big r14 structural wins were invisible to the driver because
+    # none was a headliner — neither their improvement nor any future
+    # regression would show. graph_pagerank (the 58 s -> ~8 s
+    # localCheckpoint loop fix), pipeline_dedup_cascade (67 -> 6
+    # compiled Exchanges), dedup_components (exponential -> constant
+    # per-round plans) are now measured per-round.
+    "graph_pagerank",
+    "pipeline_dedup_cascade",
+    "dedup_components",
 ]
 
 
