@@ -793,6 +793,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", simhash64(F.col("text")).alias("sim"))
         .cache()
     )
+    # r15: materialize the simhash kernel before banding fans it out to
+    # both join sides + the hot-bucket aggregate (3 consumers racing
+    # the Arrow kernel otherwise). Per-site matched A/B in
+    # OPTIMIZATION_r15.md.
+    sh.count()
     chunks = F.explode(
         F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b * 16) & 65535 AS chunk))")
     )
@@ -1564,11 +1569,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CONTAIN_CACHE_HANDLES.pop().unpersist()
     sh = sh.persist()
     _CONTAIN_CACHE_HANDLES.append(sh)
+    # r15: materialize sh before its 2-consumer fan-out (rare + the shr
+    # semijoin), then shr before its 3-consumer fan-out (sizes / a / b).
+    # Per-site matched A/B in OPTIMIZATION_r15.md.
+    sh.count()
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= CONTAIN_DF_CAP
     ).select("shingle")
     shr = sh.join(rare, "shingle", "leftsemi").persist()
     _CONTAIN_CACHE_HANDLES.append(shr)
+    shr.count()
     sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     a = shr.select(F.col("doc_id").alias("id_a"), "shingle")
     b = shr.select(F.col("doc_id").alias("id_b"), "shingle")

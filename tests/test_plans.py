@@ -3090,3 +3090,31 @@ def test_r14_wave_plans(spark):
             key,
             nodes,
         )
+
+
+def test_r15_single_pass_rewrites_materialize_the_fanout(spark):
+    """r15 optimization pins: the three finished single-pass rewrites
+    decide everything on an eagerly-materialized (localCheckpoint)
+    relation, so the returned plan must NOT re-embed the heavy source
+    pipeline per consumer.
+
+    - q_market_basket_pairs: the count-grain table is checkpointed —
+      zero parquet scans and zero aggregates above it in the returned
+      plan (the order-grain collect_set pipeline runs exactly once, in
+      the eager construction job).
+    - q_cohort_retention_triangle: same for the tri relation.
+    - text_perplexity_proxy: c12 is checkpointed — the returned plan
+      keeps exactly ONE token-grain scan (bg feeding the score join);
+      the count-table consumers read the checkpoint."""
+    plan = plan_of(QUERIES["q_market_basket_pairs"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, "counts fan-out recompiles the source pipeline"
+    assert "ObjectHashAggregate" not in plan
+    plan = plan_of(QUERIES["q_cohort_retention_triangle"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, "tri fan-out recompiles the source pipeline"
+    plan = plan_of(QUERIES["text_perplexity_proxy"](spark, SF_DIR))
+    # unique scan node ids (formatted output lists each node in the
+    # tree AND in the details section)
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet[^(]*\((\d+)\)", plan))
+    assert len(scan_ids) == 1, f"c12 consumers must read the checkpoint, scans={scan_ids}"
